@@ -1,0 +1,190 @@
+"""Convolutional FEC: encoder + TPU-native Viterbi decoder.
+
+NRSC-5 uses three rate-1/3 tail-biting mother codes (reference:
+src/decode.c:39-61, src/conv_dec.c:455-478):
+
+  * K=7, G=(0133,0171,0165)  - FM P1/PIDS/P3/P4
+  * K=9, G=(0561,0657,0711)  - AM "E1" (P1, P3 in MA3)
+  * K=9, G=(0561,0753,0711)  - AM "E2/E3" (P3 in MA1, AM PIDS)
+
+punctured per channel (see constants.PUNCTURE_*).
+
+Encoder convention (protocol-defined; cross-checked against the reference
+re-encoder, src/decode.c:234-259): shift register r holds the most recent K
+input bits with the *newest at the MSB* (``r = (r >> 1) | (bit << (K-1))``),
+output j is ``parity(r & G[j])``.  Tail-biting: r is pre-loaded with the last
+K-1 bits of the frame.
+
+Decoder design (TPU-first, not a port): the trellis state dimension (64 or
+256) is vectorized across VPU lanes, batch (stations x channels x frames)
+across sublanes, and the time recursion is a single ``lax.scan`` carrying the
+path-metric vector.  Tail-biting is handled as in the reference
+(src/conv_dec.c:407-412): the trellis is extended by 32 wrap steps on each
+side and the warm-up decisions are discarded.  Metrics are float32 so no
+renormalization is needed.  A chunk-parallel variant for long frames lives in
+:mod:`nrsc5_tpu.ops.viterbi_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TAIL_BITING_EXTRA = 32  # wrap steps on each side (reference: src/conv_dec.c:43)
+
+
+# ---------------------------------------------------------------------------
+# Shared trellis tables
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _parity_table(nbits: int) -> np.ndarray:
+    v = np.arange(1 << nbits, dtype=np.uint32)
+    p = v & 1
+    while nbits > 1:
+        v >>= 1
+        p ^= v & 1
+        nbits -= 1
+    return p.astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=8)
+def trellis_tables(k: int, gens: tuple[int, int, int]):
+    """Precompute the ACS tables for a rate-1/3 code.
+
+    For each next-state s' (k-1 bits, MSB = newest input bit):
+      * input bit        b(s')  = s' >> (k-2)
+      * predecessors     pred_p = ((s' << 1) & (ns-1)) | p   for p in {0,1}
+      * branch outputs   out[s', p, j] = 2*parity((pred_p | b<<(k-1)) & G_j)-1
+
+    Returns (pred0, pred1, out_nrz) as numpy arrays; out_nrz is
+    [ns, 2, 3] float32 in {-1,+1}.
+    """
+    ns = 1 << (k - 1)
+    par = _parity_table(k)
+    sp = np.arange(ns, dtype=np.int32)
+    b = sp >> (k - 2)
+    pred0 = (sp << 1) & (ns - 1)
+    pred1 = pred0 | 1
+    out = np.empty((ns, 2, 3), dtype=np.float32)
+    for p, pred in ((0, pred0), (1, pred1)):
+        full = pred | (b << (k - 1))
+        for j, g in enumerate(gens):
+            out[:, p, j] = par[full & g].astype(np.float32) * 2.0 - 1.0
+    return pred0, pred1, out
+
+
+# ---------------------------------------------------------------------------
+# Encoder (numpy; used by the truth harness and the BER re-encoder)
+# ---------------------------------------------------------------------------
+
+def conv_encode(bits: np.ndarray, k: int, gens: tuple[int, int, int]) -> np.ndarray:
+    """Tail-biting rate-1/3 encode.  bits: [..., T] in {0,1} ->
+    [..., T*3] mother-code bits (output order G0,G1,G2 per input bit)."""
+    bits = np.asarray(bits, dtype=np.uint32)
+    t = bits.shape[-1]
+    par = _parity_table(k)
+    # full register value after step i: bit (i-d mod T) at position k-1-d
+    reg = np.zeros(bits.shape, dtype=np.uint32)
+    for d in range(k):
+        reg |= np.roll(bits, d, axis=-1) << (k - 1 - d)
+    out = np.empty(bits.shape[:-1] + (t, 3), dtype=np.uint8)
+    for j, g in enumerate(gens):
+        out[..., j] = par[reg & g]
+    return out.reshape(bits.shape[:-1] + (t * 3,))
+
+
+def puncture(coded: np.ndarray, pattern: tuple[int, ...]) -> np.ndarray:
+    """Drop mother-code bits where the repeating pattern is 0."""
+    t = coded.shape[-1]
+    mask = np.resize(np.asarray(pattern, dtype=bool), t)
+    return coded[..., mask]
+
+
+@functools.lru_cache(maxsize=16)
+def depuncture_indices(pattern: tuple[int, ...], coded_len: int):
+    """Index table mapping punctured stream -> mother-code positions.
+
+    Returns (idx, valid): for mother position i, ``idx[i]`` is the position in
+    the punctured stream (or 0) and ``valid[i]`` is 1 where a symbol exists.
+    ``depunctured = where(valid, punctured[idx], 0)``.
+    """
+    mask = np.resize(np.asarray(pattern, dtype=bool), coded_len)
+    idx = np.cumsum(mask) - 1
+    idx[~mask] = 0
+    return idx.astype(np.int32), mask
+
+
+def depuncture(llr, pattern: tuple[int, ...], coded_len: int):
+    """Insert zero-LLRs at punctured positions (jnp or numpy)."""
+    idx, valid = depuncture_indices(pattern, coded_len)
+    taken = llr[..., idx]
+    return jnp.where(valid, taken, 0) if isinstance(llr, jax.Array) else np.where(valid, taken, 0)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decoder (JAX)
+# ---------------------------------------------------------------------------
+
+def _viterbi_impl(llr, k: int, gens: tuple[int, int, int]):
+    """Core tail-biting Viterbi.  llr: [B, T, 3] float32 (positive = bit 1).
+    Returns (bits [B, T] uint8, metric margin [B] float32)."""
+    pred0_np, pred1_np, out_np = trellis_tables(k, gens)
+    ns = 1 << (k - 1)
+    t = llr.shape[-2]
+    wrap = min(TAIL_BITING_EXTRA, t)
+
+    pred0 = jnp.asarray(pred0_np)
+    pred1 = jnp.asarray(pred1_np)
+    out0 = jnp.asarray(out_np[:, 0, :])  # [ns, 3]
+    out1 = jnp.asarray(out_np[:, 1, :])
+
+    # extend sequence for tail-biting wrap (reference: src/conv_dec.c:407-412)
+    ext = jnp.concatenate([llr[:, t - wrap:, :], llr, llr[:, :wrap, :]], axis=1)
+
+    def acs(pm, llr_t):
+        # pm: [B, ns]; llr_t: [B, 3]
+        bm0 = llr_t @ out0.T  # [B, ns]
+        bm1 = llr_t @ out1.T
+        c0 = pm[:, pred0] + bm0
+        c1 = pm[:, pred1] + bm1
+        dec = c1 > c0
+        return jnp.where(dec, c1, c0), dec
+
+    pm0 = jnp.zeros((llr.shape[0], ns), dtype=jnp.float32)
+    pm, decisions = jax.lax.scan(acs, pm0, jnp.swapaxes(ext, 0, 1))
+    # decisions: [T+2*wrap, B, ns] bool
+
+    top2 = jax.lax.top_k(pm, 2)[0]
+    margin = top2[:, 0] - top2[:, 1]
+    state0 = jnp.argmax(pm, axis=-1).astype(jnp.int32)
+
+    def tb(state, dec_t):
+        # dec_t: [B, ns]; state: [B]
+        p = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]
+        bit = (state >> (k - 2)).astype(jnp.uint8)
+        prev = ((state << 1) & (ns - 1)) | p.astype(jnp.int32)
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1])
+    bits = bits_rev[::-1]  # [T+2*wrap, B]
+    # steps [wrap, T+wrap) map to frame positions [0, T)
+    return jnp.swapaxes(bits[wrap:wrap + t], 0, 1), margin
+
+
+@functools.partial(jax.jit, static_argnames=("k", "gens"))
+def viterbi_decode(llr, k: int, gens: tuple[int, int, int]):
+    """Batched tail-biting Viterbi decode.
+
+    llr: [..., T, 3] float or int8 soft symbols (sign convention of the
+    reference demod: positive = bit 1).  Returns (bits [..., T] uint8,
+    margin [...] float32).
+    """
+    llr = jnp.asarray(llr, dtype=jnp.float32)
+    batch_shape = llr.shape[:-2]
+    flat = llr.reshape((-1,) + llr.shape[-2:])
+    bits, margin = _viterbi_impl(flat, k, gens)
+    return bits.reshape(batch_shape + bits.shape[-1:]), margin.reshape(batch_shape)

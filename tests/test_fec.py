@@ -1,0 +1,100 @@
+"""Roundtrip tests for the FEC core: scrambler, conv codes, puncturing."""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.ops.convolutional import (
+    conv_encode,
+    depuncture,
+    puncture,
+    viterbi_decode,
+)
+from nrsc5_tpu.ops.scramble import descramble, scramble, scrambler_keystream
+
+
+def test_scrambler_keystream_lfsr():
+    # independently step the LFSR from the spec and compare
+    ks = scrambler_keystream(64)
+    val = 0x3FF
+    ref = []
+    for _ in range(64):
+        bit = ((val >> 9) ^ val) & 1
+        val |= bit << 11
+        val >>= 1
+        ref.append(bit)
+    assert ks.tolist() == ref
+
+
+def test_scramble_roundtrip(rng):
+    bits = rng.integers(0, 2, size=(3, C.PIDS_FRAME_LEN), dtype=np.uint8)
+    assert np.array_equal(descramble(scramble(bits)), bits)
+    assert not np.array_equal(scramble(bits), bits)
+
+
+@pytest.mark.parametrize(
+    "k,gens",
+    [(7, C.CONV_K7_GEN), (9, C.CONV_E1_GEN), (9, C.CONV_E2_E3_GEN)],
+)
+def test_conv_encoder_matches_reference_recursion(rng, k, gens):
+    # step the reference shift-register recursion directly
+    # (reference: src/decode.c:240-256)
+    t = 200
+    bits = rng.integers(0, 2, size=t, dtype=np.uint8)
+    r = 0
+    for i in range(k - 1):
+        r = (r >> 1) | (int(bits[t - (k - 1) + i]) << (k - 1))
+    ref = []
+    for i in range(t):
+        r = (r >> 1) | (int(bits[i]) << (k - 1))
+        for g in gens:
+            ref.append(bin(r & g).count("1") & 1)
+    enc = conv_encode(bits, k, gens)
+    assert enc.tolist() == ref
+
+
+@pytest.mark.parametrize(
+    "k,gens,pattern,t",
+    [
+        (7, C.CONV_K7_GEN, C.PUNCTURE_P1_PIDS_FM, C.PIDS_FRAME_LEN),
+        (7, C.CONV_K7_GEN, C.PUNCTURE_P1_PIDS_FM, 1000),
+        (7, C.CONV_K7_GEN, C.PUNCTURE_P3_P4_FM, 960),
+        (9, C.CONV_E1_GEN, C.PUNCTURE_E1, C.P1_FRAME_LEN_AM),
+        (9, C.CONV_E2_E3_GEN, C.PUNCTURE_E2, 600),
+    ],
+)
+def test_viterbi_roundtrip_clean(rng, k, gens, pattern, t):
+    bits = rng.integers(0, 2, size=(2, t), dtype=np.uint8)
+    coded = conv_encode(bits, k, gens)
+    punct = puncture(coded, pattern)
+    llr = punct.astype(np.float32) * 2 - 1  # hard symbols +-1
+    full = depuncture(llr, pattern, t * 3).reshape(2, t, 3)
+    dec, margin = viterbi_decode(full, k, gens)
+    assert np.array_equal(np.asarray(dec), bits)
+    assert np.all(np.asarray(margin) > 0)
+
+
+def test_viterbi_noisy(rng):
+    # soft symbols with AWGN well inside the code's correction range
+    k, gens, pattern = 7, C.CONV_K7_GEN, C.PUNCTURE_P1_PIDS_FM
+    t = 2000
+    bits = rng.integers(0, 2, size=t, dtype=np.uint8)
+    coded = conv_encode(bits, k, gens)
+    punct = puncture(coded, pattern).astype(np.float32) * 2 - 1
+    noisy = punct + rng.normal(0, 0.6, punct.shape).astype(np.float32)
+    full = depuncture(noisy, pattern, t * 3).reshape(t, 3)
+    dec, _ = viterbi_decode(full, k, gens)
+    assert np.array_equal(np.asarray(dec), bits)
+
+
+def test_viterbi_p1_full_frame(rng):
+    # the real P1 FM shape: 146176 bits, rate 2/5
+    t = C.P1_FRAME_LEN_FM
+    bits = rng.integers(0, 2, size=t, dtype=np.uint8)
+    coded = conv_encode(bits, 7, C.CONV_K7_GEN)
+    punct = puncture(coded, C.PUNCTURE_P1_PIDS_FM)
+    assert punct.shape[-1] == C.P1_FRAME_LEN_ENCODED_FM
+    llr = punct.astype(np.float32) * 2 - 1
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(t, 3)
+    dec, _ = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    assert np.array_equal(np.asarray(dec), bits)
