@@ -1,0 +1,70 @@
+"""FM logical-channel decode: deinterleave -> depuncture -> Viterbi ->
+descramble, as fused jitted device functions (reference: src/decode.c:378-472).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.ops import interleavers as IL
+from nrsc5_tpu.ops.convolutional import depuncture, viterbi_decode
+from nrsc5_tpu.ops.scramble import scrambler_keystream
+
+
+def _descramble_dev(bits, length):
+    return bits ^ jnp.asarray(scrambler_keystream(length))
+
+
+@jax.jit
+def p1_decode(pm_matrix):
+    """pm_matrix: [16*32*720] int8 (one P1 frame of soft bits).
+    Returns (bits [146176] uint8, viterbi margin)."""
+    llr = pm_matrix[jnp.asarray(IL.p1_fm_table())].astype(jnp.float32)
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
+    full = full.reshape(C.P1_FRAME_LEN_FM, 3)
+    bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    return _descramble_dev(bits, C.P1_FRAME_LEN_FM), margin
+
+
+@jax.jit
+def pids_decode(pm_block):
+    """pm_block: [32*720] int8 (one L1 block).  Returns bits [80] uint8."""
+    llr = pm_block[jnp.asarray(IL.pids_fm_table())].astype(jnp.float32)
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.PIDS_FRAME_LEN * 3)
+    full = full.reshape(C.PIDS_FRAME_LEN, 3)
+    bits, _ = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    return _descramble_dev(bits, C.PIDS_FRAME_LEN)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len",))
+def px_decode(internal, new_llrs, call_phase, frame_len: int):
+    """One interleaver-IV call + P3/P4 decode.
+
+    internal: [N] int8 carried interleaver state.
+    new_llrs: [2*frame_len] int8 soft bits from two L1 blocks.
+    call_phase: int32 in [0, calls_per_cycle).
+    Returns (bits [frame_len] uint8, margin, new_internal [N]).
+    """
+    read_idx, n, calls = IL.p3_iv_tables(frame_len)
+    hazard = IL.p3_iv_hazard(frame_len)
+    call_len = 2 * frame_len
+    offset = call_phase * call_len
+
+    r = jax.lax.dynamic_slice(jnp.asarray(read_idx), (offset,), (call_len,))
+    hz = jax.lax.dynamic_slice(jnp.asarray(hazard), (offset,), (call_len,))
+    vals = internal[r]
+    fresh = new_llrs[jnp.clip(r - offset, 0, call_len - 1)]
+    llr = jnp.where(hz, fresh, vals).astype(jnp.float32)
+
+    full = depuncture(llr, C.PUNCTURE_P3_P4_FM, frame_len * 3)
+    full = full.reshape(frame_len, 3)
+    bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    bits = _descramble_dev(bits, frame_len)
+
+    new_internal = jax.lax.dynamic_update_slice(internal, new_llrs, (offset,))
+    return bits, margin, new_internal

@@ -1,0 +1,256 @@
+"""FM fine sync: reference-subcarrier tracking, equalization, soft demap.
+
+TPU-first reformulation of the reference's sync stage (src/sync.c:339-609):
+
+  * The per-reference-subcarrier 2nd-order Costas loops (src/sync.c:90-130)
+    are ONE ``lax.scan`` over the 32 symbols carrying (phase, freq) vectors —
+    all reference subcarriers advance in lockstep across VPU lanes instead of
+    the reference's per-subcarrier loop nest.
+  * The pi-ambiguity resolution, block-count/service-mode (DBPSK) decode,
+    partition equalization, sample-clock regression, MER and the int8 soft
+    demap are pure batched array ops.
+  * The service mode (psmi) is a static argument: partition geometry is
+    compile-time constant, so XLA sees only static shapes.
+
+The carried state is the (phase, freq) pair per FFT bin (only reference
+bins are ever non-zero), making time-sharding and checkpointing explicit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrsc5_tpu import constants as C
+
+# Costas loop constants (reference: src/sync.c:832-841)
+_LOOP_BW = 0.05
+_DAMPING = 0.70710678
+_DENOM = 1 + 2 * _DAMPING * _LOOP_BW + _LOOP_BW * _LOOP_BW
+ALPHA = 4 * _DAMPING * _LOOP_BW / _DENOM
+BETA = 4 * _LOOP_BW * _LOOP_BW / _DENOM
+
+W = C.PARTITION_WIDTH_FM
+
+
+class SyncState(NamedTuple):
+    costas_phase: jax.Array  # [FFT_FM] float32
+    costas_freq: jax.Array  # [FFT_FM] float32
+
+
+def sync_init_state() -> SyncState:
+    return SyncState(
+        costas_phase=jnp.zeros(C.FFT_FM, jnp.float32),
+        costas_freq=jnp.zeros(C.FFT_FM, jnp.float32),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _ref_bins(ppb: int) -> np.ndarray:
+    """All reference-subcarrier bins: lower refs 0..ppb then upper refs
+    0..ppb (int32 [2*(ppb+1)])."""
+    i = np.arange(ppb + 1)
+    return np.concatenate([C.LB_START + i * W, C.UB_END - i * W]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def _needles(ppb: int):
+    """Per-ref expected sign sequences with rsid filled in.
+
+    Returns (values uint8 [R, 32], known bool [R, 32]).
+    """
+    base = np.array(C.REF_SIGNS_FIXED, dtype=np.int64)
+    r = ppb + 1
+    vals = np.zeros((2 * r, C.BLKSZ), np.uint8)
+    known = np.zeros((2 * r, C.BLKSZ), bool)
+    for i in range(r):
+        s = base.copy()
+        rsid = (C.MIDDLE_REF_SC - i) & 0x3
+        s[10] = rsid >> 1
+        s[11] = (rsid >> 1) ^ (rsid & 1)
+        k = s >= 0
+        for row in (i, r + i):
+            vals[row] = np.where(k, s, 0).astype(np.uint8)
+            known[row] = k
+    return vals, known
+
+
+@functools.lru_cache(maxsize=1)
+def _sync_signs() -> np.ndarray:
+    """+-1 expected signs with 0 at variable positions (pi-ambiguity check;
+    reference: src/sync.c:96-99)."""
+    s = np.array(C.REF_SIGNS_FIXED, dtype=np.float32)
+    return np.where(s < 0, 0.0, s * 2 - 1).astype(np.float32)
+
+
+def _wrap_pi(x):
+    return x - 2 * jnp.pi * jnp.round(x / (2 * jnp.pi))
+
+
+def _phase_diff(a, b):
+    """Wrap a-b into (-pi/2, pi/2] (reference: src/sync.c:284-290)."""
+    d = a - b
+    return d - jnp.pi * jnp.round(d / jnp.pi)
+
+
+def costas_track(refs, phase0, freq0, cfo_freq=0.0):
+    """Run the Costas loops over one block.
+
+    refs: [32, R] complex64; phase0/freq0: [R].
+    Returns (derot [32, R], phases [32, R], phase_out [R], freq_out [R]).
+    """
+    def step(carry, v):
+        ph, fr = carry
+        err = 0.5 * jnp.angle(v * v * jnp.exp(-2j * ph))
+        derot = v * jnp.exp(-1j * ph)
+        fr = jnp.clip(fr + BETA * err, -0.5, 0.5)
+        ph_next = _wrap_pi(ph + fr + cfo_freq + ALPHA * err)
+        return (ph_next, fr), (derot, ph)
+
+    (ph_out, fr_out), (derot, phases) = jax.lax.scan(
+        step, (phase0, freq0), refs)
+    return derot, phases, ph_out, fr_out
+
+
+@functools.partial(jax.jit, static_argnames=("psmi",))
+def sync_fm_block(spectra, state: SyncState, psmi: int, timing_adj):
+    """Process one L1 block of 32 symbol spectra.
+
+    spectra: [32, 2048] complex64 (fftshifted).
+    timing_adj: int32 sample adjustment from acquire (fftcp/2 - samperr),
+      applied to the carried Costas phases first (reference:
+      src/sync.c:769-777 called from src/acquire.c:163).
+    psmi: static service mode (determines partition geometry).
+
+    Returns a dict of device arrays (see keys below) and the new SyncState.
+    """
+    ppb = C.partitions_per_band(psmi)
+    cm = C.COMPATIBILITY_MODE[psmi]
+    bins = jnp.asarray(_ref_bins(ppb))
+    r = ppb + 1  # refs per sideband
+
+    # sync_adjust: timing shift rotates each subcarrier's phase
+    k_rel = (bins - C.FFT_FM // 2).astype(jnp.float32)
+    adj_phase = timing_adj.astype(jnp.float32) * k_rel * (2 * jnp.pi / C.FFT_FM)
+    phase0 = state.costas_phase[bins] - adj_phase
+    freq0 = state.costas_freq[bins]
+
+    refs = spectra[:, bins]  # [32, 2R]
+    derot, phases, ph_out, fr_out = costas_track(refs, phase0, freq0)
+
+    # pi-ambiguity fix against the fixed sync signs
+    sync_signs = jnp.asarray(_sync_signs())
+    score = (jnp.real(derot) * sync_signs[:, None]).sum(axis=0)  # [2R]
+    flip = score < 0
+    derot = jnp.where(flip[None, :], -derot, derot)
+    phases = jnp.where(flip[None, :], phases + jnp.pi, phases)
+    ph_out = jnp.where(flip, ph_out + jnp.pi, ph_out)
+
+    # --- COARSE: per-ref control-word decode (reference: src/sync.c:169-186)
+    vals, known = _needles(ppb)
+    signs = (jnp.real(derot) > 0).astype(jnp.uint8)  # [32, 2R]
+    match = jnp.where(jnp.asarray(known).T, signs == jnp.asarray(vals).T, True)
+    ref_ok = match.all(axis=0)  # [2R]
+    data = signs ^ jnp.concatenate(
+        [jnp.zeros((1, signs.shape[1]), jnp.uint8), signs[:-1]], axis=0)
+    weights_bc = jnp.asarray([8, 4, 2, 1], jnp.int32)
+    ref_bc = (data[16:20].astype(jnp.int32) * weights_bc[:, None]).sum(0)
+    weights_ps = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+    ref_psmi = (data[25:31].astype(jnp.int32) * weights_ps[:, None]).sum(0)
+
+    # --- FINE: equalization -----------------------------------------------
+    smag = jnp.abs(jnp.real(derot)).mean(axis=0)  # [2R]
+    # lower partitions l: lo=ref l, hi=ref l+1; upper partitions m (0 =
+    # outermost): lo=ref r+m+1, hi=ref r+m  (lo = lower bin)
+    lo_idx = jnp.concatenate([jnp.arange(ppb), r + jnp.arange(ppb) + 1])
+    hi_idx = jnp.concatenate([jnp.arange(ppb) + 1, r + jnp.arange(ppb)])
+    phi_lo = phases[:, lo_idx]  # [32, 2*ppb]
+    phi_hi = phases[:, hi_idx]
+    smag_lo = smag[lo_idx]
+    smag_hi = smag[hi_idx]
+    k = jnp.arange(1, W, dtype=jnp.float32)  # [18]
+    denom = (k[None, None, :] * (smag_hi[None, :, None]
+             * jnp.exp(1j * phi_hi)[:, :, None])
+             + (W - k)[None, None, :] * (smag_lo[None, :, None]
+             * jnp.exp(1j * phi_lo)[:, :, None]))
+    eq = (W + W * 1j) / denom  # [32, 2*ppb, 18]
+
+    # data bins per partition
+    part = np.arange(ppb)
+    kk = np.arange(1, W)
+    low_bins = (C.LB_START + part[:, None] * W + kk[None, :])
+    up_bins = (C.UB_END - (part[:, None] + 1) * W + kk[None, :])
+    data_bins = jnp.asarray(np.concatenate([low_bins, up_bins]).astype(np.int32))
+    data = spectra[:, data_bins]  # [32, 2*ppb, 18]
+    data_eq = data * eq
+
+    # --- sample-clock error + angle (reference: src/sync.c:426-463) --------
+    samperr = _phase_diff(phi_lo[0], phi_hi[0]).sum()
+    samperr = samperr / (ppb * 2) * C.FFT_FM / W / (2 * jnp.pi)
+    x = k_rel
+    y = fr_out
+    slope = (x * y).sum() / (x * x).sum()
+    samperr = samperr - slope * C.FFT_FM / (2 * jnp.pi) * C.ACQUIRE_SYMBOLS
+    samperr_i = jnp.round(samperr).astype(jnp.int32)
+    angle = fr_out.mean()
+    fr_out = fr_out - angle
+
+    # --- MER + soft demap (reference: src/sync.c:465-607) ------------------
+    ideal = jnp.sign(jnp.real(data_eq)) + 1j * jnp.sign(jnp.imag(data_eq))
+    err2 = jnp.abs(ideal - data_eq) ** 2  # [32, 2*ppb, 18]
+    error_lb = err2[:, :ppb].sum()
+    error_ub = err2[:, ppb:].sum()
+    sig_block = 2.0 * C.BLKSZ * (ppb * C.PARTITION_DATA_CARRIERS)
+    mult_lb = jnp.clip(sig_block / error_lb * 10, 1, 127)
+    mult_ub = jnp.clip(sig_block / error_ub * 10, 1, 127)
+
+    def demod(z, mult):
+        i8 = jnp.round(jnp.clip(jnp.real(z), -1, 1) * mult)
+        q8 = jnp.round(jnp.clip(jnp.imag(z), -1, 1) * mult)
+        return jnp.stack([i8, q8], axis=-1).astype(jnp.int8)
+
+    # PM: lower partitions 0..9 with mult_lb; upper partitions m=9..0
+    pm_low = demod(data_eq[:, :C.PM_PARTITIONS], mult_lb)  # [32,10,18,2]
+    up = data_eq[:, ppb:ppb + C.PM_PARTITIONS]  # m = 0..9
+    pm_up = demod(up[:, ::-1], mult_ub)  # m = 9..0
+    pm_block = jnp.concatenate([pm_low, pm_up], axis=1).reshape(C.BLKSZ, -1)
+
+    out = {
+        "pm": pm_block.reshape(-1),  # [23040] int8
+        "ref_ok": ref_ok,
+        "ref_bc": ref_bc,
+        "ref_psmi": ref_psmi,
+        "samperr": samperr_i,
+        "angle": angle,
+        "error_lb": error_lb,
+        "error_ub": error_ub,
+    }
+
+    # PX1/PX2 (static geometry per compatibility mode)
+    if cm == 2:
+        px1 = jnp.concatenate([
+            demod(data_eq[:, 10:11], mult_lb),
+            demod(data_eq[:, ppb + 10:ppb + 11], mult_ub)], axis=1)
+        out["px1"] = px1.reshape(-1)  # [2304]
+    elif cm in (3, 11):
+        px1 = jnp.concatenate([
+            demod(data_eq[:, 10:12], mult_lb),
+            demod(data_eq[:, ppb + 11:ppb + 12], mult_ub),
+            demod(data_eq[:, ppb + 10:ppb + 11], mult_ub)], axis=1)
+        out["px1"] = px1.reshape(-1)  # [4608]
+    if cm == 11:
+        # note: the reference applies mult_lb to both px2 sidebands
+        # (src/sync.c:574-595)
+        px2 = jnp.concatenate([
+            demod(data_eq[:, 12:14], mult_lb),
+            demod(data_eq[:, ppb + 13:ppb + 14], mult_lb),
+            demod(data_eq[:, ppb + 12:ppb + 13], mult_lb)], axis=1)
+        out["px2"] = px2.reshape(-1)
+
+    new_phase = state.costas_phase.at[bins].set(_wrap_pi(ph_out))
+    new_freq = state.costas_freq.at[bins].set(fr_out)
+    return out, SyncState(costas_phase=new_phase, costas_freq=new_freq)

@@ -1,0 +1,75 @@
+"""End-to-end FM layer-1 tests: modulator -> acquire -> sync -> decode."""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.pipeline.receiver import FMReceiver
+from nrsc5_tpu.tx import channel as ch
+from nrsc5_tpu.tx.encoder import build_pm_matrix
+from nrsc5_tpu.tx.modulator import modulate_fm
+
+
+def _make_signal(rng, n_frames=1, psmi=1, lead_blocks=2, **impair_kw):
+    """Build a capture: lead_blocks of warm-up blocks (bc wrapping) followed
+    by n_frames full P1 frames, so the receiver can lock before frame 0."""
+    p1_frames = rng.integers(0, 2, (n_frames, C.P1_FRAME_LEN_FM)).astype(np.uint8)
+    pids_frames = rng.integers(0, 2, (n_frames, 16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+
+    mats = [build_pm_matrix(p1_frames[i], pids_frames[i]) for i in range(n_frames)]
+    # warm-up: repeat the last lead_blocks blocks of a dummy frame so the
+    # receiver sees bc = 16-lead_blocks .. 15 before the real frame starts
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    lead = dummy[(16 - lead_blocks) * 32:]
+    trail = dummy[:2 * 32]  # keep the stream flowing past the last frame
+    matrix = np.concatenate([lead] + mats + [trail])
+    bc_seq = np.concatenate([np.arange(16 - lead_blocks, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(2)])
+    sig = modulate_fm(matrix, bc_seq, psmi)
+    sig = ch.impair(sig, **impair_kw)
+    return sig, p1_frames, pids_frames
+
+
+class Collector:
+    def __init__(self):
+        self.p1 = []
+        self.pids = []
+        self.px1 = []
+        self.events = []
+
+    def on_frame(self, chan, bits, margin):
+        if chan == -1:
+            self.pids.append(bits)
+        elif chan == 0:
+            self.p1.append(bits)
+        elif chan == 1:
+            self.px1.append(bits)
+
+    def on_event(self, kind, info):
+        self.events.append((kind, info))
+
+
+@pytest.mark.parametrize("impair_kw", [
+    dict(),
+    dict(sample_offset=777),
+    dict(cfo_hz=400.0),
+    dict(snr_db=25.0),
+    dict(sample_offset=12345, cfo_hz=-250.0, snr_db=22.0),
+])
+def test_fm_p1_pids_roundtrip(rng, impair_kw):
+    sig, p1_frames, pids_frames = _make_signal(rng, n_frames=1, **impair_kw)
+    col = Collector()
+    rx = FMReceiver(col.on_frame, col.on_event)
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": 1}) in col.events
+    assert len(col.p1) >= 1, "no P1 frame decoded"
+    assert np.array_equal(col.p1[-1], p1_frames[0])
+    # all 16 PIDS frames of the real frame should be among the decoded ones
+    decoded = {bytes(np.packbits(p)) for p in col.pids}
+    want = {bytes(np.packbits(pids_frames[0][i])) for i in range(16)}
+    missing = want - decoded
+    assert not missing, f"missing {len(missing)} PIDS frames"
