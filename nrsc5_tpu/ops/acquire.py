@@ -87,42 +87,16 @@ def _coarse_timing(buf: jax.Array):
     return samperr, v[i_max]
 
 
-def acquire_fm(
-    window: jax.Array,
-    state: AcquireState,
-    fine: jax.Array,
-    sync_samperr: jax.Array,
-    sync_angle: jax.Array,
-    cfo: jax.Array,
-):
-    """One acquire step.
+def _demod(buf: jax.Array, state: AcquireState, samperr: jax.Array,
+           angle: jax.Array, cfo: jax.Array):
+    """Shared FINE/COARSE demodulation tail of the acquire step: de-rotation
+    ramp, CP fold + windowing, batched FFT (reference: src/acquire.c:237-262).
 
-    window: [WINDOW_FM] complex64 raw samples (unconjugated).
-    fine: bool — sync is in FINE state (use sync feedback instead of the
-      CP correlation).
-    sync_samperr/sync_angle: feedback from the previous sync block.
-    cfo: int32 accumulated integer CFO in bins.
-
-    Returns (spectra [32, 2048] complex64 fftshifted, new_state,
-             samperr int32, angle float32, keep int32).
+    buf: [WINDOW_FM] complex64 (already conjugated).
+    Returns (spectra, new_state, samperr, angle, keep).
     """
     fftcp, fft, cp = C.FFTCP_FM, C.FFT_FM, C.CP_FM
     nsym = C.ACQUIRE_SYMBOLS
-    buf = jnp.conj(window)  # FM ingest conjugates (src/acquire.c:126,161)
-
-    def fine_branch():
-        samperr = (fftcp // 2 + sync_samperr).astype(jnp.int32)
-        angle = state.prev_angle - sync_angle
-        return samperr, angle
-
-    def coarse_branch():
-        samperr, max_v = _coarse_timing(buf)
-        angle_diff = jnp.angle(max_v * jnp.exp(-1j * state.prev_angle))
-        factor = jnp.where(state.prev_angle != 0, 0.25, 1.0)
-        angle = state.prev_angle + angle_diff * factor
-        return samperr, angle.astype(jnp.float32)
-
-    samperr, angle = jax.lax.cond(fine, fine_branch, coarse_branch)
     prev_angle_out = angle
 
     # de-rotation ramp; integer-CFO part in exact modular arithmetic
@@ -158,3 +132,59 @@ def acquire_fm(
                              prev_angle=prev_angle_out)
     del cfo_f
     return spectra.astype(jnp.complex64), new_state, samperr, angle, keep
+
+
+def acquire_fm(
+    window: jax.Array,
+    state: AcquireState,
+    fine: jax.Array,
+    sync_samperr: jax.Array,
+    sync_angle: jax.Array,
+    cfo: jax.Array,
+):
+    """One acquire step.
+
+    window: [WINDOW_FM] complex64 raw samples (unconjugated).
+    fine: bool — sync is in FINE state (use sync feedback instead of the
+      CP correlation).
+    sync_samperr/sync_angle: feedback from the previous sync block.
+    cfo: int32 accumulated integer CFO in bins.
+
+    Returns (spectra [32, 2048] complex64 fftshifted, new_state,
+             samperr int32, angle float32, keep int32).
+    """
+    fftcp = C.FFTCP_FM
+    buf = jnp.conj(window)  # FM ingest conjugates (src/acquire.c:126,161)
+
+    def fine_branch():
+        samperr = (fftcp // 2 + sync_samperr).astype(jnp.int32)
+        angle = state.prev_angle - sync_angle
+        return samperr, angle
+
+    def coarse_branch():
+        samperr, max_v = _coarse_timing(buf)
+        angle_diff = jnp.angle(max_v * jnp.exp(-1j * state.prev_angle))
+        factor = jnp.where(state.prev_angle != 0, 0.25, 1.0)
+        angle = state.prev_angle + angle_diff * factor
+        return samperr, angle.astype(jnp.float32)
+
+    samperr, angle = jax.lax.cond(fine, fine_branch, coarse_branch)
+    return _demod(buf, state, samperr, angle, cfo)
+
+
+def acquire_fm_fine(
+    window: jax.Array,
+    state: AcquireState,
+    sync_samperr: jax.Array,
+    sync_angle: jax.Array,
+    cfo: jax.Array,
+):
+    """FINE-only acquire step for the steady-state fused chain: skips the
+    coarse CP-correlation search entirely (statically), so the compiled
+    block step is just ramp + fold + FFT.  Same returns as :func:`acquire_fm`.
+    """
+    fftcp = C.FFTCP_FM
+    buf = jnp.conj(window)
+    samperr = (fftcp // 2 + sync_samperr).astype(jnp.int32)
+    angle = state.prev_angle - sync_angle
+    return _demod(buf, state, samperr, angle, cfo)

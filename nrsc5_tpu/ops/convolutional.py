@@ -129,21 +129,20 @@ def depuncture(llr, pattern: tuple[int, ...], coded_len: int):
 # Viterbi decoder (JAX)
 # ---------------------------------------------------------------------------
 
-def _viterbi_impl(llr, k: int, gens: tuple[int, int, int]):
-    """Core tail-biting Viterbi.  llr: [B, T, 3] float32 (positive = bit 1).
-    Returns (bits [B, T] uint8, metric margin [B] float32)."""
+def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 4):
+    """ACS forward recursion + traceback over an extended LLR sequence.
+
+    ext: [B, L, 3] float32.  Free boundary conditions (uniform initial
+    metrics, traceback from the max-metric final state).
+    Returns (bits [B, L] uint8, metric margin [B] float32).
+    """
     pred0_np, pred1_np, out_np = trellis_tables(k, gens)
     ns = 1 << (k - 1)
-    t = llr.shape[-2]
-    wrap = min(TAIL_BITING_EXTRA, t)
 
     pred0 = jnp.asarray(pred0_np)
     pred1 = jnp.asarray(pred1_np)
     out0 = jnp.asarray(out_np[:, 0, :])  # [ns, 3]
     out1 = jnp.asarray(out_np[:, 1, :])
-
-    # extend sequence for tail-biting wrap (reference: src/conv_dec.c:407-412)
-    ext = jnp.concatenate([llr[:, t - wrap:, :], llr, llr[:, :wrap, :]], axis=1)
 
     def acs(pm, llr_t):
         # pm: [B, ns]; llr_t: [B, 3]
@@ -154,9 +153,10 @@ def _viterbi_impl(llr, k: int, gens: tuple[int, int, int]):
         dec = c1 > c0
         return jnp.where(dec, c1, c0), dec
 
-    pm0 = jnp.zeros((llr.shape[0], ns), dtype=jnp.float32)
-    pm, decisions = jax.lax.scan(acs, pm0, jnp.swapaxes(ext, 0, 1))
-    # decisions: [T+2*wrap, B, ns] bool
+    pm0 = jnp.zeros((ext.shape[0], ns), dtype=jnp.float32)
+    pm, decisions = jax.lax.scan(acs, pm0, jnp.swapaxes(ext, 0, 1),
+                                 unroll=unroll)
+    # decisions: [L, B, ns] bool
 
     top2 = jax.lax.top_k(pm, 2)[0]
     margin = top2[:, 0] - top2[:, 1]
@@ -169,10 +169,76 @@ def _viterbi_impl(llr, k: int, gens: tuple[int, int, int]):
         prev = ((state << 1) & (ns - 1)) | p.astype(jnp.int32)
         return prev, bit
 
-    _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1])
-    bits = bits_rev[::-1]  # [T+2*wrap, B]
+    _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1], unroll=unroll)
+    return jnp.swapaxes(bits_rev[::-1], 0, 1), margin
+
+
+def _viterbi_impl(llr, k: int, gens: tuple[int, int, int]):
+    """Core tail-biting Viterbi.  llr: [B, T, 3] float32 (positive = bit 1).
+    Returns (bits [B, T] uint8, metric margin [B] float32)."""
+    t = llr.shape[-2]
+    wrap = min(TAIL_BITING_EXTRA, t)
+    # extend sequence for tail-biting wrap (reference: src/conv_dec.c:407-412)
+    ext = jnp.concatenate([llr[:, t - wrap:, :], llr, llr[:, :wrap, :]], axis=1)
+    bits, margin = _acs_traceback(ext, k, gens)
     # steps [wrap, T+wrap) map to frame positions [0, T)
-    return jnp.swapaxes(bits[wrap:wrap + t], 0, 1), margin
+    return bits[:, wrap:wrap + t], margin
+
+
+@functools.lru_cache(maxsize=32)
+def _chunk_plan(t: int, chunk: int, overlap: int):
+    """Static plan for the overlapping-chunk Viterbi.
+
+    The tail-biting frame is circular, so it is cut into ``n`` near-equal
+    segments; segment i covers frame positions [b_i - overlap, b_{i+1} +
+    overlap) mod t and only the middle [b_i, b_{i+1}) survivor bits are
+    kept.  Returns (seg_idx [n, L], src_chunk [t], src_off [t]).
+    """
+    n = max(1, -(-t // chunk))
+    bounds = np.floor(np.linspace(0, t, n + 1)).astype(np.int64)
+    keep = np.diff(bounds)
+    length = int(keep.max() + 2 * overlap)
+    seg_idx = ((bounds[:-1, None] - overlap + np.arange(length)[None, :]) % t
+               ).astype(np.int32)
+    pos = np.arange(t)
+    src_chunk = (np.searchsorted(bounds, pos, side="right") - 1).astype(np.int32)
+    src_off = (overlap + pos - bounds[src_chunk]).astype(np.int32)
+    return seg_idx, src_chunk, src_off
+
+
+@functools.partial(jax.jit, static_argnames=("k", "gens", "chunk", "overlap"))
+def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
+                           chunk: int = 1024, overlap: int = 96):
+    """Chunk-parallel tail-biting Viterbi (the TPU-throughput variant).
+
+    The sequential trellis recursion is the reference's only hot kernel that
+    resists batching (src/conv_dec.c:402-427 runs 146k serial ACS steps per
+    FM frame).  Here the circular frame is split into overlapping segments
+    decoded *in parallel* with free boundary metrics; survivor paths merge
+    within ~5K trellis steps with overwhelming probability, so discarding
+    ``overlap`` warm-up steps on each side reproduces the Viterbi path
+    exactly (checked in tests against :func:`viterbi_decode`; the re-encode
+    BER gate, as in src/decode.c:234-277, guards it at runtime).  This turns
+    a T-step scan into a ceil(T/chunk)-way batched (T/n)-step scan — the
+    batch dimension fills VPU lanes.
+
+    llr: [..., T, 3].  Returns (bits [..., T] uint8, margin [...] float32
+    — the minimum per-segment metric margin, a conservative diagnostic).
+    """
+    llr = jnp.asarray(llr, dtype=jnp.float32)
+    t = llr.shape[-2]
+    if chunk + 2 * overlap >= t:
+        return viterbi_decode(llr, k, gens)
+    batch_shape = llr.shape[:-2]
+    seg_idx, src_chunk, src_off = _chunk_plan(t, chunk, overlap)
+    n, length = seg_idx.shape
+    segs = llr[..., jnp.asarray(seg_idx), :]  # [..., n, L, 3]
+    flat = segs.reshape((-1, length, 3))
+    bits_seg, margins = _acs_traceback(flat, k, gens)
+    bits_seg = bits_seg.reshape(batch_shape + (n, length))
+    bits = bits_seg[..., jnp.asarray(src_chunk), jnp.asarray(src_off)]
+    margin = margins.reshape(batch_shape + (n,)).min(axis=-1)
+    return bits, margin
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gens"))

@@ -12,7 +12,8 @@ import numpy as np
 
 from nrsc5_tpu import constants as C
 from nrsc5_tpu.ops import interleavers as IL
-from nrsc5_tpu.ops.convolutional import depuncture, viterbi_decode
+from nrsc5_tpu.ops.convolutional import (depuncture, viterbi_decode,
+                                         viterbi_decode_chunked)
 from nrsc5_tpu.ops.scramble import scrambler_keystream
 
 
@@ -20,14 +21,21 @@ def _descramble_dev(bits, length):
     return bits ^ jnp.asarray(scrambler_keystream(length))
 
 
-@jax.jit
-def p1_decode(pm_matrix):
+@functools.partial(jax.jit, static_argnames=("chunked",))
+def p1_decode(pm_matrix, chunked: bool = False):
     """pm_matrix: [16*32*720] int8 (one P1 frame of soft bits).
-    Returns (bits [146176] uint8, viterbi margin)."""
+    Returns (bits [146176] uint8, viterbi margin).
+
+    ``chunked=True`` selects the chunk-parallel Viterbi (throughput path;
+    bit-identical with overwhelming probability, see viterbi_decode_chunked).
+    """
     llr = pm_matrix[jnp.asarray(IL.p1_fm_table())].astype(jnp.float32)
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
     full = full.reshape(C.P1_FRAME_LEN_FM, 3)
-    bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    if chunked:
+        bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN)
+    else:
+        bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
     return _descramble_dev(bits, C.P1_FRAME_LEN_FM), margin
 
 

@@ -1,0 +1,99 @@
+"""Input front end: cu8 ingest + halfband decimation (FM ÷2, AM ÷32).
+
+TPU-first reformulation of the reference's Q15 FIR front end
+(reference: src/input.c:26-90, src/firdecim_q15.c): the 15-tap halfband is
+evaluated as a dense batched convolution in float32 (the Q15 fixed-point is
+an implementation detail of the ARM target, not the protocol; the accepted
+divergence is noted in SURVEY.md §7 "hard parts" #4).  Streaming is
+overlap-save: each stage carries its last ``ntaps-1`` input samples.
+
+The halfband impulse response is built from the 4 designed taps
+(reference: src/input.c:26-39):  h = [t3 0 t2 0 t1 0 t0 1 t0 0 t1 0 t2 0
+t3] / 2, unity DC gain after decimation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrsc5_tpu import constants as C
+
+HB_NTAPS = 15
+AM_STAGES = 5
+
+
+@functools.lru_cache(maxsize=1)
+def halfband_taps() -> np.ndarray:
+    t = np.asarray(C.DECIM_TAPS, np.float32)
+    h = np.zeros(HB_NTAPS, np.float32)
+    h[0:7:2] = t[::-1]  # t3 t2 t1 t0 at 0,2,4,6
+    h[7] = 1.0
+    h[8:15:2] = t  # t0 t1 t2 t3 at 8,10,12,14
+    return h / 2.0
+
+
+class FrontendState(NamedTuple):
+    """Carried overlap-save tails, one per halfband stage."""
+    tails: tuple  # of [HB_NTAPS-1] complex64
+
+
+def frontend_init_state(stages: int = 1) -> FrontendState:
+    return FrontendState(tails=tuple(
+        jnp.zeros(HB_NTAPS - 1, jnp.complex64) for _ in range(stages)))
+
+
+def cu8_to_cf(data: jax.Array) -> jax.Array:
+    """Interleaved cu8 → complex64, matching the reference's U8_Q15 scaling
+    (value 127 = zero, LSB = 64/32767; reference: src/defines.h:92-93)."""
+    f = (data.astype(jnp.float32) - 127.0) * (64.0 / 32767.0)
+    return f[0::2] + 1j * f[1::2]
+
+
+def _halfband(x: jax.Array, tail: jax.Array):
+    """One ÷2 halfband stage with overlap-save.  x: [..., N] (N even).
+    Returns (y [..., N//2], new_tail [..., 14])."""
+    h = jnp.asarray(halfband_taps(), x.real.dtype)
+    xx = jnp.concatenate([tail, x], axis=-1)
+    n_out = x.shape[-1] // 2
+    # y[m] = sum_k h[k] * xx[2m + k]
+    idx = 2 * jnp.arange(n_out)[:, None] + jnp.arange(HB_NTAPS)[None, :]
+    y = (xx[..., idx] * h).sum(-1)
+    return y, xx[..., -(HB_NTAPS - 1):]
+
+
+def fm_decimate(x: jax.Array, state: FrontendState):
+    """FM path: 744.2k complex out of 1.488M complex in (one halfband;
+    reference: src/input.c:52-60)."""
+    y, tail = _halfband(x, state.tails[0])
+    return y, FrontendState(tails=(tail,))
+
+
+def am_decimate(x: jax.Array, state: FrontendState):
+    """AM path: ÷32 via 5 cascaded halfbands, with the reference's extra
+    1/16 input scaling (reference: src/input.c:62-90)."""
+    y = x * (1.0 / 16.0)
+    tails = []
+    for s in range(AM_STAGES):
+        y, tail = _halfband(y, state.tails[s])
+        tails.append(tail)
+    return y, FrontendState(tails=tuple(tails))
+
+
+fm_decimate_jit = jax.jit(fm_decimate)
+am_decimate_jit = jax.jit(am_decimate)
+
+
+def decimate_batch(x: jax.Array, state: FrontendState, stages: int):
+    """Batched multi-stage decimator for the station-parallel path:
+    x [S, N] → [S, N >> stages]."""
+    y = x
+    tails = []
+    for s in range(stages):
+        y, tail = _halfband(y, state.tails[s])
+        tails.append(tail)
+    return y, FrontendState(tails=tuple(tails))

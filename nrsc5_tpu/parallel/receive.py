@@ -1,0 +1,104 @@
+"""Multi-chip scaling: shard the receive chain over a (station, time) mesh.
+
+The reference is strictly single-session/single-thread (SURVEY.md §2,
+"parallelism inventory") — this module is new, TPU-first capability:
+
+  * **Station data parallelism** — independent stations shard over the
+    ``station`` mesh axis; within a shard they batch via ``vmap`` so every
+    chip processes a dense station block (BASELINE config 4).
+  * **Time-block sequence parallelism** — a long capture shards along time
+    over the ``time`` axis.  Each time shard needs ``2*FFTCP`` samples of
+    right-neighbor context (the acquire window overlap + clock-drift slack);
+    that halo rides the ICI as a single ``ppermute`` — the overlap-save
+    contract from SURVEY.md §2 item 2.  Carried DSP state is *not* streamed
+    between shards: each shard re-establishes fine sync inside its own
+    chunk (chunk boundaries are frame-aligned by the host driver), and L2
+    frame merge happens host-side by PDU sequence number, so time shards
+    are embarrassingly parallel after one neighbor exchange.
+
+Collectives used: ``ppermute`` (halo), ``psum`` (link-quality/BER
+aggregation across the whole mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.pipeline import scan_chain as sc
+
+HALO = C.FFTCP_FM + sc.SLACK  # right-neighbor context per time shard
+
+
+def make_mesh(n_station: int, n_time: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_station * n_time, (
+        f"need {n_station * n_time} devices, have {devices.size}")
+    grid = devices[: n_station * n_time].reshape(n_station, n_time)
+    return Mesh(grid, axis_names=("station", "time"))
+
+
+def shard_chunk_len(n_blocks: int) -> int:
+    """Samples per (station, time) shard, excluding the halo."""
+    return n_blocks * C.BLKSZ * C.FFTCP_FM
+
+
+def sharded_fm_chain(mesh: Mesh, n_blocks: int, psmi: int = 1):
+    """Build the jitted sharded receive step.
+
+    Returns ``step(samples)`` where ``samples`` is
+    [S, n_time * shard_chunk_len(n_blocks)] complex64 (S divisible by the
+    station axis), laid out so that every shard chunk starts at a block
+    boundary with the steady-state symbol offset (FFTCP//2).  Output pytree
+    is replicated per shard along time: p1 [S, n_time, F, 146176], pids
+    [S, n_time, n_blocks, 80], plus a mesh-wide mean EVM power ``quality``.
+    """
+    n_time = mesh.shape["time"]
+    chunk = shard_chunk_len(n_blocks)
+    assert n_blocks % C.P1_FM_BLOCKS == 0, \
+        "time shards must hold whole P1 frames"
+
+    def local_step(samples_loc, tail_loc):
+        # samples_loc: [S_loc, chunk]; tail_loc: [S_loc, HALO] — the samples
+        # following the whole capture (used only by the last time shard)
+        head = samples_loc[:, :HALO]
+        if n_time > 1:
+            perm = [(j, j - 1) for j in range(1, n_time)]
+            recv = jax.lax.ppermute(head, "time", perm)
+        else:
+            recv = jnp.zeros_like(head)
+        t_idx = jax.lax.axis_index("time")
+        recv = jnp.where(t_idx == n_time - 1, tail_loc, recv)
+        ext = jnp.concatenate([samples_loc, recv], axis=1)
+
+        def one_station(s):
+            out, carry = sc.fm_chain_scan(s, sc.chain_init_carry(),
+                                          n_blocks, psmi, 0)
+            return out
+
+        out = jax.vmap(one_station)(ext)
+        err = out["diag"]["error"].sum()
+        denom = jnp.asarray(
+            samples_loc.shape[0] * n_blocks, jnp.float32)
+        quality = jax.lax.psum(err, ("station", "time")) / jax.lax.psum(
+            denom, ("station", "time"))
+        # sharded dims (station, time) concatenate to global
+        # p1 [S, n_time*F, 146176], pids [S, n_time*n_blocks, 80]
+        return out["p1"], out["p1_margin"], out["pids"], quality
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("station", "time"), P("station", None)),
+        out_specs=(P("station", "time"), P("station", "time"),
+                   P("station", "time"), P()),
+        # the chain's scan carries start from device-invariant constants;
+        # skip the varying-manual-axes replication check
+        check_vma=False,
+    )
+    return jax.jit(step)

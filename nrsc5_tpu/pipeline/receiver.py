@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nrsc5_tpu import constants as C
+from nrsc5_tpu.ops import frontend as FE
 from nrsc5_tpu.ops import interleavers as IL
 from nrsc5_tpu.ops.acquire import (WINDOW_FM, AcquireState, acquire_fm,
                                    acquire_init_state)
@@ -60,6 +61,8 @@ class FMReceiver:
         self.on_frame = on_frame
         self.on_event = on_event or (lambda kind, info: None)
         self.ring = np.zeros(0, np.complex64)
+        self._fe_state = FE.frontend_init_state(1)
+        self._cu8_leftover = np.zeros(0, np.uint8)
         self.reset()
 
     # ------------------------------------------------------------------
@@ -109,6 +112,18 @@ class FMReceiver:
         self.ring = np.concatenate([self.ring, np.asarray(samples, np.complex64)])
         while len(self.ring) >= WINDOW_FM:
             self._process_block()
+
+    def push_cu8(self, data: np.ndarray):
+        """Feed interleaved cu8 at 1488375 S/s (the SDR ingest rate;
+        reference: src/input.c:96-117): convert + ÷2 halfband on device."""
+        data = np.concatenate([self._cu8_leftover, np.asarray(data, np.uint8)])
+        usable = len(data) & ~3  # 4 bytes -> 2 complex in -> 1 complex out
+        self._cu8_leftover = data[usable:]
+        if usable == 0:
+            return
+        x = FE.cu8_to_cf(jnp.asarray(data[:usable]))
+        y, self._fe_state = FE.fm_decimate_jit(x, self._fe_state)
+        self.push_cs16(np.asarray(y))
 
     def _process_block(self):
         window = jnp.asarray(self.ring[:WINDOW_FM])

@@ -99,6 +99,31 @@ def crc12_embed(bits68: np.ndarray) -> np.ndarray:
     return frame
 
 
+def alert_cnt_crc(control_data: bytes) -> int:
+    """Emergency-alert CNT (control data) CRC-12 (reference:
+    src/pids.c:119-153): reflected poly 0xD010, init 0x7E1B, bytes processed
+    last-to-first LSB-first with the embedded CRC field (byte 1 and low
+    nibble of byte 2) zeroed, 16 flush steps, low 12 bits."""
+    poly = 0xD010
+    reg = 0x7E1B
+    for byte_index in range(len(control_data) - 1, 0, -1):
+        for bit_index in range(8):
+            bit = (control_data[byte_index] >> bit_index) & 1
+            if byte_index == 1 or (byte_index == 2 and bit_index < 4):
+                bit = 0  # skip embedded CRC bits
+            lowbit = reg & 1
+            reg >>= 1
+            reg ^= bit << 15
+            if lowbit:
+                reg ^= poly
+    for _ in range(16):
+        lowbit = reg & 1
+        reg >>= 1
+        if lowbit:
+            reg ^= poly
+    return reg & 0xFFF
+
+
 def alert_crc7(payload: bytes) -> int:
     """Emergency-alert CRC-7 (reference: src/pids.c:88-110): poly 0x09,
     init 0x42, bytes processed last-to-first, 7 data bits per byte with the

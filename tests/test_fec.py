@@ -98,3 +98,27 @@ def test_viterbi_p1_full_frame(rng):
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(t, 3)
     dec, _ = viterbi_decode(full, 7, C.CONV_K7_GEN)
     assert np.array_equal(np.asarray(dec), bits)
+
+
+def test_viterbi_chunked_matches_sequential(rng):
+    """The overlapping-chunk Viterbi must reproduce the sequential decision
+    path on noisy inputs (free-boundary paths merge within the overlap)."""
+    from nrsc5_tpu.ops.convolutional import (conv_encode, puncture, depuncture,
+                                             viterbi_decode,
+                                             viterbi_decode_chunked)
+    from nrsc5_tpu import constants as C
+    import numpy as np
+
+    t = 9136  # P1_FRAME_LEN_FM / 16
+    bits = rng.integers(0, 2, (3, t)).astype(np.uint8)
+    coded = puncture(conv_encode(bits, 7, C.CONV_K7_GEN), C.PUNCTURE_P1_PIDS_FM)
+    llr = coded.astype(np.float32) * 2 - 1
+    llr = llr + rng.normal(0, 0.7, llr.shape).astype(np.float32)
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(3, t, 3)
+
+    seq_bits, _ = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    chk_bits, _ = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
+                                         chunk=1024, overlap=96)
+    assert np.array_equal(np.asarray(seq_bits), np.asarray(chk_bits))
+    # and both recover the transmitted bits at this SNR
+    assert np.array_equal(np.asarray(seq_bits), bits)
