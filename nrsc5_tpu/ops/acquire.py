@@ -59,22 +59,36 @@ def _cp_window_idx(fftcp: int, cp: int) -> np.ndarray:
             ).astype(np.int32)
 
 
-def _coarse_timing(buf: jax.Array):
+def _coarse_timing(buf: jax.Array, am: bool = False):
     """CP correlation over the 33-symbol window.
 
-    buf: [WINDOW_FM] complex64 (already conjugated).  Returns
+    buf: [WINDOW] complex64 (already conjugated for FM).  Returns
     (samperr int32, max_v complex64).
     """
-    taps = np.asarray(C.ACQ_TAPS_FM, np.float32)
-    # y[n] = sum_j taps[j] * x[n-1-j]  (reference filter, group delay 16;
-    # zero-padded at the block edge)
-    pad = jnp.zeros(32, buf.dtype)
-    x = jnp.concatenate([pad, buf])  # x[m] = buf[m-32]
-    idx = jnp.arange(WINDOW_FM)[:, None] + jnp.arange(32)[None, :]
-    kern = jnp.asarray(taps[::-1].copy())  # offset o <-> delay 32-o
-    f = (x[idx] * kern[None, :]).sum(-1)
+    window = WINDOW_AM if am else WINDOW_FM
+    fftcp = C.FFTCP_AM if am else C.FFTCP_FM
+    fft = C.FFT_AM if am else C.FFT_FM
+    cp = C.CP_AM if am else C.CP_FM
+    if am:
+        # Divergence from the reference: its AM band filter
+        # (src/acquire.c:60-96) passes only |f|~0.2-0.35 fs — the MA1
+        # *outer* QAM64 partitions.  An MA3 (all-digital) signal occupies
+        # only the inner band (carriers |i| <= 53), which that filter
+        # nulls, so the filtered CP correlation has no signal to lock on.
+        # The raw correlation works for both modes on clean/offset captures.
+        f = buf
+        delay = 0
+    else:
+        taps = np.asarray(C.ACQ_TAPS_FM, np.float32)
+        # y[n] = sum_j taps[j] * x[n-1-j]  (reference filter, group delay
+        # 16; zero-padded at the block edge)
+        pad = jnp.zeros(32, buf.dtype)
+        x = jnp.concatenate([pad, buf])  # x[m] = buf[m-32]
+        idx = jnp.arange(window)[:, None] + jnp.arange(32)[None, :]
+        kern = jnp.asarray(taps[::-1].copy())  # offset o <-> delay 32-o
+        f = (x[idx] * kern[None, :]).sum(-1)
+        delay = C.ACQ_FILTER_DELAY
 
-    fftcp, fft, cp = C.FFTCP_FM, C.FFT_FM, C.CP_FM
     a = f[: fftcp * C.ACQUIRE_SYMBOLS].reshape(C.ACQUIRE_SYMBOLS, fftcp)
     b = f[fft: fft + fftcp * C.ACQUIRE_SYMBOLS].reshape(C.ACQUIRE_SYMBOLS, fftcp)
     sums = (a * jnp.conj(b)).sum(axis=0)  # [fftcp]
@@ -83,7 +97,7 @@ def _coarse_timing(buf: jax.Array):
     kernel = jnp.asarray(_shape_kernel(fft, cp))
     v = (sums[widx] * kernel[None, :]).sum(-1)  # [fftcp]
     i_max = jnp.argmax(jnp.abs(v) ** 2).astype(jnp.int32)
-    samperr = (i_max + fftcp - C.ACQ_FILTER_DELAY) % fftcp
+    samperr = (i_max + fftcp - delay) % fftcp
     return samperr, v[i_max]
 
 
@@ -188,3 +202,102 @@ def acquire_fm_fine(
     samperr = (fftcp // 2 + sync_samperr).astype(jnp.int32)
     angle = state.prev_angle - sync_angle
     return _demod(buf, state, samperr, angle, cfo)
+
+
+# ---------------------------------------------------------------------------
+# AM path (reference: src/acquire.c:98-263, mode AM): 256-pt FFT, CP 14,
+# no ingest conjugation, the CP fold lands at offset (FFT-CP)/2 in the FFT
+# input, and a per-block pilot-phase linear regression refines phase/freq
+# before the final demodulation pass.
+# ---------------------------------------------------------------------------
+
+WINDOW_AM = C.FFTCP_AM * (C.ACQUIRE_SYMBOLS + 1)  # 8910
+
+
+def _am_fold_fft(buf: jax.Array, samperr: jax.Array, phase0: jax.Array,
+                 angle: jax.Array):
+    """Fold+window+FFT all 32 AM symbols with a closed-form phase ramp.
+
+    buf: [WINDOW_AM] complex64.  Returns spectra [32, 256] fftshifted and
+    the carry-out phase (unit magnitude).
+    """
+    fftcp, fft, cp = C.FFTCP_AM, C.FFT_AM, C.CP_AM
+    nsym = C.ACQUIRE_SYMBOLS
+    offset = (fft - cp) // 2
+
+    n = jnp.arange(nsym * fftcp, dtype=jnp.float32)
+    ramp = (phase0 * jnp.exp(1j * (angle / fft) * n)).reshape(nsym, fftcp)
+    sliced = jax.lax.dynamic_slice(buf, (samperr,), (nsym * fftcp,)).reshape(
+        nsym, fftcp)
+    x = sliced * ramp
+
+    w = jnp.asarray(C.ofdm_shape(fft, cp))
+    head = w[None, :cp] * x[:, :cp] + w[None, fft:] * x[:, fft:]
+    folded = jnp.concatenate([head, x[:, cp:fft]], axis=1)
+    folded = jnp.roll(folded, offset, axis=-1)  # fftin[(j+offset) % fft]
+    spectra = jnp.fft.fftshift(jnp.fft.fft(folded, axis=-1), axes=-1)
+
+    total = nsym * fftcp
+    phase_out = phase0 * jnp.exp(1j * (angle / fft) * total)
+    phase_out = phase_out / jnp.abs(phase_out)
+    return spectra.astype(jnp.complex64), phase_out
+
+
+def acquire_am(window: jax.Array, state: AcquireState, fine: jax.Array,
+               sync_samperr: jax.Array, cfo_bins: jax.Array):
+    """One AM acquire step over 33 symbols' samples.
+
+    The pilot at CENTER_AM provides fine CFO by linear regression of its
+    unwrapped phase over the block (reference: src/acquire.c:170-240); the
+    coarse integer CFO (strongest bin near the center, searched by the host
+    from the returned spectra) is folded into ``angle`` as whole rotations
+    per FFT, exactly like the reference's ``angle -= 2*pi*cfo``.
+
+    Returns (spectra [32, 256], new_state, samperr, keep int32,
+             mag_sums [256] for the coarse CFO search).
+    """
+    fftcp, fft = C.FFTCP_AM, C.FFT_AM
+    nsym = C.ACQUIRE_SYMBOLS
+
+    def fine_branch():
+        # AM sync reports only samperr; prev_angle carries over unchanged
+        return ((fftcp // 2 + sync_samperr).astype(jnp.int32),
+                state.prev_angle)
+
+    def coarse_branch():
+        samperr, max_v = _coarse_timing(window, am=True)
+        angle_diff = jnp.angle(max_v * jnp.exp(-1j * state.prev_angle))
+        factor = jnp.where(state.prev_angle != 0, 0.25, 1.0)
+        return samperr, (state.prev_angle + angle_diff * factor
+                         ).astype(jnp.float32)
+
+    samperr, prev_angle = jax.lax.cond(fine, fine_branch, coarse_branch)
+    angle = prev_angle - 2 * jnp.pi * cfo_bins.astype(jnp.float32)
+
+    phase0 = state.phase * jnp.exp(
+        -1j * (fftcp // 2 - samperr).astype(jnp.float32) * angle / fft)
+    phase0 = phase0 / jnp.abs(phase0)
+
+    # pass 1: pilot-phase regression
+    spectra1, _ = _am_fold_fft(window, samperr, phase0, angle)
+    pilot = spectra1[:, C.CENTER_AM]  # [32]
+    dphi = jnp.angle(pilot[1:] * jnp.conj(pilot[:-1]))
+    y = jnp.angle(pilot[0]) + jnp.concatenate(
+        [jnp.zeros(1), jnp.cumsum(dphi)])
+    x = fftcp * (jnp.arange(nsym, dtype=jnp.float32) - (nsym - 1) / 2)
+    slope = (x * y).sum() / (x * x).sum()
+    # (reference: src/acquire.c:236-239, incl. the empirical -0.06 offset)
+    angle2 = angle - slope * fft
+    phase_corr = jnp.exp(
+        1j * (-y.mean() + slope * nsym * fftcp / 2 - 0.06))
+    phase0b = phase0 * phase_corr
+
+    # pass 2: corrected demodulation
+    spectra, phase_out = _am_fold_fft(window, samperr, phase0b, angle2)
+
+    mag_sums = jnp.abs(spectra1).sum(axis=0)
+
+    keep = (fftcp + (fftcp // 2 - samperr)).astype(jnp.int32)
+    new_state = AcquireState(phase=phase_out.astype(jnp.complex64),
+                             prev_angle=prev_angle)
+    return spectra, new_state, samperr, keep, mag_sums

@@ -1,0 +1,85 @@
+"""AM (MA1/MA3) path tests: interleave/FEC roundtrip and full e2e."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.ops.decode_am import (am_decode_init_state, am_frame_decode,
+                                     am_pids_decode)
+from nrsc5_tpu.tx import encoder_am as EAM
+
+N_FRAMES = 7
+
+
+def _frames(rng, ma3):
+    p1 = rng.integers(0, 2, (N_FRAMES, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+    p3_len = C.P3_FRAME_LEN_MA3 if ma3 else C.P3_FRAME_LEN_MA1
+    p3 = rng.integers(0, 2, (N_FRAMES, p3_len)).astype(np.uint8)
+    p1_streams = [EAM.encode_p1_am(p1[f]) for f in range(N_FRAMES)]
+    p3_streams = [EAM.encode_p3_am(p3[f], ma3) for f in range(N_FRAMES)]
+    mats = EAM.interleave_frames(p1_streams, p3_streams, ma3)
+    return p1, p3, mats
+
+
+@pytest.mark.parametrize("ma3", [False, True])
+def test_am_interleave_fec_roundtrip(rng, ma3):
+    p1, p3, mats = _frames(rng, ma3)
+    state = am_decode_init_state()
+    for f in range(N_FRAMES):
+        m = mats[f]
+        p1_out, p3_out, margins, state = am_frame_decode(
+            jnp.asarray(m["pl"]), jnp.asarray(m["pu"]),
+            jnp.asarray(m["s"]), jnp.asarray(m["t"]), state, ma3)
+        if 3 <= f <= N_FRAMES - 1:
+            assert np.array_equal(np.asarray(p1_out), p1[f]), f"frame {f} P1"
+            assert np.array_equal(np.asarray(p3_out), p3[f]), f"frame {f} P3"
+
+
+def test_am_pids_roundtrip(rng):
+    bits = rng.integers(0, 2, C.PIDS_FRAME_LEN).astype(np.uint8)
+    codes = EAM.encode_pids_am(bits)
+    out = am_pids_decode(jnp.asarray(codes), jnp.asarray(False))
+    assert np.array_equal(np.asarray(out), bits)
+
+
+@pytest.mark.parametrize("ma3,impair", [
+    (False, dict()),
+    (False, dict(sample_offset=101)),
+    (True, dict()),
+])
+def test_am_end_to_end(rng, ma3, impair):
+    from nrsc5_tpu.pipeline.receiver_am import AMReceiver
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    p1, p3, mats = _frames(rng, ma3)
+    pids = rng.integers(0, 2,
+                        (N_FRAMES * 8, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    pids_codes = np.stack([EAM.encode_pids_am(p) for p in pids])
+    psmi = C.SERVICE_MODE_MA3 if ma3 else C.SERVICE_MODE_MA1
+    ref = np.stack([EAM.am_ref_bits(b % 8, psmi)
+                    for b in range(N_FRAMES * 8)])
+    sig = modulate_am(mats, pids_codes, ref, ma3)
+    sig = ch.impair(sig, sample_rate=C.SAMPLE_RATE_CS16_AM, rng=rng, **impair)
+
+    got = {-1: [], 0: [], 3: []}
+    events = []
+    rx = AMReceiver(lambda ch_, bits, m: got[ch_].append(bits),
+                    lambda k, i: events.append((k, i)))
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": psmi}) in events, f"no sync: {events}"
+    assert got[0], "no P1 frames decoded"
+    # sync locks during frame 1, diversity warm-up covers 4 frames, so
+    # frames 5..6 decode
+    want = {p1[f, i].tobytes() for f in (5, 6) for i in range(8)}
+    have = {b.tobytes() for b in got[0]}
+    matched = want & have
+    assert len(matched) >= 8, f"only {len(matched)} P1 subframes matched"
+    assert any(np.array_equal(b, p3[f]) for b in got[3] for f in (5, 6)), \
+        "no P3 frame matched"
+    # PIDS of the locked region should decode
+    have_pids = {b.tobytes() for b in got[-1]}
+    want_pids = {pids[i].tobytes() for i in range(32, 56)}
+    assert want_pids & have_pids, "no PIDS frames matched"
