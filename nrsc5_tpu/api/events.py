@@ -85,11 +85,13 @@ class AASType(enum.IntEnum):
 @dataclass
 class Event:
     type: EventType
-    data: dict = field(default_factory=dict)
+    payload: dict = field(default_factory=dict)
 
     def __getattr__(self, name):
+        # payload keys read as attributes (so e.data works for HDC events
+        # even though the dataclass field is named `payload`)
         try:
-            return self.data[name]
+            return self.payload[name]
         except KeyError as e:
             raise AttributeError(name) from e
 

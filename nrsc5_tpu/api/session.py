@@ -1,0 +1,204 @@
+"""Public session API — the framework's equivalent of the reference C ABI.
+
+Mirrors the reference surface (include/nrsc5.h:642-871, support/nrsc5.py
+class NRSC5): session open for pipe / file / rtl_tcp input, start/stop
+worker, sample push (cu8 and cs16), a single event callback, and mode
+selection — wired to the TPU receive chain instead of a C DSP core.
+
+Composition (reference analog: nrsc5_init, src/nrsc5.c:209-230):
+FM/AM receiver (device compute) → FrameDecoder/PIDSDecoder (host
+transport) → Output (elastic buffer, AAS/SIG/LOT/ID3) → user callback.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+import numpy as np
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.api.events import Event, EventType, make
+from nrsc5_tpu.pipeline.receiver import FMReceiver
+from nrsc5_tpu.pipeline.receiver_am import AMReceiver
+from nrsc5_tpu.transport import frame as TF
+from nrsc5_tpu.transport.output import Output
+from nrsc5_tpu.transport.pids import PIDSDecoder
+
+MODE_FM = 0
+MODE_AM = 1
+
+SAMPLE_RATE_CU8 = C.SAMPLE_RATE_CU8
+SAMPLE_RATE_CS16_FM = C.SAMPLE_RATE_CS16_FM
+SAMPLE_RATE_CS16_AM = C.SAMPLE_RATE_CS16_AM
+SAMPLE_RATE_AUDIO = C.SAMPLE_RATE_AUDIO
+
+
+class NRSC5:
+    """One receive session.
+
+    callback: receives :class:`nrsc5_tpu.api.events.Event`.
+    hdc_decoder_factory: optional () -> decoder with .decode(bytes) -> pcm;
+      when absent, HDC packets are still emitted but no AUDIO events.
+    """
+
+    def __init__(self, callback: Callable[[Event], None],
+                 mode: int = MODE_FM, hdc_decoder_factory=None):
+        self.callback = callback
+        self.mode = mode
+        self._hdc_factory = hdc_decoder_factory
+        self._source = None
+        self._worker = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._wire()
+
+    # ------------------------------------------------------------------
+    def _emit(self, event: Event):
+        self.callback(event)
+
+    def _wire(self):
+        self.output = Output(self._emit, mode_fm=self.mode == MODE_FM,
+                             hdc_decoder_factory=self._hdc_factory)
+        self.pids = PIDSDecoder(self._emit)
+        self.frame = TF.FrameDecoder(
+            self.output,
+            on_audio_service=lambda info: self._emit(
+                make(EventType.AUDIO_SERVICE, **info)),
+            on_resync=self._resync,
+            on_ber=lambda ber: self._emit(make(EventType.BER, cber=ber)))
+        if self.mode == MODE_FM:
+            self.radio = FMReceiver(self._on_frame, self._on_l1_event)
+        else:
+            self.radio = AMReceiver(self._on_frame, self._on_l1_event)
+
+    def _resync(self):
+        self.radio.resync() if hasattr(self.radio, "resync") else None
+
+    def _on_l1_event(self, kind: str, info: dict):
+        if kind == "sync":
+            self._emit(make(EventType.SYNC, psmi=info.get("psmi")))
+        elif kind == "lost_sync":
+            self._emit(make(EventType.LOST_SYNC))
+        elif kind == "block":
+            self.output.advance()
+        elif kind == "mer":
+            self._emit(make(EventType.MER, **info))
+
+    def _on_frame(self, chan: int, bits: np.ndarray, margin: float):
+        if chan == -1:
+            self.pids.frame_push(bits)
+        elif chan == 0:
+            self.frame.push_frame(bits, TF.P1)
+        elif chan in (1, 3):
+            self.frame.push_frame(bits, TF.P3)
+        elif chan == 2:
+            self.frame.push_frame(bits, TF.P4)
+
+    # ------------------------------------------------------------------
+    # session opening (reference: nrsc5_open_file/open_pipe/open_rtltcp)
+    # ------------------------------------------------------------------
+    @classmethod
+    def open_pipe(cls, callback, mode: int = MODE_FM, **kw) -> "NRSC5":
+        return cls(callback, mode, **kw)
+
+    @classmethod
+    def open_file(cls, path_or_obj, callback, mode: int = MODE_FM,
+                  input_format: str = "cu8", **kw) -> "NRSC5":
+        self = cls(callback, mode, **kw)
+        fobj = open(path_or_obj, "rb") if isinstance(path_or_obj, str) \
+            else path_or_obj
+        self._source = _FileSource(fobj, input_format)
+        return self
+
+    @classmethod
+    def open_rtltcp(cls, host: str, port: int, callback,
+                    mode: int = MODE_FM, **kw) -> "NRSC5":
+        from nrsc5_tpu.io.rtltcp import RtlTcpClient
+        self = cls(callback, mode, **kw)
+        self._source = RtlTcpClient(host, port)
+        self._source.set_sample_rate(int(C.SAMPLE_RATE_CU8))
+        return self
+
+    # ------------------------------------------------------------------
+    # tuner control (rtl_tcp only; reference: nrsc5.c:475-583)
+    # ------------------------------------------------------------------
+    def set_frequency(self, freq_hz: float):
+        if self._source is None or not hasattr(self._source, "set_frequency"):
+            raise RuntimeError("no tunable source")
+        self._source.set_frequency(int(freq_hz))
+        self.radio.reset()
+        self.output.reset()
+
+    def set_gain(self, gain_db: float):
+        if hasattr(self._source, "set_gain"):
+            self._source.set_gain(gain_db)
+
+    # ------------------------------------------------------------------
+    # worker (reference: nrsc5_start/stop, src/nrsc5.c:434-462)
+    # ------------------------------------------------------------------
+    def start(self):
+        if self._source is None:
+            return  # pipe mode: caller pushes samples
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join()
+            self._worker = None
+
+    def close(self):
+        self.stop()
+        if self._source is not None and hasattr(self._source, "close"):
+            self._source.close()
+
+    def _run(self):
+        while not self._stop.is_set():
+            data = self._source.read(32768)
+            if data is None or len(data) == 0:
+                self._emit(make(EventType.LOST_DEVICE))
+                return
+            if getattr(self._source, "format", "cu8") == "cu8":
+                self.pipe_samples_cu8(np.frombuffer(data, np.uint8))
+            else:
+                self.pipe_samples_cs16(data)
+
+    # ------------------------------------------------------------------
+    # sample push (reference: nrsc5_pipe_samples_cu8/cs16)
+    # ------------------------------------------------------------------
+    def pipe_samples_cu8(self, data: np.ndarray):
+        """Interleaved uint8 I/Q at 1,488,375 S/s (FM and AM)."""
+        data = np.asarray(data, np.uint8)
+        with self._lock:
+            if self.mode == MODE_FM:
+                self.radio.push_cu8(data)
+            else:
+                # AM: ÷32 via the 5-stage halfband cascade
+                self.radio.push_cu8(data)
+
+    def pipe_samples_cs16(self, data):
+        """Complex baseband at the internal rate (744,187.5 FM /
+        46,511.7 AM), as complex64 or interleaved int16."""
+        arr = np.asarray(data)
+        if arr.dtype == np.int16:
+            arr = (arr[0::2].astype(np.float32)
+                   + 1j * arr[1::2].astype(np.float32)) / 32768.0
+        with self._lock:
+            self.radio.push_cs16(arr.astype(np.complex64))
+
+
+class _FileSource:
+    format = "cu8"
+
+    def __init__(self, fobj, input_format: str):
+        self.fobj = fobj
+        self.format = input_format
+
+    def read(self, n: int):
+        return self.fobj.read(n)
+
+    def close(self):
+        self.fobj.close()

@@ -1,0 +1,199 @@
+"""nrsc5-tpu command line receiver.
+
+Feature parity with the reference CLI (reference: src/main.c:798-970 flag
+set, support/cli.py): file / pipe / rtl_tcp input, program selection, WAV
+or raw audio output, HDC / AAS-file dumps, event logging.
+
+Usage examples:
+    python -m nrsc5_tpu.cli -r capture.cu8 0
+    python -m nrsc5_tpu.cli --am -r capture.cs16 --iq-input-format cs16 0
+    python -m nrsc5_tpu.cli -H 127.0.0.1:1234 88.5 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import queue
+import sys
+import threading
+import wave
+
+import numpy as np
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.api.events import EventType
+from nrsc5_tpu.api.session import MODE_AM, MODE_FM, NRSC5
+
+log = logging.getLogger("nrsc5-tpu")
+
+
+def build_adts(packet: bytes) -> bytes:
+    """ADTS header for an HDC packet dump (reference: src/main.c:182-205)."""
+    length = len(packet) + 7
+    hdr = bytearray(7)
+    hdr[0] = 0xFF
+    hdr[1] = 0xF0 | 0x08 | 0x01  # MPEG-2, no CRC
+    hdr[2] = (1 << 6) | (7 << 2)  # profile 2(-1), 22050 Hz
+    hdr[3] = (2 << 6) | ((length >> 11) & 0x3)  # stereo
+    hdr[4] = (length >> 3) & 0xFF
+    hdr[5] = ((length & 0x7) << 5) | 0x1F
+    hdr[6] = 0xFC
+    return bytes(hdr) + packet
+
+
+class CLI:
+    def __init__(self, args):
+        self.args = args
+        self.audio_queue: queue.Queue = queue.Queue(maxsize=16)
+        self.wav = None
+        self.hdc_file = None
+        self.audio_stream = None
+
+    # ------------------------------------------------------------------
+    def run(self):
+        a = self.args
+        mode = MODE_AM if a.am else MODE_FM
+        kw = {}
+        if a.output and a.output.endswith(".wav"):
+            self.wav = wave.open(a.output, "wb")
+            self.wav.setnchannels(2)
+            self.wav.setsampwidth(2)
+            self.wav.setframerate(C.SAMPLE_RATE_AUDIO)
+        if a.dump_hdc:
+            self.hdc_file = open(a.dump_hdc, "wb")
+
+        hdc_factory = None
+        if self.wav is not None or (a.output and not a.output.endswith(".wav")):
+            hdc_factory = _try_hdc_factory()
+            if hdc_factory is None:
+                log.warning("no HDC decoder available; audio output disabled"
+                            " (HDC dumps still work)")
+
+        if a.rtltcp:
+            host, _, port = a.rtltcp.partition(":")
+            radio = NRSC5.open_rtltcp(host, int(port or 1234), self.on_event,
+                                      mode, hdc_decoder_factory=hdc_factory)
+            radio.set_frequency(a.frequency * 1e6
+                                if a.frequency < 10000 else a.frequency)
+            if a.gain is not None:
+                radio.set_gain(a.gain)
+            radio.start()
+            try:
+                threading.Event().wait()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                radio.close()
+        else:
+            fobj = sys.stdin.buffer if a.iq_input in (None, "-") \
+                else open(a.iq_input, "rb")
+            radio = NRSC5.open_pipe(self.on_event, mode,
+                                    hdc_decoder_factory=hdc_factory)
+            fmt = a.iq_input_format
+            chunk = 32768
+            while True:
+                data = fobj.read(chunk)
+                if not data:
+                    break
+                if fmt == "cu8":
+                    radio.pipe_samples_cu8(np.frombuffer(data, np.uint8))
+                else:
+                    radio.pipe_samples_cs16(np.frombuffer(data, np.int16))
+        if self.wav is not None:
+            self.wav.close()
+        if self.hdc_file:
+            self.hdc_file.close()
+
+    # ------------------------------------------------------------------
+    def on_event(self, ev):
+        a = self.args
+        t = ev.type
+        if t == EventType.SYNC:
+            log.info("Synchronized (psmi %s)", ev.payload.get("psmi"))
+        elif t == EventType.LOST_SYNC:
+            log.info("Lost synchronization")
+        elif t == EventType.ID3 and ev.program == a.program:
+            if ev.title:
+                log.info("Title: %s", ev.title)
+            if ev.artist:
+                log.info("Artist: %s", ev.artist)
+            if ev.album:
+                log.info("Album: %s", ev.album)
+        elif t == EventType.HDC and ev.program == a.program:
+            if self.hdc_file is not None:
+                self.hdc_file.write(build_adts(ev.data))
+        elif t == EventType.AUDIO and ev.program == a.program:
+            if self.wav is not None:
+                self.wav.writeframes(np.asarray(ev.samples, np.int16)
+                                     .tobytes())
+        elif t == EventType.STATION_NAME:
+            log.info("Station name: %s", ev.name)
+        elif t == EventType.STATION_SLOGAN:
+            log.info("Slogan: %s", ev.slogan)
+        elif t == EventType.STATION_MESSAGE:
+            log.info("Message: %s", ev.message)
+        elif t == EventType.STATION_LOCATION:
+            log.info("Station location: %.4f, %.4f, %dm",
+                     ev.latitude, ev.longitude, ev.altitude)
+        elif t == EventType.AUDIO_SERVICE:
+            log.info("Audio program %d: %s, type %s, codec %d",
+                     ev.program, "public" if not ev.access else "restricted",
+                     ev.payload["type"], ev.codec_mode)
+        elif t == EventType.LOT:
+            if a.dump_aas_files:
+                path = os.path.join(a.dump_aas_files, ev.name)
+                with open(path, "wb") as f:
+                    f.write(ev.data)
+            log.info("LOT file: port=%04X lot=%d name=%s size=%d",
+                     ev.port, ev.lot, ev.name, len(ev.data))
+        elif t == EventType.EMERGENCY_ALERT:
+            if ev.message:
+                log.warning("Emergency alert: %s", ev.message)
+        elif t == EventType.BER:
+            log.debug("BER: %.6f", ev.cber)
+        elif t == EventType.LOST_DEVICE:
+            log.error("Lost device")
+
+
+def _try_hdc_factory():
+    """HDC→PCM decoder factory, if a decoder is available in this
+    environment (see nrsc5_tpu/audio/hdc.py)."""
+    try:
+        from nrsc5_tpu.audio.hdc import HDCDecoder
+        HDCDecoder.check()
+        return HDCDecoder
+    except Exception:
+        return None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nrsc5-tpu", description=__doc__)
+    p.add_argument("frequency", type=float, nargs="?", default=0.0,
+                   help="center frequency (MHz or Hz; rtl_tcp mode)")
+    p.add_argument("program", type=int, nargs="?", default=0)
+    p.add_argument("-r", dest="iq_input", help="IQ input file ('-' = stdin)")
+    p.add_argument("--iq-input-format", choices=("cu8", "cs16"),
+                   default="cu8")
+    p.add_argument("-w", dest="iq_output", help="IQ output file (rtl_tcp)")
+    p.add_argument("-o", dest="output", help="audio output (.wav or raw)")
+    p.add_argument("-H", dest="rtltcp", help="rtl_tcp host[:port]")
+    p.add_argument("-g", dest="gain", type=float, help="tuner gain dB")
+    p.add_argument("-p", dest="ppm", type=int, default=0, help="ppm error")
+    p.add_argument("-q", dest="quiet", action="store_true")
+    p.add_argument("-l", dest="log_level", type=int, default=2)
+    p.add_argument("--am", action="store_true", help="AM mode")
+    p.add_argument("--dump-hdc", help="dump HDC packets (ADTS)")
+    p.add_argument("--dump-aas-files", help="directory for AAS LOT files")
+    args = p.parse_args(argv)
+
+    level = logging.WARNING if args.quiet else (
+        logging.DEBUG if args.log_level <= 1 else logging.INFO)
+    logging.basicConfig(level=level,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    CLI(args).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -126,6 +126,7 @@ class FMReceiver:
         self.push_cs16(np.asarray(y))
 
     def _process_block(self):
+        self.on_event("block", {})  # output clock (reference: acquire.c:108)
         window = jnp.asarray(self.ring[:WINDOW_FM])
         fine = self.sync_state == SYNC_FINE
         spectra, self.acq_state, samperr, angle, keep = _acquire_jit(

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nrsc5_tpu import constants as C
+from nrsc5_tpu.ops import frontend as FE
 from nrsc5_tpu.ops.acquire import WINDOW_AM, AcquireState, acquire_am, \
     acquire_init_state
 from nrsc5_tpu.ops.decode_am import (AMDecodeState, am_decode_init_state,
@@ -43,6 +44,8 @@ class AMReceiver:
         self.reset()
 
     def reset(self):
+        self._fe_state = FE.frontend_init_state(FE.AM_STAGES)
+        self._cu8_leftover = np.zeros(0, np.uint8)
         self.acq_state: AcquireState = acquire_init_state()
         self.dec_state: AMDecodeState = am_decode_init_state()
         self.sync_state = SYNC_NONE
@@ -60,6 +63,14 @@ class AMReceiver:
     def _empty_mats(self):
         return {k: np.zeros(8 * _MAT, np.uint8) for k in ("pl", "pu", "s", "t")}
 
+    def resync(self):
+        """Hard resync (reference: src/frame.c:535-540)."""
+        if self.sync_state == SYNC_FINE:
+            self.on_event("lost_sync", {})
+        fe, leftover = self._fe_state, self._cu8_leftover
+        self.reset()
+        self._fe_state, self._cu8_leftover = fe, leftover
+
     # ------------------------------------------------------------------
     def push_cs16(self, samples: np.ndarray):
         self.ring = np.concatenate([self.ring,
@@ -67,7 +78,20 @@ class AMReceiver:
         while len(self.ring) >= WINDOW_AM:
             self._process_block()
 
+    def push_cu8(self, data: np.ndarray):
+        """Interleaved cu8 at 1488375 S/s: ÷32 five-stage halfband cascade
+        (reference: src/input.c:62-90)."""
+        data = np.concatenate([self._cu8_leftover, np.asarray(data, np.uint8)])
+        usable = len(data) & ~63  # 64 bytes -> 32 complex in -> 1 out
+        self._cu8_leftover = data[usable:]
+        if usable == 0:
+            return
+        x = FE.cu8_to_cf(jnp.asarray(data[:usable]))
+        y, self._fe_state = FE.am_decimate_jit(x, self._fe_state)
+        self.push_cs16(np.asarray(y))
+
     def _process_block(self):
+        self.on_event("block", {})
         window = jnp.asarray(self.ring[:WINDOW_AM])
         fine = self.sync_state == SYNC_FINE
         spectra, self.acq_state, samperr, keep, mag_sums = _acquire_jit(

@@ -151,13 +151,13 @@ def test_service_info_and_parameters():
     dec.frame_push(make_frame((P.MSG_SERVICE_INFORMATION, w)))
     asd = sink.of(EventType.AUDIO_SERVICE_DESCRIPTOR)
     # NB .type is the event type; the service type lives in .data
-    assert asd and asd[0].program == 2 and asd[0].data["type"] == 4
+    assert asd and asd[0].program == 2 and asd[0].payload["type"] == 4
     assert asd[0].sound_exp == 3
 
     wd = BitWriter().u(1, 2).u(1, 1).u(9, 9).u(0, 3).u(0x40, 12)
     dec.frame_push(make_frame((P.MSG_ADV_SERVICE_INFORMATION, wd)))
     dsd = sink.of(EventType.DATA_SERVICE_DESCRIPTOR)
-    assert dsd and dsd[0].data["type"] == 9 and dsd[0].mime_type == 0x40
+    assert dsd and dsd[0].payload["type"] == 9 and dsd[0].mime_type == 0x40
 
     # local time parameter (index 3): tzo=-300, dst bits
     val = ((-300 & 0x7FF) << 5) | (0b010 << 2) | (1 << 1) | 1

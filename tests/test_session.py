@@ -1,0 +1,101 @@
+"""System-level session test — the framework's analog of the reference CI
+golden path (decode a capture, observe the ID3 title; see
+.github/workflows/ci.yml:30-42): HDC packets + ID3 PSD + SIS → transport
+encode → OFDM modulate → impaired channel → NRSC5 session → events."""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.api.events import EventType
+from nrsc5_tpu.api.session import MODE_FM, NRSC5
+from nrsc5_tpu.tx import channel as ch
+from nrsc5_tpu.tx.encoder import build_pm_matrix
+from nrsc5_tpu.tx.modulator import modulate_fm
+from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+TITLE = "You're Listening to TPU"
+
+
+def _id3(title: str) -> bytes:
+    frame = b"TIT2" + (len(title) + 1).to_bytes(4, "big") + b"\x00\x00" \
+        + b"\x00" + title.encode("latin-1")
+    size = len(frame)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x03\x00\x00" + ss + frame
+
+
+def _sis_station_name_frame() -> np.ndarray:
+    """An 80-bit PIDS frame carrying the short station name 'KTPU-FM'."""
+    from nrsc5_tpu.transport.pids import CHAR5, PIDS_TYPE_SIS
+    from nrsc5_tpu.utils.crc import crc12
+    bits = np.zeros(80, np.uint8)
+    pos = 0
+
+    def put(value, n):
+        nonlocal pos
+        for i in range(n - 1, -1, -1):
+            bits[pos] = (value >> i) & 1
+            pos += 1
+
+    put(PIDS_TYPE_SIS, 1)
+    put(0, 1)  # one payload
+    put(1, 4)  # msg id: short name
+    for chs in "KTPU":
+        put(CHAR5.index(chs), 5)
+    put(0b01, 2)  # -FM
+    crc = crc12(bits)
+    put_pos = 68
+    for i in range(12):
+        bits[put_pos + i] = (crc >> (11 - i)) & 1
+    return bits.reshape(10, 8)[:, ::-1].reshape(-1)
+
+
+def test_fm_session_golden_path(rng):
+    n_frames = 3
+    all_packets = []
+    p1_frames = []
+    for f in range(n_frames):
+        packets = [rng.integers(0, 256, rng.integers(200, 400)).astype(np.uint8)
+                   .tobytes() for _ in range(32)]
+        all_packets.append(packets)
+        psd = aas_frame(0x5100, f, _id3(TITLE))
+        p1_frames.append(build_p1_fm_frame(
+            packets, program=0, pdu_seq=f % 8, seq=(f * 32) % 64, psd=psd))
+
+    sis = _sis_station_name_frame()
+    pids = np.broadcast_to(sis, (16, 80))
+
+    mats = [build_pm_matrix(p1_frames[f], pids) for f in range(n_frames)]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    sig = ch.impair(sig, sample_offset=4321, cfo_hz=150.0, snr_db=23.0,
+                    rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+
+    kinds = {e.type for e in events}
+    assert EventType.SYNC in kinds
+    # ID3 title decoded (the CI assertion)
+    titles = [e.title for e in events if e.type == EventType.ID3]
+    assert TITLE in titles, f"ID3 titles: {titles}"
+    # SIS station name decoded
+    names = [e.name for e in events if e.type == EventType.STATION_NAME]
+    assert "KTPU-FM" in names
+    # HDC packets bit-exact: every frame-0 and frame-1 packet must appear
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    want = {p for f in (0, 1) for p in all_packets[f]}
+    missing = want - hdc
+    assert not missing, f"{len(missing)} HDC packets missing of {len(want)}"
+    # audio service info observed
+    assert EventType.AUDIO_SERVICE in kinds
