@@ -84,6 +84,8 @@ class NRSC5:
             self.output.advance()
         elif kind == "mer":
             self._emit(make(EventType.MER, **info))
+        elif kind == "ber":
+            self._emit(make(EventType.BER, **info))
 
     def _on_frame(self, chan: int, bits: np.ndarray, margin: float):
         if chan == -1:
@@ -172,12 +174,9 @@ class NRSC5:
     def pipe_samples_cu8(self, data: np.ndarray):
         """Interleaved uint8 I/Q at 1,488,375 S/s (FM and AM)."""
         data = np.asarray(data, np.uint8)
+        self._emit(make(EventType.IQ, data=data))
         with self._lock:
-            if self.mode == MODE_FM:
-                self.radio.push_cu8(data)
-            else:
-                # AM: ÷32 via the 5-stage halfband cascade
-                self.radio.push_cu8(data)
+            self.radio.push_cu8(data)
 
     def pipe_samples_cs16(self, data):
         """Complex baseband at the internal rate (744,187.5 FM /

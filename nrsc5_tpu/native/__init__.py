@@ -1,0 +1,105 @@
+"""Native host-transport kernels: lazy cc build + ctypes binding.
+
+``get_lib()`` returns the loaded library or ``None`` (pure-Python fallback
+paths stay available).  The shared object is built once into
+``~/.cache/nrsc5_tpu`` (or $NRSC5_TPU_NATIVE_DIR) from host_ops.cpp.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_lock = threading.Lock()
+_lib = False  # False = not probed
+
+
+def _build_dir() -> str:
+    d = os.environ.get("NRSC5_TPU_NATIVE_DIR",
+                       os.path.expanduser("~/.cache/nrsc5_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _source_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "host_ops.cpp")
+
+
+def build(force: bool = False) -> str | None:
+    """Compile host_ops.cpp; returns the .so path or None on failure."""
+    src = _source_path()
+    out = os.path.join(_build_dir(), "libnrsc5host.so")
+    if not force and os.path.exists(out) \
+            and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    for cc in ("c++", "g++", "cc"):
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", src, "-o", out],
+                check=True, capture_output=True, timeout=120)
+            return out
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    with _lock:
+        if _lib is not False:
+            return _lib
+        path = build()
+        if path is None:
+            _lib = None
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _lib = None
+            return None
+        lib.nrsc5_crc8.restype = ctypes.c_uint8
+        lib.nrsc5_crc8.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.nrsc5_fcs16.restype = ctypes.c_uint16
+        lib.nrsc5_fcs16.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.nrsc5_hdlc_unescape.restype = ctypes.c_size_t
+        lib.nrsc5_hdlc_unescape.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+        lib.nrsc5_aas_frame.restype = ctypes.c_size_t
+        lib.nrsc5_aas_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+        lib.nrsc5_hdlc_split.restype = ctypes.c_int
+        lib.nrsc5_hdlc_split.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return lib
+
+
+def crc8(data: bytes) -> int:
+    lib = get_lib()
+    if lib is None:
+        from nrsc5_tpu.utils import crc as pycrc
+        return pycrc.crc8(data)
+    return lib.nrsc5_crc8(bytes(data), len(data))
+
+
+def aas_frame(data: bytes) -> bytes | None:
+    """Unescape + FCS16 + protocol filter; returns the 0x21 payload
+    (without protocol byte and FCS) or None."""
+    lib = get_lib()
+    if lib is None:
+        from nrsc5_tpu.transport.frame import unescape_hdlc
+        from nrsc5_tpu.utils.crc import VALIDFCS16, fcs16
+        payload = unescape_hdlc(data)
+        if len(payload) < 4 or fcs16(payload) != VALIDFCS16 \
+                or payload[0] != 0x21:
+            return None
+        return payload[1:-2]
+    out = ctypes.create_string_buffer(max(len(data), 1))
+    n = lib.nrsc5_aas_frame(bytes(data), len(data), out)
+    if n == 0:
+        return None
+    return out.raw[1:n]

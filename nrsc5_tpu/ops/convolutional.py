@@ -241,6 +241,32 @@ def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
     return bits, margin
 
 
+def conv_encode_dev(bits, k: int, gens: tuple[int, int, int]):
+    """Device-side tail-biting re-encode (for BER estimation; reference:
+    src/decode.c:234-259).  bits: [..., T] uint8 -> [..., T, 3] uint8."""
+    par = jnp.asarray(_parity_table(k))
+    reg = jnp.zeros(bits.shape, jnp.int32)
+    for d in range(k):
+        reg = reg | (jnp.roll(bits, d, axis=-1).astype(jnp.int32)
+                     << (k - 1 - d))
+    outs = [par[reg & g] for g in gens]
+    return jnp.stack(outs, axis=-1)
+
+
+def reencode_bit_errors(llr_full, bits_scrambled, k: int,
+                        gens: tuple[int, int, int],
+                        pattern: tuple[int, ...]):
+    """Count demod-vs-reencode disagreements at unpunctured positions
+    (reference: src/decode.c:234-277).  llr_full: [T, 3] depunctured soft
+    bits; bits_scrambled: [T] Viterbi output before descrambling."""
+    enc = conv_encode_dev(bits_scrambled, k, gens)
+    t = bits_scrambled.shape[-1]
+    mask = jnp.asarray(np.resize(np.asarray(pattern, bool), t * 3)
+                       .reshape(t, 3))
+    hard = llr_full > 0
+    return (mask & (hard != (enc > 0))).sum()
+
+
 @functools.partial(jax.jit, static_argnames=("k", "gens"))
 def viterbi_decode(llr, k: int, gens: tuple[int, int, int]):
     """Batched tail-biting Viterbi decode.

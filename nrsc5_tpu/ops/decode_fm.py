@@ -12,7 +12,8 @@ import numpy as np
 
 from nrsc5_tpu import constants as C
 from nrsc5_tpu.ops import interleavers as IL
-from nrsc5_tpu.ops.convolutional import (depuncture, viterbi_decode,
+from nrsc5_tpu.ops.convolutional import (depuncture, reencode_bit_errors,
+                                         viterbi_decode,
                                          viterbi_decode_chunked)
 from nrsc5_tpu.ops.scramble import scrambler_keystream
 
@@ -36,7 +37,9 @@ def p1_decode(pm_matrix, chunked: bool = False):
         bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN)
     else:
         bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
-    return _descramble_dev(bits, C.P1_FRAME_LEN_FM), margin
+    errors = reencode_bit_errors(full, bits, 7, C.CONV_K7_GEN,
+                                 C.PUNCTURE_P1_PIDS_FM)
+    return _descramble_dev(bits, C.P1_FRAME_LEN_FM), margin, errors
 
 
 @jax.jit

@@ -82,6 +82,8 @@ class FMReceiver:
         self.px1 = _PxChannel(C.P3_FRAME_LEN_MP3_MP11)
         self.px2 = _PxChannel(C.P3_FRAME_LEN_MP3_MP11)
         self.blocks_processed = 0
+        self.mer_acc = [0.0, 0.0]
+        self.mer_cnt = 0
 
     def _reset_decode(self):
         self.started_pm = False
@@ -190,6 +192,21 @@ class FMReceiver:
         self.samperr_fb = int(out["samperr"])
         self.angle_fb = float(out["angle"])
 
+        # MER aggregation (reference: src/sync.c:486-501)
+        self.mer_acc[0] += float(out["error_lb"])
+        self.mer_acc[1] += float(out["error_ub"])
+        self.mer_cnt += 1
+        if self.mer_cnt == 16:
+            ppb = C.partitions_per_band(self.psmi)
+            signal = 2 * C.BLKSZ * ppb * C.PARTITION_DATA_CARRIERS * 16
+            self.on_event("mer", {
+                "lower": 10 * np.log10(signal / self.mer_acc[0])
+                if self.mer_acc[0] > 0 else 0.0,
+                "upper": 10 * np.log10(signal / self.mer_acc[1])
+                if self.mer_acc[1] > 0 else 0.0})
+            self.mer_acc = [0.0, 0.0]
+            self.mer_cnt = 0
+
         bc = self.bc
         pm_block = out["pm"]
 
@@ -204,7 +221,9 @@ class FMReceiver:
         if self.started_pm and bc == 15 and all(
                 b is not None for b in self.pm_blocks):
             matrix = jnp.concatenate(self.pm_blocks)
-            bits, margin = p1_decode(matrix)
+            bits, margin, errors = p1_decode(matrix)
+            self.on_event("ber", {
+                "cber": float(errors) / C.P1_FRAME_LEN_ENCODED_FM})
             self.on_frame(0, np.asarray(bits), float(margin))
 
         # PX1/PX2 (reference: src/decode.c:393-437)

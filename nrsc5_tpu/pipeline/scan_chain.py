@@ -111,9 +111,11 @@ def fm_chain_scan(samples: jax.Array, carry: ChainCarry,
     if n_frames > 0:
         frames = pm[skip: skip + n_frames * C.P1_FM_BLOCKS]
         frames = frames.reshape(n_frames, -1)
-        p1, margin = jax.vmap(lambda m: p1_decode(m, chunked=True))(frames)
+        p1, margin, errors = jax.vmap(
+            lambda m: p1_decode(m, chunked=True))(frames)
         out["p1"] = p1
         out["p1_margin"] = margin
+        out["p1_bit_errors"] = errors
     return out, carry
 
 

@@ -353,15 +353,14 @@ class FrameDecoder:
 
     # ------------------------------------------------------------------
     def _make_aas_handler(self):
+        from nrsc5_tpu import native
+
         def handler(raw: bytes):
-            payload = unescape_hdlc(raw)
-            if len(payload) == 0:
+            if len(raw) == 0:
                 return  # padding
-            if fcs16(payload) != VALIDFCS16:
-                return  # abandoned frame, normal
-            if payload[0] != 0x21:
-                return  # unknown AAS protocol
-            self.output.aas_push(payload[1:-2])
+            payload = native.aas_frame(raw)
+            if payload is not None:
+                self.output.aas_push(payload)
         return handler
 
 

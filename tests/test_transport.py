@@ -1,0 +1,133 @@
+"""Transport-layer unit tests: SIG tables, AAS port routing, LOT file
+reassembly (reference behaviors: src/output.c:493-872)."""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu.api.events import AASType, EventType, MIMEType
+from nrsc5_tpu.transport.output import Output
+
+
+class Sink:
+    def __init__(self):
+        self.events = []
+
+    def __call__(self, e):
+        self.events.append(e)
+
+    def of(self, t):
+        return [e for e in self.events if e.type == t]
+
+
+def sig_table() -> bytes:
+    """One data service with one LOT component on port 0x1001."""
+    buf = bytearray()
+    buf += bytes([0x41, 0x01, 0x00, 0x00])  # data service #1
+    name = b"\x00Weather"
+    buf += bytes([0x69, 1 + len(name)]) + name  # length counts itself
+    comp = bytes([0x00,  # component id
+                  0x01, 0x10,  # port 0x1001
+                  0x00, 0x00,  # service data type
+                  AASType.LOT,  # content type
+                  0, 0])  # padding to mime at +8
+    comp += int(MIMEType.PNG).to_bytes(4, "little")
+    buf += bytes([0x67, 1 + len(comp)]) + comp
+    return bytes(buf)
+
+
+def aas_packet(port: int, seq: int, payload: bytes) -> bytes:
+    return bytes([port & 0xFF, port >> 8, seq & 0xFF, seq >> 8]) + payload
+
+
+def lot_fragment(lot: int, seq: int, data: bytes, name=None, size=None,
+                 mime=MIMEType.PNG) -> bytes:
+    hdr = bytearray([8, 0, lot & 0xFF, lot >> 8])
+    hdr += seq.to_bytes(4, "little")
+    if name is not None:
+        meta = bytearray(16)
+        meta[8:12] = size.to_bytes(4, "little")
+        meta[12:16] = int(mime).to_bytes(4, "little")
+        meta += name.encode()
+        hdr[0] = 8 + len(meta)
+        hdr += meta
+    return bytes(hdr) + data
+
+
+def test_sig_and_lot_reassembly(rng):
+    sink = Sink()
+    out = Output(sink)
+    out.aas_push(aas_packet(0x20, 0, sig_table()))
+    sig = sink.of(EventType.SIG)
+    assert sig and sig[0].services[0].name == "Weather"
+    assert sig[0].services[0].components[0].port == 0x1001
+
+    content = rng.integers(0, 256, 700).astype(np.uint8).tobytes()
+    frags = [content[i * 256:(i + 1) * 256] for i in range(3)]
+    # out of order: 2, 0 (with header), 1; plus a duplicate
+    out.aas_push(aas_packet(0x1001, 0, lot_fragment(7, 2, frags[2])))
+    out.aas_push(aas_packet(0x1001, 1, lot_fragment(
+        7, 0, frags[0], name="map.png", size=len(content))))
+    assert sink.of(EventType.LOT_HEADER)
+    out.aas_push(aas_packet(0x1001, 2, lot_fragment(7, 2, frags[2])))
+    dup = [e for e in sink.of(EventType.LOT_FRAGMENT) if e.is_duplicate]
+    assert dup
+    assert not sink.of(EventType.LOT)
+    out.aas_push(aas_packet(0x1001, 3, lot_fragment(7, 1, frags[1])))
+    done = sink.of(EventType.LOT)
+    assert done and done[0].name == "map.png"
+    assert done[0].data == content
+    assert done[0].mime == MIMEType.PNG
+
+
+def test_lot_metadata_change_resets(rng):
+    sink = Sink()
+    out = Output(sink)
+    out.aas_push(aas_packet(0x20, 0, sig_table()))
+    a = rng.integers(0, 256, 200).astype(np.uint8).tobytes()
+    out.aas_push(aas_packet(0x1001, 0, lot_fragment(
+        9, 0, a, name="one.png", size=len(a))))
+    assert sink.of(EventType.LOT)
+    # same lot id, new metadata: previous fragments discarded
+    b = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+    out.aas_push(aas_packet(0x1001, 1, lot_fragment(
+        9, 1, b[256:], name="two.png", size=len(b))))
+    assert len(sink.of(EventType.LOT)) == 1
+    out.aas_push(aas_packet(0x1001, 2, lot_fragment(9, 0, b[:256])))
+    done = sink.of(EventType.LOT)
+    assert len(done) == 2 and done[1].name == "two.png" and done[1].data == b
+
+
+def test_unknown_port_ignored():
+    sink = Sink()
+    out = Output(sink)
+    out.aas_push(aas_packet(0x20, 0, sig_table()))
+    n = len(sink.events)
+    out.aas_push(aas_packet(0x4444, 0, b"\x00" * 32))
+    assert len(sink.events) == n
+
+
+def test_native_matches_python(rng):
+    """The C++ host kernels must agree with the pure-Python paths."""
+    from nrsc5_tpu import native
+    from nrsc5_tpu.transport.frame import unescape_hdlc
+    from nrsc5_tpu.utils.crc import crc8 as py_crc8, fcs16_append
+
+    lib = native.get_lib()
+    assert lib is not None, "native build failed (g++ available?)"
+
+    for _ in range(20):
+        data = rng.integers(0, 256, int(rng.integers(1, 500))).astype(
+            np.uint8).tobytes()
+        assert native.crc8(data) == py_crc8(data)
+
+    from nrsc5_tpu.tx.transport_encoder import hdlc_escape
+    inner = b"\x21" + bytes(rng.integers(0, 256, 100).astype(np.uint8))
+    framed = hdlc_escape(fcs16_append(inner))
+    got = native.aas_frame(framed)
+    assert got == inner[1:]
+    # corrupted FCS rejected
+    bad = bytearray(framed)
+    bad[5] ^= 0xFF
+    assert native.aas_frame(bytes(bad)) is None
+    # unescape parity
+    assert unescape_hdlc(framed) == fcs16_append(inner)
