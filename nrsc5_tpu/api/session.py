@@ -120,6 +120,7 @@ class NRSC5:
         self = cls(callback, mode, **kw)
         self._source = RtlTcpClient(host, port)
         self._source.set_sample_rate(int(C.SAMPLE_RATE_CU8))
+        self._want_auto_gain = True  # cleared by an explicit set_gain
         return self
 
     # ------------------------------------------------------------------
@@ -133,6 +134,7 @@ class NRSC5:
         self.output.reset()
 
     def set_gain(self, gain_db: float):
+        self._want_auto_gain = False
         if hasattr(self._source, "set_gain"):
             self._source.set_gain(gain_db)
 
@@ -157,7 +159,36 @@ class NRSC5:
         if self._source is not None and hasattr(self._source, "close"):
             self._source.close()
 
+    def _auto_gain(self):
+        """Binary-search the tuner gain for peak < -6 dBFS (reference:
+        src/nrsc5.c:24-113)."""
+        src = self._source
+        gains = getattr(src, "gains", None)
+        if not gains or not hasattr(src, "set_gain"):
+            return
+        lo, hi = 0, len(gains) - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            src.set_gain_mode(True)
+            src._cmd(4, gains[mid])  # CMD_SET_GAIN, tenths of dB
+            src.read(65536)  # flush settling samples
+            buf = np.frombuffer(src.read(65536), np.uint8)
+            peak = np.abs(buf.astype(np.int32) - 127).max() / 128.0
+            peak_db = 20 * np.log10(max(peak, 1e-6))
+            self._emit(make(EventType.AGC, gain_db=gains[mid] / 10.0,
+                            peak_dbfs=peak_db))
+            if peak_db < -6.0:
+                best = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is not None:
+            src._cmd(4, gains[best])
+
     def _run(self):
+        if getattr(self, "_want_auto_gain", False):
+            self._auto_gain()
         while not self._stop.is_set():
             data = self._source.read(32768)
             if data is None or len(data) == 0:
