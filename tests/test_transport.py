@@ -131,3 +131,58 @@ def test_native_matches_python(rng):
     assert native.aas_frame(bytes(bad)) is None
     # unescape parity
     assert unescape_hdlc(framed) == fcs16_append(inner)
+
+
+def _here_packet(image_type, tile, timestamp, name, data, lat1=37.5,
+                 lon1=-122.5):
+    body = bytearray(28)
+    body[0] = (image_type << 4) | 5  # seq 5
+    body[2:4] = tile.to_bytes(2, "big")
+    body[4:6] = (0).to_bytes(2, "big")
+    body[9:13] = timestamp.to_bytes(4, "big")
+    la1 = abs(int(lat1 * 100000))
+    lo1 = abs(int(lon1 * 100000))
+    body[14] = ((la1 >> 18) & 0x7F) | (0x80 if lat1 < 0 else 0)
+    body[15] = (la1 >> 10) & 0xFF
+    body[16] = (la1 >> 2) & 0xFF
+    body[17] = ((la1 & 0x3) << 6) | (0x20 if lon1 < 0 else 0) \
+        | ((lo1 >> 20) & 0x1F)
+    body[18] = (lo1 >> 12) & 0xFF
+    body[19] = (lo1 >> 4) & 0xFF
+    body[20] = (lo1 & 0xF) << 4
+    body[27] = len(name)
+    body += name.encode()
+    body += bytes(4)  # buffer[28+len .. 32+len)
+    body += len(data).to_bytes(2, "big")
+    body += data
+    frame = b"\xff\xf7\xff\xf7" + len(body).to_bytes(2, "big") \
+        + bytes(body) + b"\x00\x00"
+    return frame
+
+
+def test_here_images(rng):
+    from nrsc5_tpu.transport.here_images import HereImages
+    sink = Sink()
+    hi = HereImages(sink)
+    data = rng.integers(0, 256, 500).astype(np.uint8).tobytes()
+    pkt = _here_packet(1, 3, 12345, "tile3.png", data)
+    stream = b"\xab" * 7 + pkt  # resync over garbage
+    # split across two sequential AAS packets
+    hi.push(10, stream[:40])
+    hi.push(11, stream[40:])
+    ev = sink.of(EventType.HERE_IMAGE)
+    assert len(ev) == 1
+    e = ev[0]
+    assert e.image_type == 1 and e.n1 == 3 and e.timestamp == 12345
+    assert e.name == "tile3.png" and e.data == data
+    assert abs(e.latitude1 - 37.5) < 1e-4
+    assert abs(e.longitude1 + 122.5) < 1e-4
+    # same timestamp re-sent: deduplicated
+    hi.push(12, pkt)
+    assert len(sink.of(EventType.HERE_IMAGE)) == 1
+    # sequence gap: buffer reset, partial frame discarded
+    hi.push(50, pkt[:30])
+    hi.push(99, pkt)
+    assert len(sink.of(EventType.HERE_IMAGE)) == 1  # same timestamp anyway
+    hi.push(100, _here_packet(1, 3, 99999, "tile3.png", data))
+    assert len(sink.of(EventType.HERE_IMAGE)) == 2
