@@ -135,38 +135,61 @@ def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 4):
     ext: [B, L, 3] float32.  Free boundary conditions (uniform initial
     metrics, traceback from the max-metric final state).
     Returns (bits [B, L] uint8, metric margin [B] float32).
+
+    TPU shaping: the predecessor maps pred0 = (s'<<1) & (ns-1) and
+    pred1 = pred0 | 1 are *strided tilings*, not general permutations —
+    pm[pred0] = tile(pm[0::2], 2) — so the ACS step is pure
+    reshape/concat/elementwise (no gathers on the hot path).  Survivor
+    decisions are packed into two int32 words per (step, lane) so the
+    traceback is a vectorized bit-shift instead of a per-step gather.
     """
     pred0_np, pred1_np, out_np = trellis_tables(k, gens)
     ns = 1 << (k - 1)
+    half = ns // 2
 
-    pred0 = jnp.asarray(pred0_np)
-    pred1 = jnp.asarray(pred1_np)
     out0 = jnp.asarray(out_np[:, 0, :])  # [ns, 3]
     out1 = jnp.asarray(out_np[:, 1, :])
+    # decision packing: int32 words of 32 states each
+    nw = ns // 32
+    pack_w = np.arange(ns, dtype=np.int64)
+    pack_shift = jnp.asarray((pack_w % 32).astype(np.int32))
+    pack_word = (pack_w // 32).astype(np.int64)
+    word_onehot = jnp.asarray(
+        (pack_word[:, None] == np.arange(nw)[None, :]).astype(np.int32))
 
     def acs(pm, llr_t):
         # pm: [B, ns]; llr_t: [B, 3]
         bm0 = llr_t @ out0.T  # [B, ns]
         bm1 = llr_t @ out1.T
-        c0 = pm[:, pred0] + bm0
-        c1 = pm[:, pred1] + bm1
+        pairs = pm.reshape(-1, half, 2)
+        ev = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 0]], axis=1)
+        od = jnp.concatenate([pairs[:, :, 1], pairs[:, :, 1]], axis=1)
+        c0 = ev + bm0
+        c1 = od + bm1
         dec = c1 > c0
-        return jnp.where(dec, c1, c0), dec
+        # pack decisions: words[b, w] = sum_s dec[b, s] << (s % 32)
+        packed = ((dec.astype(jnp.int32) << pack_shift) @ word_onehot)
+        return jnp.where(dec, c1, c0), packed
 
     pm0 = jnp.zeros((ext.shape[0], ns), dtype=jnp.float32)
     pm, decisions = jax.lax.scan(acs, pm0, jnp.swapaxes(ext, 0, 1),
                                  unroll=unroll)
-    # decisions: [L, B, ns] bool
+    # decisions: [L, B, nw] int32 packed survivor bits
 
     top2 = jax.lax.top_k(pm, 2)[0]
     margin = top2[:, 0] - top2[:, 1]
     state0 = jnp.argmax(pm, axis=-1).astype(jnp.int32)
 
     def tb(state, dec_t):
-        # dec_t: [B, ns]; state: [B]
-        p = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]
+        # dec_t: [B, nw] packed; state: [B]
+        if nw == 1:
+            word = dec_t[:, 0]
+        else:
+            widx = state >> 5
+            word = jnp.take_along_axis(dec_t, widx[:, None], axis=-1)[:, 0]
+        p = (word >> (state & 31)) & 1
         bit = (state >> (k - 2)).astype(jnp.uint8)
-        prev = ((state << 1) & (ns - 1)) | p.astype(jnp.int32)
+        prev = ((state << 1) & (ns - 1)) | p
         return prev, bit
 
     _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1], unroll=unroll)
