@@ -272,6 +272,21 @@ def acquire_am(window: jax.Array, state: AcquireState, fine: jax.Array,
                          ).astype(jnp.float32)
 
     samperr, prev_angle = jax.lax.cond(fine, fine_branch, coarse_branch)
+    return _am_process(window, state, samperr, prev_angle, cfo_bins)
+
+
+def acquire_am_fine(window: jax.Array, state: AcquireState,
+                    sync_samperr: jax.Array, cfo_bins: jax.Array):
+    """FINE-only AM acquire for the fused steady-state chain (statically
+    skips the coarse CP correlation).  Same returns as :func:`acquire_am`."""
+    fftcp = C.FFTCP_AM
+    samperr = (fftcp // 2 + sync_samperr).astype(jnp.int32)
+    return _am_process(window, state, samperr, state.prev_angle, cfo_bins)
+
+
+def _am_process(window, state, samperr, prev_angle, cfo_bins):
+    fftcp, fft = C.FFTCP_AM, C.FFT_AM
+    nsym = C.ACQUIRE_SYMBOLS
     angle = prev_angle - 2 * jnp.pi * cfo_bins.astype(jnp.float32)
 
     phase0 = state.phase * jnp.exp(

@@ -59,3 +59,33 @@ def test_fm_chain_batch(rng):
     out, _ = sc.fm_chain_batch(bufs, carries, n_blocks, 1, first_bc)
     for i in range(s):
         assert np.array_equal(np.asarray(out["p1"][i, 0]), p1[0])
+
+
+def test_am_chain_scan(rng):
+    """Fused AM chain matches the truth harness in steady state."""
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_am as sca
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    n = 6
+    p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_bits = rng.integers(0, 2, (n * 8, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    pids_codes = np.stack([EAM.encode_pids_am(p) for p in pids_bits])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+
+    buf = np.zeros(sca.am_buffer_len(n), np.complex64)
+    start = C.FFTCP_AM // 2
+    buf[start:start + len(sig)] = sig
+    out, carry = sca.am_chain_scan(jnp.asarray(buf),
+                                   sca.am_chain_init_carry(), n, False)
+    # frames 3..n-1 are past diversity warm-up
+    for f in range(3, n):
+        assert np.array_equal(np.asarray(out["p1"][f]), p1[f]), f
+        assert np.array_equal(np.asarray(out["p3"][f]), p3[f]), f
+    assert np.array_equal(np.asarray(out["pids"]), pids_bits)
