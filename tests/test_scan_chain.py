@@ -89,3 +89,29 @@ def test_am_chain_scan(rng):
         assert np.array_equal(np.asarray(out["p1"][f]), p1[f]), f
         assert np.array_equal(np.asarray(out["p3"][f]), p3[f]), f
     assert np.array_equal(np.asarray(out["pids"]), pids_bits)
+
+
+def test_checkpoint_resume(rng):
+    """Carried-state checkpoint at a block boundary resumes bit-exactly."""
+    import tempfile, os
+    import jax.numpy as jnp
+    from nrsc5_tpu.utils.checkpoint import load_state, save_state
+
+    buf, p1, pids, n_blocks, first_bc = _steady_signal(rng)
+    # run the full 17 blocks in one go
+    out_full, _ = sc.fm_chain_scan(jnp.asarray(buf), sc.chain_init_carry(),
+                                   n_blocks, 1, first_bc)
+    # run 1 block, checkpoint, resume for the remaining 16
+    first = sc.buffer_len(1)
+    out1, carry1 = sc.fm_chain_scan(jnp.asarray(buf[:first]),
+                                    sc.chain_init_carry(), 1, 1, first_bc)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "carry.npz")
+        save_state(path, carry1)
+        carry1b = load_state(path, sc.chain_init_carry())
+    # resume: offset is relative to the same buffer
+    out2, _ = sc.fm_chain_scan(jnp.asarray(buf), carry1b, n_blocks - 1, 1,
+                               (first_bc + 1) % 16)
+    assert np.array_equal(np.asarray(out2["p1"][0]), p1[0])
+    assert np.array_equal(np.asarray(out2["p1"][0]),
+                          np.asarray(out_full["p1"][0]))
