@@ -226,12 +226,17 @@ class FMReceiver:
                 "cber": float(errors) / C.P1_FRAME_LEN_ENCODED_FM})
             self.on_frame(0, np.asarray(bits), float(margin))
 
-        # PX1/PX2 (reference: src/decode.c:393-437)
+        # PX1/PX2 (reference: src/decode.c:393-437).  Divergence: the
+        # reference starts the interleaver-IV cycle at the first even bc
+        # after lock, which aligns with the transmit cycle only by luck
+        # (1 in 16 pair phases); we anchor at bc==0, leaving only the
+        # standard's inherent two-frame cycle ambiguity.
         for px, key in ((self.px1, "px1"), (self.px2, "px2")):
             if key not in out:
                 continue
-            if bc % 2 == 0:
+            if bc == 0:
                 px.started = True
+            if bc % 2 == 0:
                 if px.started:
                     px.pending = [out[key]]
             elif px.started and px.pending:

@@ -52,14 +52,34 @@ def encode_p3_stream(p3_bits: np.ndarray, frame_len: int) -> np.ndarray:
     return puncture(coded, C.PUNCTURE_P3_P4_FM)
 
 
-def build_px_matrix(frames: np.ndarray, frame_len: int) -> np.ndarray:
-    """Interleaver-IV cycle: 16 P3/P4 frames -> TX sign stream.
+def build_px_stream(frames: np.ndarray, frame_len: int,
+                    rng: np.random.Generator | None = None) -> np.ndarray:
+    """Interleaver-IV transmit stream for consecutive cycles.
 
-    frames: [16, frame_len] bits.  Returns int8 [N] in {-1,+1}, the sideband
-    soft-bit stream in demod order for 32 L1 blocks (one cycle).  The
-    receiver outputs these frames one full cycle later.
+    frames: [n_cycles, 16, frame_len] bits.  Returns int8
+    [n_cycles * N] in {-1,+1}: the sideband soft-bit stream in demod order.
+
+    The deinterleaver's read at cycle position i takes the internal buffer
+    value written *this* cycle when read_idx[i] < i and *last* cycle
+    otherwise (reference: src/decode.c:344-376 reads before writing), so
+    the transmit stream at internal position j must carry cycle K's
+    codeword when j < inv[j] and cycle K+1's when j >= inv[j].  The last
+    cycle's future half is random filler (read only beyond the capture);
+    the receiver's `ready` gate discards cycle 0, so cycles 1..n-1 decode.
     """
-    streams = np.stack([encode_p3_stream(f, frame_len) for f in frames])
-    cycle = streams.reshape(-1).astype(np.int8)
+    frames = np.asarray(frames)
+    assert frames.ndim == 3 and frames.shape[1] == 16
+    n_cycles = frames.shape[0]
+    coded = np.stack([
+        np.concatenate([encode_p3_stream(f, frame_len) for f in cyc])
+        for cyc in frames]).astype(np.int8)  # [n_cycles, N]
     inv = IL.p3_iv_inverse(frame_len)
-    return (cycle[inv] * 2 - 1).astype(np.int8)
+    n = len(inv)
+    future = np.arange(n) >= inv
+    rng = rng or np.random.default_rng(0xB5)
+    filler = rng.integers(0, 2, n).astype(np.int8)
+    out = np.empty((n_cycles, n), np.int8)
+    for k in range(n_cycles):
+        nxt = coded[k + 1] if k + 1 < n_cycles else filler
+        out[k] = np.where(future, nxt[inv], coded[k][inv])
+    return (out.reshape(-1) * 2 - 1).astype(np.int8)

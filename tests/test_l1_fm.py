@@ -73,3 +73,53 @@ def test_fm_p1_pids_roundtrip(rng, impair_kw):
     want = {bytes(np.packbits(pids_frames[0][i])) for i in range(16)}
     missing = want - decoded
     assert not missing, f"missing {len(missing)} PIDS frames"
+
+
+def test_fm_mp3_px1_roundtrip(rng):
+    """Service mode MP3 (cm=3): P1 + PX1 (P3, interleaver-IV) end to end.
+
+    One interleaver-IV cycle spans 32 L1 blocks; its frames surface one
+    full cycle later, so the capture carries two cycles."""
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    psmi = 3
+    n_cycles = 2
+    p3_frames = rng.integers(
+        0, 2, (n_cycles, 16, C.P3_FRAME_LEN_MP3_MP11)).astype(np.uint8)
+
+    mats = []
+    for cyc in range(n_cycles):
+        for half in range(2):  # 2 P1 frames per IV cycle
+            p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+            pids = rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+            mats.append(build_pm_matrix(p1, pids))
+    stream = build_px_stream(p3_frames, C.P3_FRAME_LEN_MP3_MP11)
+    px_parts = [stream.reshape(n_cycles * 32 * C.BLKSZ, -1)]
+
+    lead_blocks = 2
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    matrix = np.concatenate([dummy[(16 - lead_blocks) * 32:]] + mats
+                            + [dummy[:2 * 32]])
+    px_all = np.concatenate([np.ones((lead_blocks * 32,
+                                      px_parts[0].shape[1]), np.int8)]
+                            + px_parts
+                            + [np.ones((2 * 32, px_parts[0].shape[1]),
+                                       np.int8)])
+    bc_seq = np.concatenate([np.arange(16 - lead_blocks, 16),
+                             np.tile(np.arange(16), 2 * n_cycles),
+                             np.arange(2)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+
+    col = Collector()
+    rx = FMReceiver(col.on_frame, col.on_event)
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": psmi}) in col.events
+    got = {b.tobytes() for b in col.px1}
+    # the ready gate discards cycle 0; every frame of cycle 1 must decode
+    missing = sum(p3_frames[1][i].astype(np.uint8).tobytes() not in got
+                  for i in range(16))
+    assert missing == 0, f"{missing}/16 P3 frames missing"
