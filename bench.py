@@ -30,12 +30,15 @@ def main():
     args = ap.parse_args()
 
     import os
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/jax"))
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NB: the persistent compilation cache is NOT enabled by default — the
+    # axon TPU backend fails with UNIMPLEMENTED when executables are
+    # (de)serialized.  Opt in with NRSC5_BENCH_CACHE=1 on backends that
+    # support it.
+    if os.environ.get("NRSC5_BENCH_CACHE"):
+        cache = os.path.expanduser("~/.cache/jax")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from nrsc5_tpu import constants as C

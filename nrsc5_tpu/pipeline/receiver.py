@@ -144,8 +144,10 @@ class FMReceiver:
             self.sync_state = SYNC_COARSE
 
         timing_adj = C.FFTCP_FM // 2 - samperr
+        prev_sync = self.sync_arrays
+        psmi_used = self.psmi
         out, self.sync_arrays = sync_fm_block(
-            spectra, self.sync_arrays, self.psmi, timing_adj)
+            spectra, prev_sync, psmi_used, timing_adj)
 
         consumed = WINDOW_FM - (int(keep) + self.keep_extra)
         self.keep_extra = 0
@@ -154,6 +156,11 @@ class FMReceiver:
 
         if self.sync_state == SYNC_COARSE:
             self._coarse_step(out, spectra)
+            if self.sync_state == SYNC_FINE and self.psmi != psmi_used:
+                # the lock block itself must be demodulated with the
+                # latched service mode (it is bc=0 of the PX cycle)
+                out, self.sync_arrays = sync_fm_block(
+                    spectra, prev_sync, self.psmi, timing_adj)
         if self.sync_state == SYNC_FINE:
             self._fine_step(out)
 

@@ -123,3 +123,61 @@ def test_fm_mp3_px1_roundtrip(rng):
     missing = sum(p3_frames[1][i].astype(np.uint8).tobytes() not in got
                   for i in range(16))
     assert missing == 0, f"{missing}/16 P3 frames missing"
+
+
+def test_fm_mp11_px1_px2_roundtrip(rng):
+    """Service mode MP11 (cm=11): widest FM mode, P1 + PX1 + PX2."""
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    psmi = 11
+    n_cycles = 2
+    fl = C.P3_FRAME_LEN_MP3_MP11
+    p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+    p4 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+
+    mats = []
+    for _ in range(n_cycles * 2):
+        p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+        pids = rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+        mats.append(build_pm_matrix(p1, pids))
+    px1_all = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+    px2_all = build_px_stream(p4, fl, rng=np.random.default_rng(77)) \
+        .reshape(n_cycles * 32 * C.BLKSZ, -1)
+
+    lead, trail = 2, 2
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    matrix = np.concatenate([dummy[(16 - lead) * 32:]] + mats
+                            + [dummy[:trail * 32]])
+    pad = np.ones((lead * 32, px1_all.shape[1]), np.int8)
+    pad_t = np.ones((trail * 32, px1_all.shape[1]), np.int8)
+    px1_all = np.concatenate([pad, px1_all, pad_t])
+    px2_all = np.concatenate([pad, px2_all, pad_t])
+    bc_seq = np.concatenate([np.arange(16 - lead, 16),
+                             np.tile(np.arange(16), 2 * n_cycles),
+                             np.arange(trail)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px1_all,
+                      px2_signs=px2_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+
+    col = Collector()
+    col.px2 = []
+    col_on = col.on_frame
+
+    def on_frame(chan, bits, margin):
+        if chan == 2:
+            col.px2.append(bits)
+        else:
+            col_on(chan, bits, margin)
+
+    rx = FMReceiver(on_frame, col.on_event)
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": psmi}) in col.events
+    got1 = {b.tobytes() for b in col.px1}
+    got2 = {b.tobytes() for b in col.px2}
+    miss1 = sum(p3[1][i].tobytes() not in got1 for i in range(16))
+    miss2 = sum(p4[1][i].tobytes() not in got2 for i in range(16))
+    assert miss1 == 0, f"{miss1}/16 PX1 frames missing"
+    assert miss2 == 0, f"{miss2}/16 PX2 frames missing"
