@@ -181,3 +181,45 @@ def test_fm_mp11_px1_px2_roundtrip(rng):
     miss2 = sum(p4[1][i].tobytes() not in got2 for i in range(16))
     assert miss1 == 0, f"{miss1}/16 PX1 frames missing"
     assert miss2 == 0, f"{miss2}/16 PX2 frames missing"
+
+
+def test_fm_mp2_px1_roundtrip(rng):
+    """Service mode MP2 (cm=2): one extended partition per sideband,
+    P3 frames of 2304 bits through the J=2 interleaver-IV."""
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    psmi = 2
+    n_cycles = 2
+    fl = C.P3_FRAME_LEN_MP2
+    p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+
+    mats = []
+    for _ in range(n_cycles * 2):
+        mats.append(build_pm_matrix(
+            rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+            rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)))
+    px1_all = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+
+    lead, trail = 2, 2
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    matrix = np.concatenate([dummy[(16 - lead) * 32:]] + mats
+                            + [dummy[:trail * 32]])
+    pad = np.ones((lead * 32, px1_all.shape[1]), np.int8)
+    pad_t = np.ones((trail * 32, px1_all.shape[1]), np.int8)
+    px1_all = np.concatenate([pad, px1_all, pad_t])
+    bc_seq = np.concatenate([np.arange(16 - lead, 16),
+                             np.tile(np.arange(16), 2 * n_cycles),
+                             np.arange(trail)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px1_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+
+    col = Collector()
+    rx = FMReceiver(col.on_frame, col.on_event)
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": psmi}) in col.events
+    got = {b.tobytes() for b in col.px1}
+    missing = sum(p3[1][i].tobytes() not in got for i in range(16))
+    assert missing == 0, f"{missing}/16 MP2 P3 frames missing"
