@@ -51,6 +51,7 @@ class NRSC5:
         self._worker = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        self._iq_dump = None
         self._wire()
 
     # ------------------------------------------------------------------
@@ -194,10 +195,17 @@ class NRSC5:
             if data is None or len(data) == 0:
                 self._emit(make(EventType.LOST_DEVICE))
                 return
+            if self._iq_dump is not None:
+                self._iq_dump.write(data)
             if getattr(self._source, "format", "cu8") == "cu8":
                 self.pipe_samples_cu8(np.frombuffer(data, np.uint8))
             else:
                 self.pipe_samples_cs16(data)
+
+    def set_iq_dump(self, fobj):
+        """Tee raw device reads into a file object (CLI -w flag;
+        reference: src/main.c IQ output)."""
+        self._iq_dump = fobj
 
     # ------------------------------------------------------------------
     # sample push (reference: nrsc5_pipe_samples_cu8/cs16)

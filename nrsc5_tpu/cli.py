@@ -75,6 +75,8 @@ class CLI:
             host, _, port = a.rtltcp.partition(":")
             radio = NRSC5.open_rtltcp(host, int(port or 1234), self.on_event,
                                       mode, hdc_decoder_factory=hdc_factory)
+            if a.iq_output:
+                radio.set_iq_dump(open(a.iq_output, "wb"))
             radio.set_frequency(a.frequency * 1e6
                                 if a.frequency < 10000 else a.frequency)
             if a.gain is not None:
@@ -138,9 +140,10 @@ class CLI:
             log.info("Station location: %.4f, %.4f, %dm",
                      ev.latitude, ev.longitude, ev.altitude)
         elif t == EventType.AUDIO_SERVICE:
+            from nrsc5_tpu.api.names import program_type_name
             log.info("Audio program %d: %s, type %s, codec %d",
                      ev.program, "public" if not ev.access else "restricted",
-                     ev.payload["type"], ev.codec_mode)
+                     program_type_name(ev.payload["type"]), ev.codec_mode)
         elif t == EventType.LOT:
             if a.dump_aas_files:
                 path = os.path.join(a.dump_aas_files, ev.name)
