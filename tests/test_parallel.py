@@ -49,3 +49,57 @@ def test_sharded_fm_chain(rng):
             got = pids_out[s, f * 16:(f + 1) * 16]
             assert np.array_equal(got, pids[f])
     assert float(quality) < 0.05  # clean link: tiny EVM power
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_replay_capture_transport(rng):
+    """Sharded decode + host transport merge: HDC packets and ID3 titles
+    come out of a mesh-decoded multi-station capture."""
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.parallel import replay as rp
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    def id3(title):
+        fr = b"TIT2" + (len(title) + 1).to_bytes(4, "big") + b"\x00\x00" \
+            + b"\x00" + title.encode()
+        size = len(fr)
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+        return b"ID3\x03\x00\x00" + ss + fr
+
+    n_time, n_station, n_blocks = 2, 2, 16
+    packets, p1_frames = [], []
+    for f in range(n_time):
+        pk = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+              for _ in range(32)]
+        packets.append(pk)
+        p1_frames.append(build_p1_fm_frame(
+            pk, 0, f % 8, (f * 32) % 64, aas_frame(0x5100, f, id3("MeshFM"))))
+    pids = np.zeros((16, 80), np.uint8)
+    mats = [build_pm_matrix(p1_frames[f], pids) for f in range(n_time)]
+    trail = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)[:32]
+    matrix = np.concatenate(mats + [trail])
+    bc_seq = np.concatenate([np.tile(np.arange(16), n_time), [0]])
+    sig = modulate_fm(matrix, bc_seq, 1)
+
+    chunk = pr.shard_chunk_len(n_blocks)
+    total = n_time * chunk
+    buf = np.zeros(total + pr.HALO, np.complex64)
+    start = C.FFTCP_FM // 2
+    buf[start:] = sig[:total + pr.HALO - start]
+    samples = np.stack([buf[:total]] * n_station)
+    tails = np.stack([buf[total:]] * n_station)
+
+    mesh = pr.make_mesh(n_station, n_time)
+    sinks, quality = rp.replay_capture(samples, tails, mesh, n_blocks)
+    assert len(sinks) == n_station
+    want = {p for pk in packets for p in pk[:32]}
+    for sink in sinks:
+        hdc = {e.data for e in sink.events if e.type == EventType.HDC
+               and not e.crc_error}
+        # frame 0's packets pop during frame 1's blocks
+        got0 = sum(p in hdc for p in packets[0])
+        assert got0 == 32, f"{got0}/32 frame-0 packets"
+        titles = [e.title for e in sink.events if e.type == EventType.ID3]
+        assert "MeshFM" in titles
