@@ -155,6 +155,14 @@ class NRSC5:
             self._worker.join()
             self._worker = None
 
+    def flush(self):
+        """Drain pending frames/packets at the end of a finite capture."""
+        with self._lock:
+            if hasattr(self.radio, "flush"):
+                self.radio.flush()
+            for _ in range(4):
+                self.output.advance()
+
     def close(self):
         self.stop()
         if self._source is not None and hasattr(self._source, "close"):

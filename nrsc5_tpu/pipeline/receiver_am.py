@@ -59,6 +59,7 @@ class AMReceiver:
         self.offset_history = 0
         self.diversity_wait = 4
         self._mats = self._empty_mats()
+        self._p1_queue = []
 
     def _empty_mats(self):
         return {k: np.zeros(8 * _MAT, np.uint8) for k in ("pl", "pu", "s", "t")}
@@ -91,6 +92,7 @@ class AMReceiver:
         self.push_cs16(np.asarray(y))
 
     def _process_block(self):
+        self._drain_p1()
         self.on_event("block", {})
         window = jnp.asarray(self.ring[:WINDOW_AM])
         fine = self.sync_state == SYNC_FINE
@@ -177,12 +179,25 @@ class AMReceiver:
             if self.diversity_wait > 0:
                 self.diversity_wait -= 1
             else:
+                # deliver one subframe per subsequent block — the reference
+                # decodes subframe bc during block bc of the next frame
+                # (src/decode.c:507-517), which paces the elastic buffer
                 p1 = np.asarray(p1)
                 pm = np.asarray(margins["p1"])
-                for i in range(8):
-                    self.on_frame(0, p1[i], float(pm[i]))
+                self._p1_queue = [(p1[i], float(pm[i])) for i in range(8)]
                 if not rdbi:
                     self.on_frame(3, np.asarray(p3),
                                   float(margins["p3"]))
         self.bc = (self.bc + 1) % 8
+
+    def _drain_p1(self):
+        if self._p1_queue:
+            bits, margin = self._p1_queue.pop(0)
+            self.on_frame(0, bits, margin)
+
+    def flush(self):
+        """Deliver any queued subframes (end of a finite capture)."""
+        while self._p1_queue:
+            self._drain_p1()
+            self.on_event("block", {})
     # ------------------------------------------------------------------

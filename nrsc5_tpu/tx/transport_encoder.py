@@ -44,9 +44,10 @@ def build_audio_pdu(packets: list[bytes], program: int = 0,
     """
     nop = len(packets)
     assert nop <= C.MAX_AUDIO_PACKETS
-    # locations are 16-bit for codec_mode 0 (reference: src/frame.c:267-313)
-    assert codec_mode == 0, "harness supports codec_mode 0 (lc_bits=16)"
-    loc_bytes = (16 * nop + 4) // 8
+    # location width per codec mode (reference: src/frame.c:267-313)
+    lc_bits = 16 if codec_mode == 0 else 12
+    assert codec_mode in (0, 13), "harness supports codec modes 0 and 13"
+    loc_bytes = (lc_bits * nop + 4) // 8
 
     hef = bytes([(1 << 4) | ((program & 7) << 1)])
     header_len = 14 + loc_bytes + len(hef)
@@ -71,22 +72,28 @@ def build_audio_pdu(packets: list[bytes], program: int = 0,
         pos += 1
     loc_field = bytearray(loc_bytes)
     for j, loc in enumerate(locs):
-        loc_field[2 * j] = loc & 0xFF
-        loc_field[2 * j + 1] = loc >> 8
+        if lc_bits == 16:
+            loc_field[2 * j] = loc & 0xFF
+            loc_field[2 * j + 1] = loc >> 8
+        elif j % 2 == 0:  # 12-bit packing (reference: src/frame.c:315-326)
+            loc_field[j // 2 * 3] = loc & 0xFF
+            loc_field[j // 2 * 3 + 1] |= (loc >> 8) & 0xF
+        else:
+            loc_field[j // 2 * 3 + 1] |= (loc & 0xF) << 4
+            loc_field[j // 2 * 3 + 2] = loc >> 4
     body += loc_field
     body += hef
     body += psd
 
-    pdu = bytearray()
-    # RS codeword: parity(8) + first 88 payload bytes
-    head88 = bytes(body[:88].ljust(88, b"\x00"))
-    cw = rs_encode_pdu(np.frombuffer(head88, np.uint8))
-    pdu += bytes(np.asarray(cw, np.uint8)[:8])
-    pdu += body
+    payload = bytearray(body)
     for pkt in packets:
-        pdu += pkt
-        pdu.append(crc8(np.frombuffer(pkt, np.uint8)))
-    assert len(pdu) - 8 >= 88, "PDU too short for the RS codeword"
+        payload += pkt
+        payload.append(crc8(np.frombuffer(pkt, np.uint8)))
+    assert len(payload) >= 88, "PDU too short for the RS codeword"
+    # RS parity covers the first 88 payload bytes as transmitted
+    cw = rs_encode_pdu(np.frombuffer(bytes(payload[:88]), np.uint8))
+    pdu = bytearray(np.asarray(cw, np.uint8)[:8].tobytes())
+    pdu += payload
 
     if total_len is not None:
         assert len(pdu) <= total_len, f"PDU {len(pdu)} > {total_len}"
@@ -119,3 +126,13 @@ def build_p1_fm_frame(packets: list[bytes], program: int = 0,
     pdu = build_audio_pdu(packets, program=program, pdu_seq=pdu_seq,
                           seq=seq, psd=psd, total_len=C.MAX_PDU_LEN)
     return pack_frame(pdu, C.P1_FRAME_LEN_FM, C.PCI_AUDIO)
+
+
+def build_p1_am_frame(packets: list[bytes], program: int = 0,
+                      pdu_seq: int = 0, seq: int = 0,
+                      psd: bytes = b"") -> np.ndarray:
+    """One AM P1 frame (466-byte PDU, codec mode 13) bits [3750]."""
+    pdu = build_audio_pdu(packets, program=program, pdu_seq=pdu_seq,
+                          seq=seq, psd=psd, codec_mode=13,
+                          total_len=C.P1_PDU_LEN_AM)
+    return pack_frame(pdu, C.P1_FRAME_LEN_AM, C.PCI_AUDIO)

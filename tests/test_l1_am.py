@@ -68,6 +68,7 @@ def test_am_end_to_end(rng, ma3, impair):
     rx = AMReceiver(lambda ch_, bits, m: got[ch_].append(bits),
                     lambda k, i: events.append((k, i)))
     rx.push_cs16(sig)
+    rx.flush()
 
     assert ("sync", {"psmi": psmi}) in events, f"no sync: {events}"
     assert got[0], "no P1 frames decoded"

@@ -99,3 +99,47 @@ def test_fm_session_golden_path(rng):
     assert not missing, f"{len(missing)} HDC packets missing of {len(want)}"
     # audio service info observed
     assert EventType.AUDIO_SERVICE in kinds
+
+
+def test_am_session_transport(rng):
+    """AM mode through the session API: MA1 L1 + 466-byte audio PDUs →
+    bit-exact HDC packet events (BASELINE config 2 analog)."""
+    from nrsc5_tpu.api.session import MODE_AM
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    n_frames = 7
+    packets = []
+    p1_bits = np.zeros((n_frames, 8, C.P1_FRAME_LEN_AM), np.uint8)
+    for f in range(n_frames):
+        for sub in range(8):
+            pk = [rng.integers(0, 256, 90).astype(np.uint8).tobytes()
+                  for _ in range(4)]
+            packets.append((f, pk))
+            g = f * 8 + sub
+            p1_bits[f, sub] = build_p1_am_frame(
+                pk, 0, pdu_seq=sub, seq=(g * 4) % 64)
+    p3 = rng.integers(0, 2, (n_frames, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1_bits[f]) for f in range(n_frames)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n_frames)], False)
+    pids = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n_frames * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n_frames * 8)])
+    sig = modulate_am(mats, pids, ref, False)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_AM)
+    for i in range(0, len(sig), 32768):
+        radio.pipe_samples_cs16(sig[i:i + 32768])
+    radio.flush()
+
+    kinds = {e.type for e in events}
+    assert EventType.SYNC in kinds
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    # frame 5 decodes (warm-up covers 0-4); its packets must appear
+    want = {p for f, pk in packets if f == 5 for p in pk}
+    got = sum(p in hdc for p in want)
+    assert got == len(want), f"{got}/{len(want)} AM HDC packets"
