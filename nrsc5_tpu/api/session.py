@@ -139,6 +139,21 @@ class NRSC5:
         if hasattr(self._source, "set_gain"):
             self._source.set_gain(gain_db)
 
+    def set_auto_gain(self, enabled: bool):
+        self._want_auto_gain = enabled
+
+    def set_freq_correction(self, ppm: int):
+        if hasattr(self._source, "set_freq_correction"):
+            self._source.set_freq_correction(ppm)
+
+    def set_bias_tee(self, on: bool):
+        if hasattr(self._source, "set_bias_tee"):
+            self._source.set_bias_tee(on)
+
+    def set_direct_sampling(self, mode: int):
+        if hasattr(self._source, "set_direct_sampling"):
+            self._source.set_direct_sampling(mode)
+
     # ------------------------------------------------------------------
     # worker (reference: nrsc5_start/stop, src/nrsc5.c:434-462)
     # ------------------------------------------------------------------

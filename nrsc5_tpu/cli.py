@@ -77,6 +77,12 @@ class CLI:
                                       mode, hdc_decoder_factory=hdc_factory)
             if a.iq_output:
                 radio.set_iq_dump(open(a.iq_output, "wb"))
+            if a.ppm:
+                radio.set_freq_correction(a.ppm)
+            if a.bias_tee:
+                radio.set_bias_tee(True)
+            if a.direct_sampling:
+                radio.set_direct_sampling(a.direct_sampling)
             radio.set_frequency(a.frequency * 1e6
                                 if a.frequency < 10000 else a.frequency)
             if a.gain is not None:
@@ -187,6 +193,10 @@ def main(argv=None):
     p.add_argument("-q", dest="quiet", action="store_true")
     p.add_argument("-l", dest="log_level", type=int, default=2)
     p.add_argument("--am", action="store_true", help="AM mode")
+    p.add_argument("-T", dest="bias_tee", action="store_true",
+                   help="enable bias-T power")
+    p.add_argument("-D", dest="direct_sampling", type=int, default=0,
+                   help="direct sampling mode")
     p.add_argument("--dump-hdc", help="dump HDC packets (ADTS)")
     p.add_argument("--dump-aas-files", help="directory for AAS LOT files")
     args = p.parse_args(argv)
