@@ -122,3 +122,40 @@ def test_viterbi_chunked_matches_sequential(rng):
     assert np.array_equal(np.asarray(seq_bits), np.asarray(chk_bits))
     # and both recover the transmitted bits at this SNR
     assert np.array_equal(np.asarray(seq_bits), bits)
+
+
+@pytest.mark.parametrize("k,gens,radix", [
+    (7, (0o133, 0o171, 0o165), 2),
+    (7, (0o133, 0o171, 0o165), 4),
+    (7, (0o133, 0o171, 0o165), 6),
+    (9, (0o561, 0o657, 0o711), 4),
+])
+def test_viterbi_radix_matches(rng, k, gens, radix):
+    """Radix-2^r ACS must reproduce the radix-1 Viterbi path."""
+    from nrsc5_tpu.ops.convolutional import (_acs_traceback,
+                                             _acs_traceback_radix)
+    import jax.numpy as jnp
+
+    t = 480
+    llr = rng.normal(0, 1, (3, t, 3)).astype(np.float32)
+    ext = jnp.asarray(llr)
+    b1, m1 = _acs_traceback(ext, k, gens)
+    br, mr = _acs_traceback_radix(ext, k, gens, radix)
+    assert np.allclose(np.asarray(m1), np.asarray(mr), atol=1e-3)
+    assert np.array_equal(np.asarray(b1), np.asarray(br))
+
+
+def test_viterbi_chunked_radix_roundtrip(rng):
+    from nrsc5_tpu.ops.convolutional import (conv_encode, depuncture,
+                                             puncture, viterbi_decode_chunked)
+    from nrsc5_tpu import constants as C
+
+    t = 9136
+    bits = rng.integers(0, 2, (2, t)).astype(np.uint8)
+    coded = puncture(conv_encode(bits, 7, C.CONV_K7_GEN),
+                     C.PUNCTURE_P1_PIDS_FM)
+    llr = coded.astype(np.float32) * 2 - 1
+    llr = llr + rng.normal(0, 0.5, llr.shape).astype(np.float32)
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(2, t, 3)
+    out, _ = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN, radix=4)
+    assert np.array_equal(np.asarray(out), bits)
