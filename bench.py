@@ -91,7 +91,8 @@ def run_bench(args) -> dict:
     t0 = time.perf_counter()
     for _ in range(args.reps):
         out, _ = step(samples, carries)
-    jax.block_until_ready(out)
+        # sync each rep: deep async queues destabilize the axon backend
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     n_samples = args.reps * args.stations * n_blocks * C.BLKSZ * C.FFTCP_FM
