@@ -56,14 +56,23 @@ def cu8_to_cf(data: jax.Array) -> jax.Array:
 
 def _halfband(x: jax.Array, tail: jax.Array):
     """One ÷2 halfband stage with overlap-save.  x: [..., N] (N even).
-    Returns (y [..., N//2], new_tail [..., 14])."""
-    h = jnp.asarray(halfband_taps(), x.real.dtype)
+    Returns (y [..., N//2], new_tail [..., 14]).
+
+    Polyphase split: a halfband's odd taps are all zero except the center,
+    so y[m] = sum_j he[j]*xx[2(m+j)] + 0.5*xx[2m+7] — eight statically
+    shifted multiply-adds on the even phase plus one scaled odd sample.
+    Pure fused elementwise ops; no gather, no conv lowering."""
+    h = halfband_taps()
+    he = jnp.asarray(np.ascontiguousarray(h[0::2]))  # 8 even-phase taps
     xx = jnp.concatenate([tail, x], axis=-1)
     n_out = x.shape[-1] // 2
-    # y[m] = sum_k h[k] * xx[2m + k]
-    idx = 2 * jnp.arange(n_out)[:, None] + jnp.arange(HB_NTAPS)[None, :]
-    y = (xx[..., idx] * h).sum(-1)
-    return y, xx[..., -(HB_NTAPS - 1):]
+    xe = xx[..., 0::2]
+    xo = xx[..., 1::2]
+    y = h[7] * jax.lax.slice_in_dim(xo, 3, 3 + n_out, axis=-1) \
+        .astype(jnp.complex64)
+    for j in range(8):
+        y = y + he[j] * jax.lax.slice_in_dim(xe, j, j + n_out, axis=-1)
+    return y.astype(jnp.complex64), xx[..., -(HB_NTAPS - 1):]
 
 
 def fm_decimate(x: jax.Array, state: FrontendState):
