@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-RETRIES = 3
+RETRIES = 2
 RETRY_SLEEP_S = 120
 
 
