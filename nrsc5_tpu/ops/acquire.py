@@ -114,16 +114,16 @@ def _demod(buf: jax.Array, state: AcquireState, samperr: jax.Array,
     prev_angle_out = angle
 
     # de-rotation ramp; integer-CFO part in exact modular arithmetic
-    cfo_f = cfo.astype(jnp.float32)
+    # (int32 is ample: |cfo| <= ~80 bins, n < 72k)
     n = jnp.arange(nsym * fftcp, dtype=jnp.int32)
     frac = jnp.exp(1j * (angle / fft) * n.astype(jnp.float32))
-    cfo_mod = ((cfo.astype(jnp.int64) * n.astype(jnp.int64)) % fft).astype(jnp.float32)
+    cfo_mod = ((cfo.astype(jnp.int32) * n.astype(jnp.int32)) % fft).astype(jnp.float32)
     intc = jnp.exp(-2j * jnp.pi / fft * cfo_mod)
     # initial phase adjustment by (fftcp/2 - samperr) samples
     adj = (fftcp // 2 - samperr).astype(jnp.float32)
     phase0 = state.phase * jnp.exp(-1j * adj * angle / fft) \
-        * jnp.exp(2j * jnp.pi / fft * ((cfo.astype(jnp.int64)
-                  * (fftcp // 2 - samperr).astype(jnp.int64)) % fft).astype(jnp.float32))
+        * jnp.exp(2j * jnp.pi / fft * ((cfo.astype(jnp.int32)
+                  * (fftcp // 2 - samperr).astype(jnp.int32)) % fft).astype(jnp.float32))
     phase0 = phase0 / jnp.abs(phase0)
     ramp = (phase0 * frac * intc).reshape(nsym, fftcp)
 
@@ -138,13 +138,12 @@ def _demod(buf: jax.Array, state: AcquireState, samperr: jax.Array,
     # carry-out phase after nsym*fftcp samples
     total = nsym * fftcp
     phase_out = phase0 * jnp.exp(1j * (angle / fft) * total) \
-        * jnp.exp(-2j * jnp.pi / fft * ((cfo.astype(jnp.int64) * total) % fft).astype(jnp.float32))
+        * jnp.exp(-2j * jnp.pi / fft * ((cfo.astype(jnp.int32) * total) % fft).astype(jnp.float32))
     phase_out = phase_out / jnp.abs(phase_out)
 
     keep = (fftcp + (fftcp // 2 - samperr)).astype(jnp.int32)
     new_state = AcquireState(phase=phase_out.astype(jnp.complex64),
                              prev_angle=prev_angle_out)
-    del cfo_f
     return spectra.astype(jnp.complex64), new_state, samperr, angle, keep
 
 
