@@ -73,11 +73,20 @@ def run_bench(args) -> dict:
     buf[start:start + len(sig)] = sig
     samples = jnp.asarray(np.broadcast_to(buf, (args.stations, len(buf))))
 
-    carries = jax.tree.map(
+    carries0 = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
         sc.chain_init_carry())
+    # keep complex64 out of the executable's outputs: the axon backend
+    # cannot transfer complex buffers to the host (and a failed complex
+    # fetch wedges the device)
+    carries = jax.jit(sc.carry_to_real)(carries0)
 
-    step = jax.jit(lambda s, c: sc.fm_chain_batch(s, c, n_blocks, 1, 0))
+    def _step(s, cr):
+        out, carry = sc.fm_chain_batch(s, sc.carry_from_real(cr),
+                                       n_blocks, 1, 0)
+        return out, sc.carry_to_real(carry)
+
+    step = jax.jit(_step)
 
     t_c0 = time.perf_counter()
     out, _ = step(samples, carries)  # compile + warm up

@@ -126,3 +126,24 @@ def fm_chain_batch(samples: jax.Array, carries: ChainCarry,
     return jax.vmap(
         lambda s, c: fm_chain_scan(s, c, n_blocks, psmi, first_bc)
     )(samples, carries)
+
+
+def carry_to_real(carry: ChainCarry):
+    """Split complex leaves into stacked (re, im) float32.
+
+    Some backends (the axon TPU plugin here) cannot transfer complex64
+    device buffers to the host — and a failed complex fetch wedges the
+    device — so jit boundaries that the host reads from should carry only
+    real leaves.  Inverse: :func:`carry_from_real`.
+    """
+    return jax.tree.map(
+        lambda x: jnp.stack([jnp.real(x), jnp.imag(x)])
+        if jnp.iscomplexobj(x) else x, carry)
+
+
+def carry_from_real(carry):
+    def merge(ref, x):
+        if jnp.iscomplexobj(ref):
+            return jax.lax.complex(x[0], x[1]).astype(jnp.complex64)
+        return x
+    return jax.tree.map(merge, chain_init_carry(), carry)
