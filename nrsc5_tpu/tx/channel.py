@@ -46,6 +46,19 @@ def upsample2(sig: np.ndarray) -> np.ndarray:
     return (np.fft.ifft(f) * 2).astype(np.complex64)
 
 
+def upsample_exact(sig: np.ndarray, factor: int) -> np.ndarray:
+    """Ideal Fourier interpolation by an integer factor (single step, no
+    cascade ringing) — for generating high-rate captures of narrowband
+    signals (e.g. 46.5 kS/s AM -> 1.488 MS/s cu8)."""
+    n = len(sig)
+    f = np.fft.fft(sig)
+    out = np.zeros(n * factor, np.complex64)
+    h = n // 2
+    out[:h] = f[:h]
+    out[-(n - h):] = f[h:]
+    return (np.fft.ifft(out) * factor).astype(np.complex64)
+
+
 def to_cu8(sig: np.ndarray) -> np.ndarray:
     """Quantize complex baseband to interleaved cu8 (reference ingest format:
     value 127 = zero; src/defines.h:92-93)."""

@@ -84,3 +84,39 @@ def test_am_end_to_end(rng, ma3, impair):
     have_pids = {b.tobytes() for b in got[-1]}
     want_pids = {pids[i].tobytes() for i in range(32, 56)}
     assert want_pids & have_pids, "no PIDS frames matched"
+
+
+def test_am_cu8_decimator_fidelity(rng):
+    """1.488 MS/s cu8 AM capture -> /32 cascade: the decimated stream must
+    track the original baseband closely on the occupied band.
+
+    (Full cu8->sync e2e is blocked by physics the reference shares: the
+    five-stage halfband cascade's aggregate impulse response spans ~14
+    output samples — the entire 14-sample AM cyclic prefix — so the CP
+    correlation plateau vanishes; AM captures are normally consumed at the
+    46.5 kS/s cs16 rate, covered by test_am_end_to_end.)"""
+    import jax.numpy as jnp
+    from nrsc5_tpu.ops import frontend as FE
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    p1, p3, mats = _frames(rng, False)
+    pids = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(N_FRAMES * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(N_FRAMES * 8)])
+    sig = modulate_am(mats, pids, ref, False, scale=0.05)
+
+    cu8 = ch.to_cu8(ch.upsample_exact(sig, 32))
+    y, _ = FE.am_decimate(FE.cu8_to_cf(jnp.asarray(cu8)),
+                          FE.frontend_init_state(FE.AM_STAGES))
+    y = np.asarray(y)
+    assert len(y) == len(sig)
+
+    # normalized cross-correlation at the cascade group delay
+    n = 1 << 16
+    lags = np.arange(0, 16)
+    ref_seg = sig[:n]
+    best = max(abs(np.vdot(y[lag:lag + n], ref_seg))
+               / (np.linalg.norm(y[lag:lag + n]) * np.linalg.norm(ref_seg))
+               for lag in lags)
+    assert best > 0.85, f"decimated stream decorrelated: {best:.3f}"
