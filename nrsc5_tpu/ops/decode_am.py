@@ -25,7 +25,8 @@ import numpy as np
 
 from nrsc5_tpu import constants as C
 from nrsc5_tpu.ops import interleavers as IL
-from nrsc5_tpu.ops.convolutional import depuncture, viterbi_decode
+from nrsc5_tpu.ops.convolutional import (depuncture, viterbi_decode,
+                                         viterbi_decode_chunked)
 from nrsc5_tpu.ops.scramble import scrambler_keystream
 
 DD = C.DIVERSITY_DELAY_AM  # 54000
@@ -129,16 +130,22 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
     p1_bits, p1_margin = viterbi_decode(p1_full, 9, C.CONV_E1_GEN)
     p1_bits = jax.vmap(lambda b: _descramble_dev(b, C.P1_FRAME_LEN_AM))(p1_bits)
 
+    # chunk-parallel Viterbi for the long P3 frame (24k/30k trellis steps;
+    # K=9 survivor merge needs a larger overlap than K=7)
+    radix = 1 if jax.default_backend() == "cpu" else 4
     p3_llr = (p3_am.astype(jnp.float32) * 2 - 1)
     if not ma3:
         p3_full = depuncture(p3_llr, C.PUNCTURE_E2, C.P3_FRAME_LEN_MA1 * 3)
         p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA1, 3)
-        p3_bits, p3_margin = viterbi_decode(p3_full, 9, C.CONV_E2_E3_GEN)
+        p3_bits, p3_margin = viterbi_decode_chunked(
+            p3_full, 9, C.CONV_E2_E3_GEN, chunk=1024, overlap=160,
+            radix=radix)
         p3_bits = _descramble_dev(p3_bits, C.P3_FRAME_LEN_MA1)
     else:
         p3_full = depuncture(p3_llr, C.PUNCTURE_E1, C.P3_FRAME_LEN_MA3 * 3)
         p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA3, 3)
-        p3_bits, p3_margin = viterbi_decode(p3_full, 9, C.CONV_E1_GEN)
+        p3_bits, p3_margin = viterbi_decode_chunked(
+            p3_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix)
         p3_bits = _descramble_dev(p3_bits, C.P3_FRAME_LEN_MA3)
 
     return (p1_bits, p3_bits,
