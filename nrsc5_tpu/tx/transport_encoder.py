@@ -34,6 +34,7 @@ def aas_frame(port: int, seq: int, payload: bytes) -> bytes:
 def build_audio_pdu(packets: list[bytes], program: int = 0,
                     pdu_seq: int = 0, seq: int = 0, psd: bytes = b"",
                     codec_mode: int = 0, latency: int = 0,
+                    pfirst: bool = False, plast: bool = False,
                     total_len: int | None = None) -> np.ndarray:
     """One audio PDU as a byte array.
 
@@ -57,7 +58,8 @@ def build_audio_pdu(packets: list[bytes], program: int = 0,
     b8 = (codec_mode & 0xF) | ((pdu_seq & 0x3) << 6)  # stream_id = 0
     b9 = (pdu_seq >> 2) & 1  # blend/delay 0
     b10 = (latency & 0x3) << 6  # common_delay 0
-    b11 = ((latency >> 2) & 1) | ((seq & 0x1F) << 3)  # pfirst=plast=0
+    b11 = ((latency >> 2) & 1) | (int(pfirst) << 1) | (int(plast) << 2) \
+        | ((seq & 0x1F) << 3)
     b12 = ((seq >> 5) & 1) | ((nop & 0x3F) << 1) | 0x80  # hef present
     b13 = la_location & 0xFF
     assert la_location < 256

@@ -186,3 +186,34 @@ def test_here_images(rng):
     assert len(sink.of(EventType.HERE_IMAGE)) == 1  # same timestamp anyway
     hi.push(100, _here_packet(1, 3, 99999, "tile3.png", data))
     assert len(sink.of(EventType.HERE_IMAGE)) == 2
+
+
+def test_half_packet_joining(rng):
+    """A packet split across two PDUs (plast half-front + pfirst half-back)
+    must be joined in the elastic buffer (reference: src/output.c:47-98)."""
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.transport import frame as TF
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+    from nrsc5_tpu import constants as C
+
+    sink = Sink()
+    out = Output(sink, mode_fm=True)
+    dec = TF.FrameDecoder(out)
+
+    big = rng.integers(0, 256, 500).astype(np.uint8).tobytes()
+    front, back = big[:300], big[300:]
+    normal = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+              for _ in range(3)]
+
+    pdu1 = build_audio_pdu(normal[:2] + [front], pdu_seq=0, seq=0,
+                           plast=True, total_len=C.MAX_PDU_LEN)
+    pdu2 = build_audio_pdu([back] + normal[2:], pdu_seq=0, seq=3,
+                           pfirst=True, total_len=C.MAX_PDU_LEN)
+    dec.push_frame(pack_frame(pdu1), TF.P1)
+    dec.push_frame(pack_frame(pdu2), TF.P1)
+    for _ in range(6):
+        out.advance()
+    hdc = [e.data for e in sink.of(EventType.HDC)]
+    assert big in hdc, "joined packet missing"
+    for p in normal:
+        assert p in hdc
