@@ -31,8 +31,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from nrsc5_tpu import constants as C
 from nrsc5_tpu.pipeline import scan_chain as sc
+from nrsc5_tpu.pipeline import scan_chain_am as sca
 
 HALO = C.FFTCP_FM + sc.SLACK  # right-neighbor context per time shard
+HALO_AM = C.FFTCP_AM + sca.SLACK_AM
 
 
 def make_mesh(n_station: int, n_time: int, devices=None) -> Mesh:
@@ -99,6 +101,54 @@ def sharded_fm_chain(mesh: Mesh, n_blocks: int, psmi: int = 1):
                    P("station", "time"), P()),
         # the chain's scan carries start from device-invariant constants;
         # skip the varying-manual-axes replication check
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def shard_chunk_len_am(n_frames: int) -> int:
+    """Samples per (station, time) shard for the AM chain."""
+    return n_frames * 8 * C.BLKSZ * C.FFTCP_AM
+
+
+def sharded_am_chain(mesh: Mesh, n_frames: int, ma3: bool = False):
+    """AM analog of :func:`sharded_fm_chain`: shards stations and
+    frame-aligned time chunks over the mesh with a ppermute halo.
+
+    Each time shard re-initializes its diversity delay lines, so the first
+    3 frames of every shard are warm-up (the host overlaps shard content by
+    3 frames when exact continuity matters).  samples: [S, n_time * chunk];
+    returns p1 [S, n_time*F, 8, 3750], p3 [S, n_time*F, len], pids
+    [S, n_time*F*8, 80].
+    """
+    n_time = mesh.shape["time"]
+    chunk = shard_chunk_len_am(n_frames)
+
+    def local_step(samples_loc, tail_loc):
+        head = samples_loc[:, :HALO_AM]
+        if n_time > 1:
+            perm = [(j, j - 1) for j in range(1, n_time)]
+            recv = jax.lax.ppermute(head, "time", perm)
+        else:
+            recv = jnp.zeros_like(head)
+        t_idx = jax.lax.axis_index("time")
+        recv = jnp.where(t_idx == n_time - 1, tail_loc, recv)
+        ext = jnp.concatenate([samples_loc, recv], axis=1)
+
+        def one_station(s):
+            out, _ = sca.am_chain_scan(s, sca.am_chain_init_carry(),
+                                       n_frames, ma3)
+            return out
+
+        out = jax.vmap(one_station)(ext)
+        return out["p1"], out["p3"], out["pids"]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("station", "time"), P("station", None)),
+        out_specs=(P("station", "time"), P("station", "time"),
+                   P("station", "time")),
         check_vma=False,
     )
     return jax.jit(step)

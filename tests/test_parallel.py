@@ -103,3 +103,50 @@ def test_replay_capture_transport(rng):
         assert got0 == 32, f"{got0}/32 frame-0 packets"
         titles = [e.title for e in sink.events if e.type == EventType.ID3]
         assert "MeshFM" in titles
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_sharded_am_chain(rng):
+    """AM chain over the (station, time) mesh with 3-frame shard overlap."""
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    n_station, n_time, n_frames = 2, 2, 7
+    # continuous capture: 7 frames; shard 0 sees frames 0-6? No — each
+    # shard gets n_frames consecutive frames; total = n_time*n_frames with
+    # 0 overlap here, so only frames 3..6 of each shard's chunk validate.
+    total_frames = n_time * n_frames
+    p1 = rng.integers(0, 2, (total_frames, 8, C.P1_FRAME_LEN_AM)) \
+        .astype(np.uint8)
+    p3 = rng.integers(0, 2, (total_frames, C.P3_FRAME_LEN_MA1)) \
+        .astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1[f]) for f in range(total_frames)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(total_frames)], False)
+    pids = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8))
+        for _ in range(total_frames * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1)
+                    for b in range(total_frames * 8)])
+    sig = modulate_am(mats, pids, ref, False)
+
+    chunk = pr.shard_chunk_len_am(n_frames)
+    total = n_time * chunk
+    buf = np.zeros(total + pr.HALO_AM, np.complex64)
+    start = C.FFTCP_AM // 2
+    n = min(len(sig) - 0, total + pr.HALO_AM - start)
+    buf[start:start + n] = sig[:n]
+    samples = np.stack([buf[:total]] * n_station)
+    tails = np.stack([buf[total:]] * n_station)
+
+    mesh = pr.make_mesh(n_station, n_time)
+    step = pr.sharded_am_chain(mesh, n_frames, False)
+    p1_out, p3_out, pids_out = step(samples, tails)
+    p1_out = np.asarray(p1_out)  # [S, n_time*n_frames, 8, 3750]
+    # shard t decodes its local frames 3..n_frames-1 == global frames
+    # t*n_frames+3 .. t*n_frames+n_frames-1 (diversity warm-up per shard)
+    for s in range(n_station):
+        for t in range(n_time):
+            for f in range(3, n_frames - (1 if t == n_time - 1 else 0)):
+                g = t * n_frames + f
+                assert np.array_equal(p1_out[s, g], p1[g]), (s, t, f)
