@@ -71,6 +71,9 @@ class CLI:
                 log.warning("no HDC decoder available; audio output disabled"
                             " (HDC dumps still work)")
 
+        if not a.quiet and sys.stdin.isatty() and (a.rtltcp or a.iq_input):
+            self._start_keyboard_thread()
+
         if a.rtltcp:
             host, _, port = a.rtltcp.partition(":")
             radio = NRSC5.open_rtltcp(host, int(port or 1234), self.on_event,
@@ -113,6 +116,19 @@ class CLI:
             self.wav.close()
         if self.hdc_file:
             self.hdc_file.close()
+
+    def _start_keyboard_thread(self):
+        """Program switching from the terminal: keys 0-7 select the audio
+        program, q quits (reference: src/main.c:705-791)."""
+        def reader():
+            for line in sys.stdin:
+                key = line.strip()[:1]
+                if key == "q":
+                    os._exit(0)
+                if key.isdigit() and 0 <= int(key) <= 7:
+                    self.args.program = int(key)
+                    log.info("Switched to program %d", self.args.program)
+        threading.Thread(target=reader, daemon=True).start()
 
     # ------------------------------------------------------------------
     def on_event(self, ev):
