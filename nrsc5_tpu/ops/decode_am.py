@@ -123,16 +123,17 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
     p3_am = p3_stack[jnp.asarray(p3_sel), jnp.asarray(p3_idx)]
 
     # depuncture (zero insertion) + Viterbi
+    radix = 1 if jax.default_backend() == "cpu" else 4
     p1_llr = (p1_am.astype(jnp.float32) * 2 - 1)
     p1_full = depuncture(p1_llr.reshape(8, -1), C.PUNCTURE_E1,
                          C.P1_FRAME_LEN_AM * 3)
     p1_full = p1_full.reshape(8, C.P1_FRAME_LEN_AM, 3)
-    p1_bits, p1_margin = viterbi_decode(p1_full, 9, C.CONV_E1_GEN)
+    p1_bits, p1_margin = viterbi_decode_chunked(
+        p1_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix)
     p1_bits = jax.vmap(lambda b: _descramble_dev(b, C.P1_FRAME_LEN_AM))(p1_bits)
 
-    # chunk-parallel Viterbi for the long P3 frame (24k/30k trellis steps;
-    # K=9 survivor merge needs a larger overlap than K=7)
-    radix = 1 if jax.default_backend() == "cpu" else 4
+    # chunk-parallel Viterbi for the long P3 frame too (24k/30k trellis
+    # steps; K=9 survivor merge needs a larger overlap than K=7)
     p3_llr = (p3_am.astype(jnp.float32) * 2 - 1)
     if not ma3:
         p3_full = depuncture(p3_llr, C.PUNCTURE_E2, C.P3_FRAME_LEN_MA1 * 3)
