@@ -129,7 +129,7 @@ def depuncture(llr, pattern: tuple[int, ...], coded_len: int):
 # Viterbi decoder (JAX)
 # ---------------------------------------------------------------------------
 
-def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 4):
+def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 8):
     """ACS forward recursion + traceback over an extended LLR sequence.
 
     ext: [B, L, 3] float32.  Free boundary conditions (uniform initial
