@@ -21,8 +21,9 @@ across sublanes, and the time recursion is a single ``lax.scan`` carrying the
 path-metric vector.  Tail-biting is handled as in the reference
 (src/conv_dec.c:407-412): the trellis is extended by 32 wrap steps on each
 side and the warm-up decisions are discarded.  Metrics are float32 so no
-renormalization is needed.  A chunk-parallel variant for long frames lives in
-:mod:`nrsc5_tpu.ops.viterbi_pallas`.
+renormalization is needed.  Two throughput variants build on the same core:
+:func:`viterbi_decode_chunked` (circular overlapping segments decoded in
+parallel) and the radix-2^r ACS (r trellis steps per scan step).
 """
 
 from __future__ import annotations
