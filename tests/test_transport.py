@@ -217,3 +217,36 @@ def test_half_packet_joining(rng):
     assert big in hdc, "joined packet missing"
     for p in normal:
         assert p in hdc
+
+
+def test_audio_pcm_and_silence(rng):
+    """With an HDC decoder attached, Output emits AUDIO events for good
+    packets and silence + codec reset on gaps/CRC errors
+    (reference: src/output.c:100-168)."""
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.transport.frame import PacketRef, PACKET_FULL
+
+    class FakeDec:
+        calls = 0
+
+        def __init__(self):
+            FakeDec.calls += 1
+
+        def decode(self, pkt):
+            return np.full(C.AUDIO_FRAME_SAMPLES * 2, pkt[0], np.int16)
+
+    sink = Sink()
+    out = Output(sink, mode_fm=True, hdc_decoder_factory=FakeDec)
+    out.align(0, 0, 0)
+    for seq in (0, 1, 3):  # gap at 2
+        out.push_packet(PacketRef(program=0, stream_id=0,
+                                  data=bytes([seq + 10] * 50), seq=seq,
+                                  crc_error=False, shape=PACKET_FULL))
+    for _ in range(2):
+        out.advance()
+    audio = sink.of(EventType.AUDIO)
+    assert len(audio) == 4
+    assert audio[0].samples[0] == 10 and audio[1].samples[0] == 11
+    assert not audio[2].samples.any(), "gap must produce silence"
+    assert audio[3].samples[0] == 13
+    assert FakeDec.calls == 2, "codec must reset after the gap"
