@@ -250,3 +250,29 @@ def test_audio_pcm_and_silence(rng):
     assert not audio[2].samples.any(), "gap must produce silence"
     assert audio[3].samples[0] == 13
     assert FakeDec.calls == 2, "codec must reset after the gap"
+
+
+def test_resync_on_bad_first_pdu(rng):
+    """A full frame whose first PDU fails RS must trigger the hard resync
+    (reference: src/frame.c:535-540); a short (P3) frame must not."""
+    from nrsc5_tpu.transport import frame as TF
+    from nrsc5_tpu import constants as C
+
+    resyncs = []
+    out = Output(lambda e: None)
+    dec = TF.FrameDecoder(out, on_resync=lambda: resyncs.append(1))
+
+    bad = np.zeros(C.P1_FRAME_LEN_FM, np.uint8)
+    bad[::7] = 1  # audio-PCI-looking? ensure pci bits arbitrary
+    # craft: valid PCI but garbage payload (RS will fail)
+    from nrsc5_tpu.tx.transport_encoder import pack_frame
+    garbage = rng.integers(0, 256, C.MAX_PDU_LEN).astype(np.uint8)
+    bits = pack_frame(garbage, C.P1_FRAME_LEN_FM, C.PCI_AUDIO)
+    dec.push_frame(bits, TF.P1)
+    assert resyncs == [1]
+
+    # P3 frame with garbage: no resync
+    g2 = rng.integers(0, 256, C.P3_FRAME_LEN_MP3_MP11 // 8).astype(np.uint8)
+    bits2 = pack_frame(g2, C.P3_FRAME_LEN_MP3_MP11, C.PCI_AUDIO)
+    dec.push_frame(bits2, TF.P3)
+    assert resyncs == [1]
