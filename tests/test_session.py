@@ -143,3 +143,42 @@ def test_am_session_transport(rng):
     want = {p for f, pk in packets if f == 5 for p in pk}
     got = sum(p in hdc for p in want)
     assert got == len(want), f"{got}/{len(want)} AM HDC packets"
+
+
+def test_sync_loss_and_recovery(rng):
+    """Signal -> noise gap -> signal: the RS-failure resync rule fires
+    (LOST_SYNC) and the receiver re-acquires and decodes again
+    (reference: src/frame.c:535-540 + input.c state machine)."""
+    def capture(seed):
+        r = np.random.default_rng(seed)
+        packets = [r.integers(0, 256, 300).astype(np.uint8).tobytes()
+                   for _ in range(32)]
+        frames = [build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64)
+                  for f in range(2)]
+        pids = np.zeros((16, 80), np.uint8)
+        mats = [build_pm_matrix(fr, pids) for fr in frames]
+        dummy = build_pm_matrix(
+            r.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+        matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:2 * 32]])
+        bc = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), 2),
+                             np.arange(2)])
+        return modulate_fm(matrix, bc, 1), packets
+
+    sig1, pk1 = capture(1)
+    sig2, pk2 = capture(2)
+    noise = (np.random.default_rng(3).normal(0, 0.1, (400000, 2))
+             .astype(np.float32).view(np.complex64)[:, 0])
+    stream = np.concatenate([sig1, noise, sig2])
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    for i in range(0, len(stream), 65536):
+        radio.pipe_samples_cs16(stream[i:i + 65536])
+
+    kinds = [e.type for e in events]
+    assert kinds.count(EventType.SYNC) >= 2, "no re-acquisition"
+    assert EventType.LOST_SYNC in kinds
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    assert pk1[0] in hdc, "first segment audio missing"
+    assert pk2[0] in hdc, "post-recovery audio missing"
