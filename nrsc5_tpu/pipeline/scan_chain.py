@@ -128,6 +128,17 @@ def fm_chain_batch(samples: jax.Array, carries: ChainCarry,
     )(samples, carries)
 
 
+def rebase_carry(carry: ChainCarry, consumed: int) -> ChainCarry:
+    """Shift the carry's read offset for the next buffer in a stream.
+
+    After running ``n_blocks`` over a buffer, the host drops ``consumed``
+    samples (typically ``n_blocks*BLKSZ*FFTCP`` plus clock drift) and
+    presents the remainder at the head of the next buffer; the carried
+    offset must be rebased accordingly.
+    """
+    return carry._replace(offset=carry.offset - consumed)
+
+
 def carry_to_real(carry: ChainCarry):
     """Split complex leaves into stacked (re, im) float32.
 

@@ -115,3 +115,31 @@ def test_checkpoint_resume(rng):
     assert np.array_equal(np.asarray(out2["p1"][0]), p1[0])
     assert np.array_equal(np.asarray(out2["p1"][0]),
                           np.asarray(out_full["p1"][0]))
+
+
+def test_streaming_buffers(rng):
+    """Chained fm_chain_scan calls over consecutive buffers (the streaming
+    production pattern) decode identically to one big buffer."""
+    import jax.numpy as jnp
+
+    buf, p1, pids, n_blocks, first_bc = _steady_signal(rng, n_frames=2,
+                                                       lead_blocks=1)
+    # one-shot reference
+    out_ref, _ = sc.fm_chain_scan(jnp.asarray(buf), sc.chain_init_carry(),
+                                  n_blocks, 1, first_bc)
+
+    # stream in two chunks of blocks
+    n1 = 17  # lead + first frame
+    n2 = n_blocks - n1
+    b1 = jnp.asarray(buf[:sc.buffer_len(n1)])
+    out1, carry = sc.fm_chain_scan(b1, sc.chain_init_carry(), n1, 1, first_bc)
+    consumed = int(np.asarray(carry.offset))
+    carry2 = sc.rebase_carry(carry, consumed)
+    b2 = jnp.asarray(buf[consumed:consumed + sc.buffer_len(n2)].copy())
+    out2, _ = sc.fm_chain_scan(b2, carry2, n2, 1,
+                               (first_bc + n1) % 16)
+    assert np.array_equal(np.asarray(out1["p1"][0]), p1[0])
+    assert np.array_equal(np.asarray(out2["p1"][0]), p1[1])
+    assert np.array_equal(np.asarray(out_ref["p1"]),
+                          np.concatenate([np.asarray(out1["p1"]),
+                                          np.asarray(out2["p1"])]))
