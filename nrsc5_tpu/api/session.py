@@ -43,9 +43,11 @@ class NRSC5:
     """
 
     def __init__(self, callback: Callable[[Event], None],
-                 mode: int = MODE_FM, hdc_decoder_factory=None):
+                 mode: int = MODE_FM, hdc_decoder_factory=None,
+                 turbo: bool = False):
         self.callback = callback
         self.mode = mode
+        self.turbo = turbo
         self._hdc_factory = hdc_decoder_factory
         self._source = None
         self._worker = None
@@ -69,7 +71,12 @@ class NRSC5:
             on_resync=self._resync,
             on_ber=lambda ber: self._emit(make(EventType.BER, cber=ber)))
         if self.mode == MODE_FM:
-            self.radio = FMReceiver(self._on_frame, self._on_l1_event)
+            if self.turbo:
+                from nrsc5_tpu.pipeline.turbo import TurboFMReceiver
+                self.radio = TurboFMReceiver(self._on_frame,
+                                             self._on_l1_event)
+            else:
+                self.radio = FMReceiver(self._on_frame, self._on_l1_event)
         else:
             self.radio = AMReceiver(self._on_frame, self._on_l1_event)
 

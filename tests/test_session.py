@@ -145,33 +145,38 @@ def test_am_session_transport(rng):
     assert got == len(want), f"{got}/{len(want)} AM HDC packets"
 
 
-def test_sync_loss_and_recovery(rng):
+@pytest.mark.parametrize("turbo", [False, True])
+def test_sync_loss_and_recovery(rng, turbo):
     """Signal -> noise gap -> signal: the RS-failure resync rule fires
     (LOST_SYNC) and the receiver re-acquires and decodes again
     (reference: src/frame.c:535-540 + input.c state machine)."""
-    def capture(seed):
+    def capture(seed, trail_frames=0):
         r = np.random.default_rng(seed)
         packets = [r.integers(0, 256, 300).astype(np.uint8).tobytes()
                    for _ in range(32)]
+        n = 2 + trail_frames  # trail frames carry junk, keep the clock going
         frames = [build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64)
                   for f in range(2)]
         pids = np.zeros((16, 80), np.uint8)
         mats = [build_pm_matrix(fr, pids) for fr in frames]
+        for _ in range(trail_frames):
+            mats.append(build_pm_matrix(
+                r.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids))
         dummy = build_pm_matrix(
             r.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
         matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:2 * 32]])
-        bc = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), 2),
+        bc = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), n),
                              np.arange(2)])
         return modulate_fm(matrix, bc, 1), packets
 
     sig1, pk1 = capture(1)
-    sig2, pk2 = capture(2)
+    sig2, pk2 = capture(2, trail_frames=2)
     noise = (np.random.default_rng(3).normal(0, 0.1, (400000, 2))
              .astype(np.float32).view(np.complex64)[:, 0])
     stream = np.concatenate([sig1, noise, sig2])
 
     events = []
-    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    radio = NRSC5.open_pipe(events.append, MODE_FM, turbo=turbo)
     for i in range(0, len(stream), 65536):
         radio.pipe_samples_cs16(stream[i:i + 65536])
 
@@ -182,3 +187,43 @@ def test_sync_loss_and_recovery(rng):
            and not e.crc_error}
     assert pk1[0] in hdc, "first segment audio missing"
     assert pk2[0] in hdc, "post-recovery audio missing"
+
+
+def test_fm_session_turbo_path(rng):
+    """The turbo (fused steady-state) receiver produces the same transport
+    output through the session API as the per-block path."""
+    n_frames = 4
+    all_packets, p1_frames = [], []
+    for f in range(n_frames):
+        packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                   for _ in range(32)]
+        all_packets.append(packets)
+        psd = aas_frame(0x5100, f, _id3(TITLE))
+        p1_frames.append(build_p1_fm_frame(
+            packets, 0, f % 8, (f * 32) % 64, psd=psd))
+    sis = _sis_station_name_frame()
+    pids = np.broadcast_to(sis, (16, 80))
+    mats = [build_pm_matrix(fr, pids) for fr in p1_frames]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    sig = ch.impair(sig, sample_offset=2000, snr_db=25.0, rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM, turbo=True)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+
+    titles = [e.title for e in events if e.type == EventType.ID3]
+    assert TITLE in titles
+    names = [e.name for e in events if e.type == EventType.STATION_NAME]
+    assert "KTPU-FM" in names
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    want = {p for f in range(2) for p in all_packets[f]}
+    missing = want - hdc
+    assert not missing, f"{len(missing)} HDC packets missing (turbo)"
