@@ -117,6 +117,9 @@ def run_bench(args) -> dict:
     }
 
 
+ATTEMPT_TIMEOUT_S = 1200  # compile ~1-2 min on a healthy backend
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, default=8)
@@ -125,31 +128,49 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-fallback", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="one in-process attempt, no retries/fallback")
     args = ap.parse_args()
 
-    last_err = None
+    if args.single or os.environ.get("NRSC5_BENCH_CPU"):
+        try:
+            print(json.dumps(run_bench(args)))
+            return
+        except Exception as e:  # noqa: BLE001
+            raise SystemExit(f"bench failed: {e}")
+
+    # run accelerator attempts in time-boxed subprocesses: a wedged/hung
+    # backend (compiles can stall indefinitely on the axon tunnel) must
+    # not starve the fallback
+    base = [sys.executable, os.path.abspath(__file__), "--single",
+            "--stations", str(args.stations), "--frames", str(args.frames),
+            "--reps", str(args.reps)]
+    if args.verbose:
+        base.append("--verbose")
     for attempt in range(RETRIES):
         try:
-            result = run_bench(args)
-            print(json.dumps(result))
-            return
-        except Exception as e:  # noqa: BLE001 — accelerator flakiness
-            last_err = e
-            log(f"# attempt {attempt + 1}/{RETRIES} failed: {str(e)[:200]}")
-            if attempt + 1 < RETRIES:
-                log(f"# backing off {RETRY_SLEEP_S}s (backend may be wedged)")
-                time.sleep(RETRY_SLEEP_S)
+            r = subprocess.run(base, timeout=ATTEMPT_TIMEOUT_S,
+                               stdout=subprocess.PIPE)
+            if r.returncode == 0 and r.stdout.strip():
+                sys.stdout.write(r.stdout.decode())
+                return
+            log(f"# attempt {attempt + 1}/{RETRIES} failed (rc={r.returncode})")
+        except subprocess.TimeoutExpired:
+            log(f"# attempt {attempt + 1}/{RETRIES} timed out after "
+                f"{ATTEMPT_TIMEOUT_S}s (backend hung)")
+        if attempt + 1 < RETRIES:
+            log(f"# backing off {RETRY_SLEEP_S}s (backend may be wedged)")
+            time.sleep(RETRY_SLEEP_S)
 
-    if args.no_fallback or os.environ.get("NRSC5_BENCH_CPU"):
-        raise SystemExit(f"bench failed: {last_err}")
-
-    # accelerator unusable: re-exec on the CPU backend (fresh process so
-    # the platform choice applies before backend init)
+    if args.no_fallback:
+        raise SystemExit("bench failed on the accelerator")
     log("# accelerator unusable; falling back to CPU backend")
     env = dict(os.environ, NRSC5_BENCH_CPU="1")
     cmd = [sys.executable, os.path.abspath(__file__),
            "--stations", str(min(args.stations, 4)), "--frames", "1",
            "--reps", "3"]
+    if args.verbose:
+        cmd.append("--verbose")
     raise SystemExit(subprocess.run(cmd, env=env).returncode)
 
 
