@@ -117,7 +117,7 @@ def run_bench(args) -> dict:
     }
 
 
-ATTEMPT_TIMEOUT_S = 1200  # compile ~1-2 min on a healthy backend
+ATTEMPT_TIMEOUT_S = 900  # compile ~1-2 min on a healthy backend
 
 
 def main():
