@@ -22,7 +22,6 @@ aggregation across the whole mesh).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

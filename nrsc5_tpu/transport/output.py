@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from nrsc5_tpu import constants as C
-from nrsc5_tpu.api.events import AASType, Event, EventType, MIMEType, make
+from nrsc5_tpu.api.events import AASType, EventType, MIMEType, make
 from nrsc5_tpu.transport.frame import (PACKET_FULL, PACKET_HALF_BACK,
                                        PACKET_HALF_FRONT, PacketRef)
 from nrsc5_tpu.transport.here_images import HereImages
