@@ -92,30 +92,6 @@ def run_bench(args) -> dict:
     out, _ = step(samples, carries)  # compile + warm up
     jax.block_until_ready(out)
     log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
-    # correctness gate: the benched path must actually decode (fetch whole
-    # arrays — on-device indexing fetches hit UNIMPLEMENTED on axon).  The
-    # axon backend sometimes cannot transfer this executable's outputs at
-    # all even though it runs; the decode is cross-checked on CPU by the
-    # test suite, so a failed *fetch* degrades to a logged warning and the
-    # timing loop (which only needs block_until_ready) proceeds.
-    try:
-        got = np.asarray(out["p1"])
-        assert np.array_equal(got[0, 0], p1), "bench decode failed"
-        log("# decode gate: PASSED")
-    except AssertionError:
-        raise
-    except Exception as e:  # noqa: BLE001 — backend transfer quirk
-        try:
-            copy = jax.jit(lambda t: jax.tree.map(
-                lambda a: a + jnp.zeros((), a.dtype), t))
-            got = np.asarray(copy(out)["p1"])
-            assert np.array_equal(got[0, 0], p1), "bench decode failed"
-            log("# decode gate: PASSED (via copy)")
-        except AssertionError:
-            raise
-        except Exception:
-            log(f"# decode gate SKIPPED: output fetch unsupported on this "
-                f"backend ({str(e)[:60]}); decode is CPU-verified in tests")
 
     t0 = time.perf_counter()
     for _ in range(args.reps):
@@ -123,6 +99,21 @@ def run_bench(args) -> dict:
         # sync each rep: deep async queues destabilize the axon backend
         jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+
+    # correctness gate AFTER timing: on the axon backend a failed output
+    # *fetch* (transfers of this executable's outputs are UNIMPLEMENTED
+    # even though it runs) poisons subsequent dispatches, so the timing
+    # loop must complete first.  A fetch failure degrades to a warning —
+    # the decode is cross-checked on CPU by the test suite.
+    try:
+        got = np.asarray(out["p1"])
+        assert np.array_equal(got[0, 0], p1), "bench decode failed"
+        log("# decode gate: PASSED")
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — backend transfer quirk
+        log(f"# decode gate SKIPPED: output fetch unsupported on this "
+            f"backend ({str(e)[:60]}); decode is CPU-verified in tests")
 
     n_samples = args.reps * args.stations * n_blocks * C.BLKSZ * C.FFTCP_FM
     sps = n_samples / dt
