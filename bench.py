@@ -88,17 +88,39 @@ def run_bench(args) -> dict:
 
     step = jax.jit(_step)
 
+    def _step_timed(s, cr):
+        # single f32 output: on the axon backend, block_until_ready does
+        # not actually wait for execution and large output tuples cannot
+        # be transferred, so honest timing requires fetching a scalar
+        # that depends on the whole computation
+        out, carry = sc.fm_chain_batch(s, sc.carry_from_real(cr),
+                                       n_blocks, 1, 0)
+        acc = out["p1"].astype(jnp.float32).sum() \
+            + out["pids"].astype(jnp.float32).sum() \
+            + out["p1_margin"].sum() \
+            + jax.tree.reduce(
+                lambda a, b: a + b,
+                jax.tree.map(lambda x: x.astype(jnp.float32).sum(),
+                             sc.carry_to_real(carry)))
+        return acc
+
+    step_timed = jax.jit(_step_timed)
+
     t_c0 = time.perf_counter()
-    out, _ = step(samples, carries)  # compile + warm up
-    jax.block_until_ready(out)
-    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
+    first = float(np.asarray(step_timed(samples, carries)))
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s "
+        f"(checksum {first:.1f})")
 
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        out, _ = step(samples, carries)
-        # sync each rep: deep async queues destabilize the axon backend
-        jax.block_until_ready(out)
+        # fetch the scalar every rep: the only reliable sync point
+        float(np.asarray(step_timed(samples, carries)))
     dt = time.perf_counter() - t0
+
+    t_c1 = time.perf_counter()
+    out, _ = step(samples, carries)  # full-output variant for the gate
+    jax.block_until_ready(out)
+    log(f"# full-output compile+run: {time.perf_counter() - t_c1:.1f}s")
 
     # correctness gate AFTER timing: on the axon backend a failed output
     # *fetch* (transfers of this executable's outputs are UNIMPLEMENTED
