@@ -73,13 +73,18 @@ def run_bench(args) -> dict:
     buf[start:start + len(sig)] = sig
     samples = jnp.asarray(np.broadcast_to(buf, (args.stations, len(buf))))
 
-    carries0 = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
-        sc.chain_init_carry())
-    # keep complex64 out of the executable's outputs: the axon backend
-    # cannot transfer complex buffers to the host (and a failed complex
-    # fetch wedges the device)
-    carries = jax.jit(sc.carry_to_real)(carries0)
+    # Build the batched carries entirely inside one jit with REAL-only
+    # outputs: on the axon backend, any executable (including tiny eager
+    # ops like a complex broadcast) whose outputs contain complex64 fails
+    # with UNIMPLEMENTED and poisons subsequent dispatches.
+    @jax.jit
+    def _make_carries():
+        c0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+            sc.chain_init_carry())
+        return sc.carry_to_real(c0)  # stacks (re, im) ahead of station axis
+
+    carries = _make_carries()
 
     def _step(s, cr):
         out, carry = sc.fm_chain_batch(s, sc.carry_from_real(cr),
