@@ -43,8 +43,11 @@ class FrontendState(NamedTuple):
 
 
 def frontend_init_state(stages: int = 1) -> FrontendState:
+    # upload from host rather than an eager device op: eager complex64
+    # computations are UNIMPLEMENTED on some backends (axon)
+    zero = np.zeros(HB_NTAPS - 1, np.complex64)
     return FrontendState(tails=tuple(
-        jnp.zeros(HB_NTAPS - 1, jnp.complex64) for _ in range(stages)))
+        jnp.asarray(zero) for _ in range(stages)))
 
 
 def cu8_to_cf(data: jax.Array) -> jax.Array:
