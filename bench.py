@@ -50,6 +50,7 @@ def run_bench(args) -> dict:
 
     from nrsc5_tpu import constants as C
     from nrsc5_tpu.pipeline import scan_chain as sc
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
     from nrsc5_tpu.tx.encoder import build_pm_matrix
     from nrsc5_tpu.tx.modulator import modulate_fm
 
@@ -68,45 +69,54 @@ def run_bench(args) -> dict:
     bc_seq = np.tile(np.arange(16), args.frames)
     sig = modulate_fm(matrix, bc_seq, 1)
 
+    # Accelerators run the REAL-VALUED chain (pipeline/scan_chain_rc):
+    # identical decode (pinned by tests), no complex dtypes anywhere —
+    # required on the axon backend (no complex64 support at all), and
+    # MXU-friendly (the OFDM DFT is a pair of [B*32, 2048] @ [2048, 2048]
+    # matmuls).  The CPU fallback keeps the complex chain, whose pocket
+    # FFT beats a dense DFT there.
+    use_rc = jax.default_backend() != "cpu"
     buf = np.zeros(sc.buffer_len(n_blocks), np.complex64)
     start = C.FFTCP_FM // 2
     buf[start:start + len(sig)] = sig
-    samples = jnp.asarray(np.broadcast_to(buf, (args.stations, len(buf))))
 
-    # Build the batched carries entirely inside one jit with REAL-only
-    # outputs: on the axon backend, any executable (including tiny eager
-    # ops like a complex broadcast) whose outputs contain complex64 fails
-    # with UNIMPLEMENTED and poisons subsequent dispatches.
-    @jax.jit
-    def _make_carries():
-        c0 = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
-            sc.chain_init_carry())
-        return sc.carry_to_real(c0)  # stacks (re, im) ahead of station axis
+    if use_rc:
+        # FM ingest conjugation baked in on the host (negated Q)
+        buf_rc = np.stack([buf.real, -buf.imag], axis=-1).astype(np.float32)
+        samples = jnp.asarray(
+            np.broadcast_to(buf_rc, (args.stations,) + buf_rc.shape))
+
+        @jax.jit
+        def _make_carries():
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+                rcc.chain_rc_init_carry())
+
+        batch_fn = rcc.fm_chain_batch_rc
+    else:
+        samples = jnp.asarray(np.broadcast_to(
+            buf, (args.stations, len(buf))))
+
+        @jax.jit
+        def _make_carries():
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+                sc.chain_init_carry())
+
+        batch_fn = sc.fm_chain_batch
 
     carries = _make_carries()
+    step = jax.jit(lambda s, c: batch_fn(s, c, n_blocks, 1, 0)[0])
 
-    def _step(s, cr):
-        out, carry = sc.fm_chain_batch(s, sc.carry_from_real(cr),
-                                       n_blocks, 1, 0)
-        return out, sc.carry_to_real(carry)
-
-    step = jax.jit(_step)
-
-    def _step_timed(s, cr):
+    def _step_timed(s, c):
         # single f32 output: on the axon backend, block_until_ready does
-        # not actually wait for execution and large output tuples cannot
-        # be transferred, so honest timing requires fetching a scalar
-        # that depends on the whole computation
-        out, carry = sc.fm_chain_batch(s, sc.carry_from_real(cr),
-                                       n_blocks, 1, 0)
+        # not actually wait for execution, so honest timing requires
+        # fetching a scalar that depends on the whole computation
+        out, carry = batch_fn(s, c, n_blocks, 1, 0)
         acc = out["p1"].astype(jnp.float32).sum() \
             + out["pids"].astype(jnp.float32).sum() \
             + out["p1_margin"].sum() \
-            + jax.tree.reduce(
-                lambda a, b: a + b,
-                jax.tree.map(lambda x: x.astype(jnp.float32).sum(),
-                             sc.carry_to_real(carry)))
+            + out["diag"]["samperr"].astype(jnp.float32).sum()
         return acc
 
     step_timed = jax.jit(_step_timed)
@@ -123,7 +133,7 @@ def run_bench(args) -> dict:
     dt = time.perf_counter() - t0
 
     t_c1 = time.perf_counter()
-    out, _ = step(samples, carries)  # full-output variant for the gate
+    out = step(samples, carries)  # full-output variant for the gate
     jax.block_until_ready(out)
     log(f"# full-output compile+run: {time.perf_counter() - t_c1:.1f}s")
 

@@ -143,3 +143,26 @@ def test_streaming_buffers(rng):
     assert np.array_equal(np.asarray(out_ref["p1"]),
                           np.concatenate([np.asarray(out1["p1"]),
                                           np.asarray(out2["p1"])]))
+
+
+def test_rc_chain_matches_complex(rng):
+    """The real-valued chain must reproduce the complex chain's decode
+    (bit-exact frames; soft bits may differ by float rounding)."""
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+
+    buf, p1, pids, n_blocks, first_bc = _steady_signal(rng, snr_db=24.0)
+    out_c, _ = sc.fm_chain_scan(jnp.asarray(buf), sc.chain_init_carry(),
+                                n_blocks, 1, first_bc)
+
+    buf_rc = jnp.asarray(
+        np.stack([buf.real, -buf.imag], axis=-1).astype(np.float32))
+    out_r, carry = rcc.fm_chain_scan_rc(buf_rc, rcc.chain_rc_init_carry(),
+                                        n_blocks, 1, first_bc)
+    assert np.array_equal(np.asarray(out_r["p1"][0]), p1[0])
+    assert np.array_equal(np.asarray(out_r["p1"]), np.asarray(out_c["p1"]))
+    assert np.array_equal(np.asarray(out_r["pids"]),
+                          np.asarray(out_c["pids"]))
+    # clock estimates agree
+    assert np.abs(np.asarray(out_r["diag"]["samperr"])
+                  - np.asarray(out_c["diag"]["samperr"])).max() <= 1
