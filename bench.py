@@ -108,49 +108,23 @@ def run_bench(args) -> dict:
     carries = _make_carries()
     step = jax.jit(lambda s, c: batch_fn(s, c, n_blocks, 1, 0)[0])
 
-    def _step_timed(s, c):
-        # single f32 output: on the axon backend, block_until_ready does
-        # not actually wait for execution, so honest timing requires
-        # fetching a scalar that depends on the whole computation
-        out, carry = batch_fn(s, c, n_blocks, 1, 0)
-        acc = out["p1"].astype(jnp.float32).sum() \
-            + out["pids"].astype(jnp.float32).sum() \
-            + out["p1_margin"].sum() \
-            + out["diag"]["samperr"].astype(jnp.float32).sum()
-        return acc
-
-    step_timed = jax.jit(_step_timed)
-
     t_c0 = time.perf_counter()
-    first = float(np.asarray(step_timed(samples, carries)))
-    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s "
-        f"(checksum {first:.1f})")
+    out = step(samples, carries)
+    # fetch a small output as the sync point: block_until_ready does not
+    # actually wait for execution on the axon backend
+    np.asarray(out["p1_margin"])
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        # fetch the scalar every rep: the only reliable sync point
-        float(np.asarray(step_timed(samples, carries)))
+        out = step(samples, carries)
+        np.asarray(out["p1_margin"])  # per-rep sync via a tiny fetch
     dt = time.perf_counter() - t0
 
-    t_c1 = time.perf_counter()
-    out = step(samples, carries)  # full-output variant for the gate
-    jax.block_until_ready(out)
-    log(f"# full-output compile+run: {time.perf_counter() - t_c1:.1f}s")
-
-    # correctness gate AFTER timing: on the axon backend a failed output
-    # *fetch* (transfers of this executable's outputs are UNIMPLEMENTED
-    # even though it runs) poisons subsequent dispatches, so the timing
-    # loop must complete first.  A fetch failure degrades to a warning —
-    # the decode is cross-checked on CPU by the test suite.
-    try:
-        got = np.asarray(out["p1"])
-        assert np.array_equal(got[0, 0], p1), "bench decode failed"
-        log("# decode gate: PASSED")
-    except AssertionError:
-        raise
-    except Exception as e:  # noqa: BLE001 — backend transfer quirk
-        log(f"# decode gate SKIPPED: output fetch unsupported on this "
-            f"backend ({str(e)[:60]}); decode is CPU-verified in tests")
+    # correctness gate after timing
+    got = np.asarray(out["p1"])
+    assert np.array_equal(got[0, 0], p1), "bench decode failed"
+    log("# decode gate: PASSED")
 
     n_samples = args.reps * args.stations * n_blocks * C.BLKSZ * C.FFTCP_FM
     sps = n_samples / dt
