@@ -98,19 +98,29 @@ def dft_tables(n: int):
             np.sin(ang).astype(np.float32))
 
 
+# matmul input dtype for the DFT: bfloat16 runs ~an order of magnitude
+# faster on the MXU with f32 accumulation; the chain's QPSK soft demod is
+# tolerant of the reduced mantissa (equality-at-operating-SNR is pinned by
+# tests).  Set to jnp.float32 for exact parity with the complex chain.
+DFT_DTYPE = jnp.bfloat16
+
+
 def dft(x, shift: bool = False):
     """Batched forward DFT of rc arrays: x [..., N, 2] -> [..., N, 2].
 
     ``shift=True`` applies fftshift on the output axis.  Lowers to two
-    [batch, N] @ [N, N] matmuls per component — MXU-shaped.
+    [batch, N] @ [N, N] matmuls per component — MXU-shaped, cast to
+    ``DFT_DTYPE`` with float32 accumulation.
     """
     n = x.shape[-2]
     c_np, s_np = dft_tables(n)
-    c = jnp.asarray(c_np)
-    s = jnp.asarray(s_np)
-    xr, xi = x[..., 0], x[..., 1]
-    re = xr @ c + xi @ s
-    im = xi @ c - xr @ s
+    c = jnp.asarray(c_np, DFT_DTYPE)
+    s = jnp.asarray(s_np, DFT_DTYPE)
+    xr = x[..., 0].astype(DFT_DTYPE)
+    xi = x[..., 1].astype(DFT_DTYPE)
+    mm = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+    re = mm(xr, c) + mm(xi, s)
+    im = mm(xi, c) - mm(xr, s)
     out = jnp.stack([re, im], axis=-1)
     if shift:
         out = jnp.roll(out, n // 2, axis=-2)
