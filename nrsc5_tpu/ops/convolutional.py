@@ -120,10 +120,30 @@ def depuncture_indices(pattern: tuple[int, ...], coded_len: int):
 
 
 def depuncture(llr, pattern: tuple[int, ...], coded_len: int):
-    """Insert zero-LLRs at punctured positions (jnp or numpy)."""
+    """Insert zero-LLRs at punctured positions (jnp or numpy).
+
+    For jnp inputs whose length tiles the pattern exactly, this is a pure
+    reshape/stack (one column per pattern position, zeros where punctured)
+    — no gather on the device hot path."""
+    if isinstance(llr, jax.Array) and coded_len % len(pattern) == 0:
+        period = len(pattern)
+        kept = int(sum(pattern))
+        cols = llr.reshape(llr.shape[:-1] + (coded_len // period, kept))
+        zero = jnp.zeros(cols.shape[:-1], llr.dtype)
+        out_cols = []
+        ki = 0
+        for bit in pattern:
+            if bit:
+                out_cols.append(cols[..., ki])
+                ki += 1
+            else:
+                out_cols.append(zero)
+        return jnp.stack(out_cols, axis=-1).reshape(
+            llr.shape[:-1] + (coded_len,))
     idx, valid = depuncture_indices(pattern, coded_len)
     taken = llr[..., idx]
-    return jnp.where(valid, taken, 0) if isinstance(llr, jax.Array) else np.where(valid, taken, 0)
+    return jnp.where(valid, taken, 0) if isinstance(llr, jax.Array) \
+        else np.where(valid, taken, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -370,13 +390,23 @@ def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
 
 def conv_encode_dev(bits, k: int, gens: tuple[int, int, int]):
     """Device-side tail-biting re-encode (for BER estimation; reference:
-    src/decode.c:234-259).  bits: [..., T] uint8 -> [..., T, 3] uint8."""
-    par = jnp.asarray(_parity_table(k))
+    src/decode.c:234-259).  bits: [..., T] uint8 -> [..., T, 3] uint8.
+
+    Parity is computed with shift-xor folding (pure VPU) rather than a
+    table gather."""
     reg = jnp.zeros(bits.shape, jnp.int32)
     for d in range(k):
         reg = reg | (jnp.roll(bits, d, axis=-1).astype(jnp.int32)
                      << (k - 1 - d))
-    outs = [par[reg & g] for g in gens]
+
+    def parity(v):
+        v = v ^ (v >> 8)
+        v = v ^ (v >> 4)
+        v = v ^ (v >> 2)
+        v = v ^ (v >> 1)
+        return (v & 1).astype(jnp.uint8)
+
+    outs = [parity(reg & g) for g in gens]
     return jnp.stack(outs, axis=-1)
 
 
