@@ -277,7 +277,7 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
         bm = (llr_t @ out_flat.T).reshape(-1, ns, nr)
         pm_pred = jnp.tile(pm.reshape(-1, group, nr), (1, nr, 1))
         cand = pm_pred + bm  # [B, ns, nr]
-        dec = jnp.argmax(cand, axis=-1).astype(jnp.int32)
+        dec = jnp.argmax(cand, axis=-1).astype(jnp.int8)  # r <= 7 bits
         return jnp.max(cand, axis=-1), dec
 
     pm0 = jnp.zeros((b_, ns), dtype=jnp.float32)
@@ -293,7 +293,8 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
     shifts = jnp.asarray(np.arange(r) + (k - 1 - r), np.int32)
 
     def tb(state, dec_t):
-        j = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]
+        j = jnp.take_along_axis(dec_t, state[:, None],
+                                axis=-1)[:, 0].astype(jnp.int32)
         bits = ((state[:, None] >> shifts[None, :]) & 1).astype(jnp.uint8)
         prev = ((state << r) & (ns - 1)) | j
         return prev, bits
