@@ -145,7 +145,7 @@ ATTEMPT_TIMEOUT_S = 900  # compile ~1-2 min on a healthy backend
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, default=16)
-    ap.add_argument("--frames", type=int, default=1,
+    ap.add_argument("--frames", type=int, default=2,
                     help="P1 frames per station per step")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
