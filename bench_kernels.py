@@ -30,67 +30,80 @@ def main():
 
     from nrsc5_tpu import constants as C
     from nrsc5_tpu.ops import frontend as FE
-    from nrsc5_tpu.ops.acquire import (WINDOW_FM, acquire_fm_fine,
-                                       acquire_init_state)
     from nrsc5_tpu.ops.decode_fm import p1_decode
-    from nrsc5_tpu.ops.sync_fm import sync_fm_block, sync_init_state
     from nrsc5_tpu.pipeline import scan_chain as sc
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
     from nrsc5_tpu.utils.profiling import measure
 
     B = args.stations
     dev = jax.devices()[0]
-    print(f"# device={dev.platform}:{dev.device_kind} stations={B}",
-          file=sys.stderr)
+    cpu = jax.default_backend() == "cpu"
+    print(f"# device={dev.platform}:{dev.device_kind} stations={B} "
+          f"chain={'complex' if cpu else 'rc'}", file=sys.stderr)
 
     def bcast(tree):
         return jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
                             tree)
 
+    def sync_fetch(out):
+        # fetch (real leaves only): the only reliable device sync on axon
+        jax.tree.map(
+            lambda x: np.asarray(x) if not jnp.iscomplexobj(x) else None,
+            out)
+
     rows = []
 
     # 1. halfband decimator (1.488 MS/s -> 744 kS/s), 1 s of signal each
-    n_in = 1 << 21
-    x = jnp.zeros((B, n_in), jnp.complex64)
-    tails = bcast(FE.frontend_init_state(1))
-    fir = jax.jit(jax.vmap(FE.fm_decimate))
-    m = measure(fir, x, tails, reps=args.reps,
-                flops=B * n_in // 2 * 8 * 4 * 2)
-    rows.append(("halfband_fir_div2", m,
-                 B * n_in / m.per_call_s / C.SAMPLE_RATE_CU8))
+    if cpu:
+        n_in = 1 << 21
+        x = jnp.asarray(np.zeros((B, n_in), np.complex64))
+        tails = bcast(FE.frontend_init_state(1))
+        fir = jax.jit(jax.vmap(FE.fm_decimate))
+        m = measure(fir, x, tails, reps=args.reps,
+                    flops=B * n_in // 2 * 8 * 4 * 2)
+        rows.append(("halfband_fir_div2", m,
+                     B * n_in / m.per_call_s / C.SAMPLE_RATE_CU8))
 
-    # 2. acquire fine (derotate + fold + 32x2048 FFT), one L1 block
-    w = jnp.zeros((B, WINDOW_FM), jnp.complex64)
-    acq = bcast(acquire_init_state())
-    z = jnp.zeros(B, jnp.int32)
-    zf = jnp.zeros(B, jnp.float32)
-    acqf = jax.jit(jax.vmap(acquire_fm_fine))
-    m = measure(acqf, w, acq, z, zf, z, reps=args.reps,
-                flops=B * 32 * 5 * 2048 * 11 * 2)
-    rows.append(("acquire_fold_fft", m,
+    # 2. rc acquire+sync (one L1 block, derotate/fold/DFT/costas/demap)
+    w = jnp.asarray(np.zeros((B, 71280, 2), np.float32))
+
+    @jax.jit
+    def front_block(ww):
+        def one(x):
+            c0 = rcc.chain_rc_init_carry()
+            sp, ph, pa, se, kp = rcc.acquire_fine_rc(
+                x, c0.phase, c0.prev_angle, c0.samperr_fb, c0.angle_fb)
+            out, cph, cfr = rcc.sync_block_rc(
+                sp, c0.costas_phase, c0.costas_freq, 1, 1080 - se)
+            return out["pm"]
+        return jax.vmap(one)(ww)
+
+    m = measure(front_block, w, reps=args.reps, sync=sync_fetch)
+    rows.append(("acquire_sync_block_rc", m,
                  B * 32 * C.FFTCP_FM / m.per_call_s / C.SAMPLE_RATE_CS16_FM))
 
-    # 3. sync block (Costas scan + equalize + demap)
-    sp = jnp.zeros((B, 32, 2048), jnp.complex64)
-    ss = bcast(sync_init_state())
-    syncf = jax.jit(jax.vmap(lambda a, b, d: sync_fm_block(a, b, 1, d)))
-    m = measure(syncf, sp, ss, z, reps=args.reps)
-    rows.append(("sync_costas_eq_demap", m,
-                 B * 32 * C.FFTCP_FM / m.per_call_s / C.SAMPLE_RATE_CS16_FM))
-
-    # 4. P1 Viterbi (deinterleave + chunk-parallel ACS + descramble)
+    # 3. P1 Viterbi (deinterleave + chunk-parallel ACS + descramble)
     pm = jnp.zeros((B, 16 * 23040), jnp.int8)
     p1f = jax.jit(jax.vmap(lambda v: p1_decode(v, chunked=True)))
     acs_flops = 146240 * 64 * 2 * 10  # per frame: steps x states x ops
-    m = measure(p1f, pm, reps=args.reps, flops=B * acs_flops)
+    m = measure(p1f, pm, reps=args.reps, flops=B * acs_flops,
+                sync=sync_fetch)
     rows.append(("p1_viterbi_chunked", m,
                  B * 16 * 32 * C.FFTCP_FM / m.per_call_s
                  / C.SAMPLE_RATE_CS16_FM))
 
-    # 5. full fused chain, one frame per station
-    buf = jnp.zeros((B, sc.buffer_len(16)), jnp.complex64)
-    cys = bcast(sc.chain_init_carry())
-    full = jax.jit(lambda s, c: sc.fm_chain_batch(s, c, 16, 1, 0))
-    m = measure(full, buf, cys, reps=args.reps)
+    # 4. full fused chain, one frame per station
+    if cpu:
+        buf = jnp.asarray(np.zeros((B, sc.buffer_len(16)), np.complex64))
+        cys = bcast(sc.chain_init_carry())
+        full = jax.jit(lambda s, c: sc.fm_chain_batch(s, c, 16, 1, 0)[0])
+    else:
+        buf = jnp.asarray(
+            np.zeros((B, rcc.buffer_len(16), 2), np.float32))
+        cys = bcast(rcc.chain_rc_init_carry())
+        full = jax.jit(
+            lambda s, c: rcc.fm_chain_batch_rc(s, c, 16, 1, 0)[0])
+    m = measure(full, buf, cys, reps=args.reps, sync=sync_fetch)
     rows.append(("full_chain_1frame", m,
                  B * 16 * 32 * C.FFTCP_FM / m.per_call_s
                  / C.SAMPLE_RATE_CS16_FM))

@@ -59,14 +59,18 @@ class Measurement:
 
 def measure(fn, *args, reps: int = 10, warmup: int = 1,
             flops: float | None = None,
-            bytes_accessed: float | None = None) -> Measurement:
-    """Time ``fn(*args)`` with device synchronization."""
+            bytes_accessed: float | None = None,
+            sync=None) -> Measurement:
+    """Time ``fn(*args)`` with device synchronization.
+
+    ``sync(out)`` overrides the default ``jax.block_until_ready`` — pass a
+    fetching sync on backends where block_until_ready does not actually
+    wait (axon)."""
+    sync = sync or jax.block_until_ready
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     t0 = time.perf_counter()
-    out = None
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        sync(fn(*args))
     return Measurement(wall_s=time.perf_counter() - t0, reps=reps,
                        flops=flops, bytes_accessed=bytes_accessed)
