@@ -53,6 +53,13 @@ def main():
 
     rows = []
 
+    # 0. dispatch + fetch round-trip baseline (dominates small kernels on
+    # remote backends: subtract this from per-call times mentally)
+    tiny = jax.jit(lambda a: a * 2.0)
+    one = jnp.ones(8)
+    m = measure(tiny, one, reps=args.reps, sync=sync_fetch)
+    rows.append(("dispatch_fetch_baseline", m, float("nan")))
+
     # 1. halfband decimator (1.488 MS/s -> 744 kS/s), 1 s of signal each
     if cpu:
         n_in = 1 << 21
