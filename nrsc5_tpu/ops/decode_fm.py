@@ -22,6 +22,29 @@ def _descramble_dev(bits, length):
     return bits ^ jnp.asarray(scrambler_keystream(length))
 
 
+def _p1_deinterleave_mxu(pm_matrix):
+    """Interleaver-I deinterleave as two one-hot matmuls (MXU path).
+
+    The 365440-entry gather factors into structured permutations (see
+    interleavers.p1_fm_structured); expressing the row/column selections as
+    one-hot bf16 matmuls moves the work from the scatter/gather unit onto
+    the systolic array.  Exact: each output is a single 1.0*x product (LLR
+    magnitudes < 256 are exact in bf16).
+    """
+    pq, pbp = IL.p1_fm_onehots()
+    # exact in any dtype (each output is one 1.0*x product; LLR magnitudes
+    # < 256 are exact in bf16); XLA:CPU lacks bf16 dot, so gate by backend
+    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    m2 = (pm_matrix.reshape(16, 32, 20, 36)
+          .transpose(0, 2, 1, 3).reshape(320, 1152))
+    ms = jnp.dot(
+        jnp.dot(jnp.asarray(pbp, dt), m2.astype(dt),
+                preferred_element_type=jnp.float32).astype(dt),
+        jnp.asarray(pq, dt),
+        preferred_element_type=jnp.float32)          # [(r,p')=320, q=1142]
+    return ms.T.reshape(C.P1_FRAME_LEN_ENCODED_FM)   # i = q*320 + r*20 + p'
+
+
 @functools.partial(jax.jit, static_argnames=("chunked",))
 def p1_decode(pm_matrix, chunked: bool = False):
     """pm_matrix: [16*32*720] int8 (one P1 frame of soft bits).
@@ -30,7 +53,10 @@ def p1_decode(pm_matrix, chunked: bool = False):
     ``chunked=True`` selects the chunk-parallel Viterbi (throughput path;
     bit-identical with overwhelming probability, see viterbi_decode_chunked).
     """
-    llr = pm_matrix[jnp.asarray(IL.p1_fm_table())].astype(jnp.float32)
+    if jax.default_backend() == "cpu":
+        llr = pm_matrix[jnp.asarray(IL.p1_fm_table())].astype(jnp.float32)
+    else:
+        llr = _p1_deinterleave_mxu(pm_matrix)
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
     full = full.reshape(C.P1_FRAME_LEN_FM, 3)
     if chunked:

@@ -72,6 +72,51 @@ def pids_fm_table() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
+def p1_fm_structured():
+    """Interleaver-I as structured permutations (for the matmul path).
+
+    With i = q*320 + r*20 + p' (q<1142, r<16, p'<20), the formulas in
+    :func:`p1_fm_table` factor:
+      partition = V[p'];  block = (r + 7 V[p']) % 16   (q drops out mod 16)
+      row = (11q) % 32;   col = (11q + q//288) % 36
+    so the deinterleave is
+      M.reshape(16,32,20,36) -> [block, part, row*36+col] = [320, 1152]
+      column-select by qsel[q] = row(q)*36 + col(q)          ([1152]->[1142])
+      row-select by bpsel[r,p'] = block(r,p')*20 + V[p']     ([320]->[320])
+      transpose to [q, r, p'] and flatten.
+    Returns (qsel [1142] int32, bpsel [320] int32), verified against
+    p1_fm_table by construction (see test_interleavers).
+    """
+    v = np.asarray(C.PM_V, dtype=np.int64)
+    q = np.arange(1142, dtype=np.int64)
+    row = (11 * q) % 32
+    col = (11 * q + q // 288) % 36
+    qsel = (row * 36 + col).astype(np.int32)
+    r = np.arange(16, dtype=np.int64)[:, None]
+    p = np.arange(20, dtype=np.int64)[None, :]
+    block = (r + 7 * v[p]) % 16
+    bpsel = (block * 20 + v[p]).reshape(-1).astype(np.int32)
+    return qsel, bpsel
+
+
+@functools.lru_cache(maxsize=1)
+def p1_fm_onehots():
+    """One-hot matrices for the MXU deinterleave path.
+
+    P_q [1152, 1142] picks the q-columns; P_bp [320, 320] permutes the
+    (block, partition) rows into (r, p') order.  The deinterleaved stream
+    (as [q, r, p']) is  P_bp @ M2 @ P_q  transposed appropriately, where
+    M2 = matrix.reshape(16,32,20,36).transpose(0,2,1,3).reshape(320,1152).
+    """
+    qsel, bpsel = p1_fm_structured()
+    pq = np.zeros((1152, 1142), np.float32)
+    pq[qsel, np.arange(1142)] = 1.0
+    pbp = np.zeros((320, 320), np.float32)
+    pbp[np.arange(320), bpsel] = 1.0
+    return pq, pbp
+
+
+@functools.lru_cache(maxsize=1)
 def pm_inverse_table() -> np.ndarray:
     """TX-side scatter map for the full PM matrix.
 

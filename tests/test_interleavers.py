@@ -1,5 +1,7 @@
 """Structural and roundtrip tests for the interleaver gather tables."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nrsc5_tpu import constants as C
@@ -81,3 +83,29 @@ def test_am_pids_tables():
     assert il_row.shape == (120,) and iu_row.shape == (120,)
     # delay tables form a permutation of 0..23
     assert sorted(np.concatenate([dl, du]).tolist()) == list(range(24))
+
+
+def test_p1_structured_matches_table():
+    """The structured (q, r, p') factorization reproduces p1_fm_table, and
+    the one-hot matmul deinterleave is bit-exact vs the gather."""
+    qsel, bpsel = IL.p1_fm_structured()
+    # rebuild the flat table from the factors
+    n = C.P1_FRAME_LEN_ENCODED_FM
+    i = np.arange(n, dtype=np.int64)
+    q, rp = i // 320, i % 320
+    row_col = qsel[q].astype(np.int64)
+    blk_part = bpsel[rp].astype(np.int64)
+    idx = ((blk_part // 20) * 32 + row_col // 36) * 720 \
+        + (blk_part % 20) * 36 + row_col % 36
+    assert np.array_equal(idx, IL.p1_fm_table().astype(np.int64))
+
+    # selections must be injective for the one-hot matmuls to be exact
+    assert len(set(qsel.tolist())) == len(qsel)
+    assert sorted(bpsel.tolist()) == list(range(320))
+
+    from nrsc5_tpu.ops.decode_fm import _p1_deinterleave_mxu
+    rng = np.random.default_rng(7)
+    pm = rng.integers(-32, 32, 16 * 23040).astype(np.int8)
+    got = np.asarray(jax.jit(_p1_deinterleave_mxu)(jnp.asarray(pm)))
+    want = pm[IL.p1_fm_table()].astype(np.float32)
+    assert np.array_equal(got, want)
