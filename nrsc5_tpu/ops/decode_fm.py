@@ -5,6 +5,7 @@ descramble, as fused jitted device functions (reference: src/decode.c:378-472).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +54,14 @@ def p1_decode(pm_matrix, chunked: bool = False):
     ``chunked=True`` selects the chunk-parallel Viterbi (throughput path;
     bit-identical with overwhelming probability, see viterbi_decode_chunked).
     """
-    if jax.default_backend() == "cpu":
-        llr = pm_matrix[jnp.asarray(IL.p1_fm_table())].astype(jnp.float32)
-    else:
+    # A/B on TPU v5e (32 stations): gather 359.7x vs one-hot matmul 340.2x
+    # real time — the int8 gather wins (tiny-M batched matmuls underutilize
+    # the MXU), so it is the default; NRSC5_DEINT_MXU=1 opts into the
+    # matmul formulation (bit-exact, see test_interleavers).
+    if os.environ.get("NRSC5_DEINT_MXU") == "1":
         llr = _p1_deinterleave_mxu(pm_matrix)
+    else:
+        llr = pm_matrix[jnp.asarray(IL.p1_fm_table())].astype(jnp.float32)
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
     full = full.reshape(C.P1_FRAME_LEN_FM, 3)
     if chunked:
