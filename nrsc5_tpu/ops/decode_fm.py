@@ -65,11 +65,14 @@ def p1_decode(pm_matrix, chunked: bool = False):
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
     full = full.reshape(C.P1_FRAME_LEN_FM, 3)
     if chunked:
-        # radix-4 ACS wins where scans are latency-bound (TPU); the
-        # radix-1 recursion is cheaper on compute-bound CPU
-        radix = 1 if jax.default_backend() == "cpu" else 4
+        # radix-2^r ACS wins where scans are latency-bound (TPU); the
+        # radix-1 recursion is cheaper on compute-bound CPU.  Env knobs
+        # exist for on-hardware tuning sweeps.
+        cpu = jax.default_backend() == "cpu"
+        radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
+        chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1024"))
         bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
-                                              radix=radix)
+                                              chunk=chunk, radix=radix)
     else:
         bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
     errors = reencode_bit_errors(full, bits, 7, C.CONV_K7_GEN,
