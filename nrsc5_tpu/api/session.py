@@ -96,14 +96,18 @@ class NRSC5:
             self._emit(make(EventType.BER, **info))
 
     def _on_frame(self, chan: int, bits: np.ndarray, margin: float):
+        """Returns the transport's accept status (False = first PDU header
+        failed RS) so the receiver can steer interleaver-IV phase."""
         if chan == -1:
             self.pids.frame_push(bits)
-        elif chan == 0:
-            self.frame.push_frame(bits, TF.P1)
-        elif chan in (1, 3):
-            self.frame.push_frame(bits, TF.P3)
-        elif chan == 2:
-            self.frame.push_frame(bits, TF.P4)
+            return True
+        if chan == 0:
+            return self.frame.push_frame(bits, TF.P1)
+        if chan in (1, 3):
+            return self.frame.push_frame(bits, TF.P3)
+        if chan == 2:
+            return self.frame.push_frame(bits, TF.P4)
+        return True
 
     # ------------------------------------------------------------------
     # session opening (reference: nrsc5_open_file/open_pipe/open_rtltcp)

@@ -17,6 +17,7 @@ earlier.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -123,7 +124,10 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
     p3_am = p3_stack[jnp.asarray(p3_sel), jnp.asarray(p3_idx)]
 
     # depuncture (zero insertion) + Viterbi
-    radix = 1 if jax.default_backend() == "cpu" else 4
+    # same tuning knob as the FM path (decode_fm.p1_decode); K=9 admits
+    # radix up to 8 (256 states)
+    radix = (1 if jax.default_backend() == "cpu"
+             else int(os.environ.get("NRSC5_VITERBI_RADIX", "4")))
     p1_llr = (p1_am.astype(jnp.float32) * 2 - 1)
     p1_full = depuncture(p1_llr.reshape(8, -1), C.PUNCTURE_E1,
                          C.P1_FRAME_LEN_AM * 3)

@@ -262,6 +262,12 @@ class FMReceiver:
                     px.call_phase = 0
                     px.ready = True
                 if ready_now:
+                    # NB: the deinterleave is anchor-phase invariant — a
+                    # receiver locking mid-cycle (wrong half of the 2-frame
+                    # IV cycle) still reproduces every complete P3 frame
+                    # after one warm-up cycle, only phase-relabeled (pinned
+                    # by test_fm_mp3_iv_midcycle_lock; the reference never
+                    # handles this case, src/decode.c:344-376).
                     chan = 1 if key == "px1" else 2
                     self.on_frame(chan, np.asarray(bits), float(margin))
 

@@ -244,9 +244,12 @@ class FrameDecoder:
         self.ccc = {lc: _FixedChannelState() for lc in (P1, P3, P4)}
 
     # ------------------------------------------------------------------
-    def push_frame(self, bits: np.ndarray, lc: int):
+    def push_frame(self, bits: np.ndarray, lc: int) -> bool:
+        """Returns False when the frame's first audio PDU header failed RS —
+        the signal the receiver uses to resolve the interleaver-IV cycle
+        ambiguity (no reference analog; frame.c:535-540 only hard-resyncs)."""
         pci, data = frame_unpack(bits)
-        self._process(pci, data, len(bits), lc)
+        return self._process(pci, data, len(bits), lc)
 
     # ------------------------------------------------------------------
     def _process(self, pci: int, buf: np.ndarray, frame_bits: int, lc: int):
@@ -259,7 +262,7 @@ class FrameDecoder:
         if has_fixed:
             audio_end = _process_fixed_data(self, buf, lc)
         if not has_audio:
-            return
+            return True
 
         offset = 0
         while offset < audio_end - C.RS_CODEWORD_LEN:
@@ -271,7 +274,7 @@ class FrameDecoder:
                 if frame_bits in (C.P1_FRAME_LEN_FM, C.P1_FRAME_LEN_AM) \
                         and offset == 0 and len(buf) in (C.MAX_PDU_LEN, C.P1_PDU_LEN_AM):
                     self.on_resync()
-                return
+                return offset != 0
             buf = buf.copy()
             buf[offset:offset + 96] = cw
 
@@ -281,17 +284,17 @@ class FrameDecoder:
             loc_bytes = ((lc_bits * hdr["nop"]) + 4) // 8
             if (start + hdr["la_location"] + 1 < offset + loc_bytes
                     or start + hdr["la_location"] >= audio_end):
-                return
+                return True
 
             locations = []
             for j in range(hdr["nop"]):
                 loc = _parse_location(buf[offset:], lc_bits, j)
                 if j == 0 and loc <= hdr["la_location"]:
-                    return
+                    return True
                 if j > 0 and loc <= locations[-1]:
-                    return
+                    return True
                 if start + loc >= audio_end:
-                    return
+                    return True
                 locations.append(loc)
             offset += loc_bytes
 
@@ -350,6 +353,7 @@ class FrameDecoder:
                     seq=seq, crc_error=crc_err, shape=shape))
                 offset += cnt + 1
                 seq = (seq + 1) % eb
+        return True
 
     # ------------------------------------------------------------------
     def _make_aas_handler(self):

@@ -223,3 +223,56 @@ def test_fm_mp2_px1_roundtrip(rng):
     got = {b.tobytes() for b in col.px1}
     missing = sum(p3[1][i].tobytes() not in got for i in range(16))
     assert missing == 0, f"{missing}/16 MP2 P3 frames missing"
+
+
+def test_fm_mp3_iv_midcycle_lock(rng):
+    """Interleaver-IV is anchor-phase invariant under a mid-cycle lock.
+
+    The capture carries ONE junk P1 frame before the PX cycle stream, so the
+    receiver's bc==0 anchor lands half a 2-frame IV cycle off the TX phase.
+    The deinterleave still reproduces every complete P3 frame after one
+    warm-up cycle (frames are only phase-relabeled), so no recovery logic is
+    needed — this pins that property (the reference, src/decode.c:344-376,
+    never handles a mid-cycle lock explicitly either)."""
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    psmi = 3
+    n_cycles = 3
+    fl = C.P3_FRAME_LEN_MP3_MP11
+    p3_frames = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+
+    mats = []
+    for _ in range(1 + n_cycles * 2):  # 1 filler P1 frame + cycle frames
+        p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+        pids = rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+        mats.append(build_pm_matrix(p1, pids))
+    stream = build_px_stream(p3_frames, fl)
+    sview = stream.reshape(n_cycles * 32 * C.BLKSZ, -1)
+    width = sview.shape[1]
+
+    lead_blocks = 2
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    matrix = np.concatenate([dummy[(16 - lead_blocks) * 32:]] + mats
+                            + [dummy[:2 * 32]])
+    junk = rng.choice(np.array([-1, 1], np.int8),
+                      ((lead_blocks + 16) * 32, width))
+    trail = rng.choice(np.array([-1, 1], np.int8), (2 * 32, width))
+    px_all = np.concatenate([junk, sview, trail])
+    bc_seq = np.concatenate([np.arange(16 - lead_blocks, 16),
+                             np.tile(np.arange(16), 1 + 2 * n_cycles),
+                             np.arange(2)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+
+    col = Collector()
+    rx = FMReceiver(col.on_frame, col.on_event)
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": psmi}) in col.events
+    got = {b.tobytes() for b in col.px1}
+    for cyc in (1, 2):  # cycle 0 is warm-up (mixed with the junk filler)
+        missing = sum(p3_frames[cyc][i].tobytes() not in got
+                      for i in range(16))
+        assert missing == 0, f"{missing}/16 cycle-{cyc} frames missing"
