@@ -345,7 +345,7 @@ def _chunk_plan(t: int, chunk: int, overlap: int):
                    static_argnames=("k", "gens", "chunk", "overlap", "radix"))
 def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
                            chunk: int = 1024, overlap: int = 96,
-                           radix: int = 4):
+                           radix: int = 4, unroll: int = 2):
     """Chunk-parallel tail-biting Viterbi (the TPU-throughput variant).
 
     The sequential trellis recursion is the reference's only hot kernel that
@@ -379,7 +379,8 @@ def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
             flat = jnp.concatenate(
                 [flat, jnp.zeros(flat.shape[:1] + (pad, 3), flat.dtype)],
                 axis=1)
-        bits_seg, margins = _acs_traceback_radix(flat, k, gens, radix)
+        bits_seg, margins = _acs_traceback_radix(flat, k, gens, radix,
+                                                 unroll=unroll)
         bits_seg = bits_seg[:, :length]
     else:
         bits_seg, margins = _acs_traceback(flat, k, gens)

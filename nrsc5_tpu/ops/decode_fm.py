@@ -71,8 +71,10 @@ def p1_decode(pm_matrix, chunked: bool = False):
         cpu = jax.default_backend() == "cpu"
         radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
         chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1024"))
+        unroll = int(os.environ.get("NRSC5_VITERBI_UNROLL", "2"))
         bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
-                                              chunk=chunk, radix=radix)
+                                              chunk=chunk, radix=radix,
+                                              unroll=unroll)
     else:
         bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
     errors = reencode_bit_errors(full, bits, 7, C.CONV_K7_GEN,
