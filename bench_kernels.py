@@ -99,6 +99,19 @@ def main():
                  B * 16 * 32 * C.FFTCP_FM / m.per_call_s
                  / C.SAMPLE_RATE_CS16_FM))
 
+    # 3b. AM MA1 frame decode (bit-plane gather + K=9 chunked Viterbi);
+    # input is hard QAM symbols (uint8) so this runs on any backend
+    from nrsc5_tpu.ops.decode_am import am_decode_init_state, am_frame_decode
+    sym = jnp.zeros((B, 8 * 32 * 25), jnp.uint8)
+    am_states = bcast(am_decode_init_state())
+    amf = jax.jit(jax.vmap(
+        lambda a, b, c, d, st: am_frame_decode(a, b, c, d, st)[0]))
+    m = measure(amf, sym, sym, sym, sym, am_states, reps=args.reps,
+                sync=sync_fetch)
+    rows.append(("am_ma1_frame_decode", m,
+                 B * 8 * 32 * C.FFTCP_AM / m.per_call_s
+                 / C.SAMPLE_RATE_CS16_AM))
+
     # 4. full fused chain, one frame per station
     if cpu:
         buf = jnp.asarray(np.zeros((B, sc.buffer_len(16)), np.complex64))
