@@ -342,7 +342,8 @@ def _chunk_plan(t: int, chunk: int, overlap: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "gens", "chunk", "overlap", "radix"))
+                   static_argnames=("k", "gens", "chunk", "overlap", "radix",
+                                    "unroll"))
 def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
                            chunk: int = 1024, overlap: int = 96,
                            radix: int = 4, unroll: int = 2):

@@ -9,6 +9,7 @@ from nrsc5_tpu.ops.convolutional import (
     depuncture,
     puncture,
     viterbi_decode,
+    viterbi_decode_chunked,
 )
 from nrsc5_tpu.ops.scramble import descramble, scramble, scrambler_keystream
 
@@ -158,4 +159,19 @@ def test_viterbi_chunked_radix_roundtrip(rng):
     llr = llr + rng.normal(0, 0.5, llr.shape).astype(np.float32)
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(2, t, 3)
     out, _ = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN, radix=4)
+    assert np.array_equal(np.asarray(out), bits)
+
+
+def test_chunked_viterbi_explicit_static_args(rng):
+    """Regression: every tuning knob of viterbi_decode_chunked must be a
+    static jit argument — passing unroll explicitly once produced a traced
+    `unroll` inside lax.scan (only reachable on the radix>1 accelerator
+    path, so plain CPU tests missed it)."""
+    bits = rng.integers(0, 2, 7000).astype(np.uint8)
+    import jax.numpy as jnp
+    llr = (conv_encode(bits, 7, C.CONV_K7_GEN).astype(np.float32) * 2
+           - 1).reshape(-1, 3) * 20
+    out, _ = viterbi_decode_chunked(jnp.asarray(llr), 7, C.CONV_K7_GEN,
+                                    chunk=1024, overlap=96, radix=4,
+                                    unroll=2)
     assert np.array_equal(np.asarray(out), bits)
