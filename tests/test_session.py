@@ -227,3 +227,67 @@ def test_fm_session_turbo_path(rng):
     want = {p for f in range(2) for p in all_packets[f]}
     missing = want - hdc
     assert not missing, f"{len(missing)} HDC packets missing (turbo)"
+
+
+def test_fm_session_p3_audio(rng):
+    """MP3 service mode end to end at the session boundary: a second audio
+    program (SPS) carried in P3 audio PDUs through the interleaver-IV
+    channel must surface as program-1 AUDIO_SERVICE + bit-exact HDC events
+    (reference: the P3 path of src/frame.c:645-714 + src/output.c)."""
+    from nrsc5_tpu.tx.encoder import build_px_stream
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+
+    psmi, n_cycles, fl = 3, 2, C.P3_FRAME_LEN_MP3_MP11
+    p3_bytes = (fl - 24) // 8  # 573
+
+    p3_packets = []
+    p3_bits = np.zeros((n_cycles, 16, fl), np.uint8)
+    for cyc in range(n_cycles):
+        for f in range(16):
+            pkts = [rng.integers(0, 256, 150).astype(np.uint8).tobytes()
+                    for _ in range(3)]
+            p3_packets.append((cyc, pkts))
+            g = cyc * 16 + f
+            pdu = build_audio_pdu(pkts, program=1, pdu_seq=g % 8,
+                                  seq=(g * 3) % 64, total_len=p3_bytes)
+            p3_bits[cyc, f] = pack_frame(pdu, fl, C.PCI_AUDIO)
+    stream = build_px_stream(p3_bits, fl)
+    sview = stream.reshape(n_cycles * 32 * C.BLKSZ, -1)
+    width = sview.shape[1]
+
+    # P1 must carry valid audio PDUs too (garbage would hard-resync)
+    mats = []
+    pids = np.zeros((16, 80), np.uint8)
+    for f in range(2 * n_cycles):
+        pkts = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                for _ in range(32)]
+        p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=f % 8,
+                               seq=(f * 32) % 64)
+        mats.append(build_pm_matrix(p1, pids))
+
+    lead = 2
+    dummy = mats[0]
+    matrix = np.concatenate([dummy[(16 - lead) * 32:]] + mats
+                            + [dummy[:2 * 32]])
+    junk = rng.choice(np.array([-1, 1], np.int8), (lead * 32, width))
+    trail = rng.choice(np.array([-1, 1], np.int8), (2 * 32, width))
+    px_all = np.concatenate([junk, sview, trail])
+    bc_seq = np.concatenate([np.arange(16 - lead, 16),
+                             np.tile(np.arange(16), 2 * n_cycles),
+                             np.arange(2)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+
+    svc = {e.program for e in events if e.type == EventType.AUDIO_SERVICE}
+    assert 1 in svc, f"program-1 audio service missing (got {svc})"
+    hdc1 = [e.data for e in events
+            if e.type == EventType.HDC and e.program == 1]
+    cyc1 = {p for cyc, pkts in p3_packets if cyc == 1 for p in pkts}
+    matches = sum(1 for d in hdc1 if d in cyc1)
+    assert matches > 0, \
+        f"no bit-exact cycle-1 P3 HDC packet of {len(cyc1)} surfaced"
