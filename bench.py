@@ -121,10 +121,15 @@ def run_bench(args) -> dict:
         np.asarray(out["p1_margin"])  # per-rep sync via a tiny fetch
     dt = time.perf_counter() - t0
 
-    # correctness gate after timing
+    # correctness gate after timing: every station and every frame must be
+    # bit-exact (the capture tiles the same frame content everywhere)
     got = np.asarray(out["p1"])
-    assert np.array_equal(got[0, 0], p1), "bench decode failed"
-    log("# decode gate: PASSED")
+    want = np.broadcast_to(p1, got.shape)
+    assert np.array_equal(got, want), (
+        f"bench decode failed: {int((got != want).sum())} / {got.size} "
+        "bits differ across stations x frames")
+    log(f"# decode gate: PASSED ({got.shape[0]} stations x {got.shape[1]} "
+        "frames bit-exact)")
 
     n_samples = args.reps * args.stations * n_blocks * C.BLKSZ * C.FFTCP_FM
     sps = n_samples / dt

@@ -54,6 +54,7 @@ class NRSC5:
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._iq_dump = None
+        self._cs16_leftover = b""
         self._wire()
 
     # ------------------------------------------------------------------
@@ -68,8 +69,7 @@ class NRSC5:
             self.output,
             on_audio_service=lambda info: self._emit(
                 make(EventType.AUDIO_SERVICE, **info)),
-            on_resync=self._resync,
-            on_ber=lambda ber: self._emit(make(EventType.BER, cber=ber)))
+            on_resync=self._resync)
         if self.mode == MODE_FM:
             if self.turbo:
                 from nrsc5_tpu.pipeline.turbo import TurboFMReceiver
@@ -253,8 +253,19 @@ class NRSC5:
 
     def pipe_samples_cs16(self, data):
         """Complex baseband at the internal rate (744,187.5 FM /
-        46,511.7 AM), as complex64 or interleaved int16."""
-        arr = np.asarray(data)
+        46,511.7 AM), as complex64, interleaved int16, or raw bytes.
+
+        Raw bytes (as handed over by the worker thread's source reads) may
+        end mid-I/Q-pair; the trailing partial 4-byte pair is carried to the
+        next call (reference: src/nrsc5.c:627-650 leftover handling).
+        """
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            buf = self._cs16_leftover + bytes(data)
+            n = len(buf) - (len(buf) % 4)
+            self._cs16_leftover = buf[n:]
+            arr = np.frombuffer(buf[:n], np.int16)
+        else:
+            arr = np.asarray(data)
         if arr.dtype == np.int16:
             arr = (arr[0::2].astype(np.float32)
                    + 1j * arr[1::2].astype(np.float32)) / 32768.0

@@ -25,30 +25,47 @@ import os
 import numpy as np
 
 
+class _NeAACDecFrameInfo(ctypes.Structure):
+    """Full NeAACDecFrameInfo layout (faad2 include/neaacdec.h struct
+    NeAACDecFrameInfo) — the library memsets/writes the whole struct, so
+    the binding must declare every field."""
+    _fields_ = [("bytesconsumed", ctypes.c_ulong),
+                ("samples", ctypes.c_ulong),
+                ("channels", ctypes.c_ubyte),
+                ("error", ctypes.c_ubyte),
+                ("samplerate", ctypes.c_ulong),
+                ("sbr", ctypes.c_ubyte),
+                ("object_type", ctypes.c_ubyte),
+                ("header_type", ctypes.c_ubyte),
+                ("num_front_channels", ctypes.c_ubyte),
+                ("num_side_channels", ctypes.c_ubyte),
+                ("num_back_channels", ctypes.c_ubyte),
+                ("num_lfe_channels", ctypes.c_ubyte),
+                ("channel_position", ctypes.c_ubyte * 64),
+                ("ps", ctypes.c_ubyte)]
+
+
 class _FaadHDC:
-    """ctypes binding of the patched FAAD2 HDC entry points."""
+    """ctypes binding of the patched FAAD2 HDC entry points
+    (reference: support/faad2-hdc-support.patch:186-214 —
+    ``NeAACDecInitHDC(NeAACDecHandle*)`` takes only the handle)."""
 
     def __init__(self, path: str):
         lib = ctypes.CDLL(path)
         lib.NeAACDecOpen.restype = ctypes.c_void_p
-        lib.NeAACDecInitHDC.argtypes = [ctypes.POINTER(ctypes.c_void_p),
-                                        ctypes.POINTER(ctypes.c_ulong)]
+        lib.NeAACDecInitHDC.restype = ctypes.c_char
+        lib.NeAACDecInitHDC.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
         lib.NeAACDecDecode.restype = ctypes.c_void_p
-        lib.NeAACDecDecode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                       ctypes.c_char_p, ctypes.c_ulong]
+        lib.NeAACDecDecode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(_NeAACDecFrameInfo),
+            ctypes.c_char_p, ctypes.c_ulong]
         self.lib = lib
+        # InitHDC closes+reopens the handle internally; seed it with one.
         self.handle = ctypes.c_void_p(lib.NeAACDecOpen())
-        rate = ctypes.c_ulong(0)
-        lib.NeAACDecInitHDC(ctypes.byref(self.handle), ctypes.byref(rate))
+        lib.NeAACDecInitHDC(ctypes.byref(self.handle))
 
     def decode(self, packet: bytes) -> np.ndarray | None:
-        class FrameInfo(ctypes.Structure):
-            _fields_ = [("error", ctypes.c_ulong),
-                        ("samples", ctypes.c_ulong),
-                        ("channels", ctypes.c_ubyte),
-                        ("object_type", ctypes.c_ubyte),
-                        ("header_type", ctypes.c_ubyte)]
-        info = FrameInfo()
+        info = _NeAACDecFrameInfo()
         ptr = self.lib.NeAACDecDecode(self.handle, ctypes.byref(info),
                                       packet, len(packet))
         if not ptr or info.error or info.samples == 0:

@@ -61,6 +61,10 @@ class CLI:
             self.wav.setnchannels(2)
             self.wav.setsampwidth(2)
             self.wav.setframerate(C.SAMPLE_RATE_AUDIO)
+        elif a.output:
+            # raw interleaved int16 stereo (reference: src/main.c open_ao_file)
+            self.audio_stream = (sys.stdout.buffer if a.output == "-"
+                                 else open(a.output, "wb"))
         if a.dump_hdc:
             self.hdc_file = open(a.dump_hdc, "wb")
 
@@ -114,6 +118,9 @@ class CLI:
                     radio.pipe_samples_cs16(np.frombuffer(data, np.int16))
         if self.wav is not None:
             self.wav.close()
+        if self.audio_stream is not None and self.audio_stream is not \
+                sys.stdout.buffer:
+            self.audio_stream.close()
         if self.hdc_file:
             self.hdc_file.close()
 
@@ -152,6 +159,9 @@ class CLI:
             if self.wav is not None:
                 self.wav.writeframes(np.asarray(ev.samples, np.int16)
                                      .tobytes())
+            if self.audio_stream is not None:
+                self.audio_stream.write(np.asarray(ev.samples, np.int16)
+                                        .tobytes())
         elif t == EventType.STATION_NAME:
             log.info("Station name: %s", ev.name)
         elif t == EventType.STATION_SLOGAN:
@@ -172,7 +182,7 @@ class CLI:
                 with open(path, "wb") as f:
                     f.write(ev.data)
             log.info("LOT file: port=%04X lot=%d name=%s size=%d",
-                     ev.port, ev.lot, ev.name, len(ev.data))
+                     ev.component.port, ev.lot, ev.name, len(ev.data))
         elif t == EventType.EMERGENCY_ALERT:
             if ev.message:
                 log.warning("Emergency alert: %s", ev.message)

@@ -312,6 +312,12 @@ def _am_process(window, state, samperr, prev_angle, cfo_bins):
     mag_sums = jnp.abs(spectra1).sum(axis=0)
 
     keep = (fftcp + (fftcp // 2 - samperr)).astype(jnp.int32)
+    # Carry the regression-corrected angle so a persistent fractional CFO
+    # accumulates across blocks instead of being re-estimated from scratch
+    # (reference: src/acquire.c:236-240 updates st->prev_angle in place).
+    # Convention: angle = prev_angle - 2*pi*cfo_bins, so fold the +2*pi*cfo
+    # back in to keep prev_angle CFO-free.
+    prev_angle_out = angle2 + 2 * jnp.pi * cfo_bins.astype(jnp.float32)
     new_state = AcquireState(phase=phase_out.astype(jnp.complex64),
-                             prev_angle=prev_angle)
+                             prev_angle=prev_angle_out.astype(jnp.float32))
     return spectra, new_state, samperr, keep, mag_sums

@@ -85,10 +85,13 @@ def fm_frontend_scan(samples: jax.Array, carry: ChainCarry,
         consumed = WINDOW_FM - keep
         ncy = ChainCarry(offset=cy.offset + consumed, acq=acq, sync=sync,
                          samperr_fb=out["samperr"], angle_fb=out["angle"])
-        return ncy, (out["pm"], out["samperr"], out["error_lb"] + out["error_ub"])
+        return ncy, (out["pm"], out["samperr"], out["error_lb"],
+                     out["error_ub"])
 
-    carry, (pm, samperr, err) = jax.lax.scan(step, carry, None, length=n_blocks)
-    return pm, {"samperr": samperr, "error": err}, carry
+    carry, (pm, samperr, elb, eub) = jax.lax.scan(step, carry, None,
+                                                  length=n_blocks)
+    return pm, {"samperr": samperr, "error": elb + eub,
+                "error_lb": elb, "error_ub": eub}, carry
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc"))

@@ -37,6 +37,8 @@ class TurboFMReceiver:
         self._fast = False
         self._carry: sc.ChainCarry | None = None
         self._pending_resync = False
+        self._mer_acc = [0.0, 0.0]
+        self._mer_cnt = 0
 
     # ------------------------------------------------------------------
     def _slow_frame(self, chan, bits, margin):
@@ -48,11 +50,13 @@ class TurboFMReceiver:
     def resync(self):
         self._fast = False
         self._carry = None
+        self._mer_acc, self._mer_cnt = [0.0, 0.0], 0
         self._slow.resync()
 
     def reset(self):
         self._fast = False
         self._carry = None
+        self._mer_acc, self._mer_cnt = [0.0, 0.0], 0
         self._slow.reset()
 
     # ------------------------------------------------------------------
@@ -118,9 +122,26 @@ class TurboFMReceiver:
         p1 = np.asarray(out["p1"])
         margins = np.asarray(out["p1_margin"])
         errors = np.asarray(out["p1_bit_errors"])
+        error_lb = np.asarray(out["diag"]["error_lb"])
+        error_ub = np.asarray(out["diag"]["error_ub"])
         for b in range(self.n_blocks):
             self.on_event("block", {})
             self.on_frame(-1, pids[b], 0.0)
+            # MER every 16 blocks, same aggregation as the per-block path
+            # (reference: src/sync.c:486-501)
+            self._mer_acc[0] += float(error_lb[b])
+            self._mer_acc[1] += float(error_ub[b])
+            self._mer_cnt += 1
+            if self._mer_cnt == 16:
+                ppb = C.partitions_per_band(1)
+                signal = 2 * C.BLKSZ * ppb * C.PARTITION_DATA_CARRIERS * 16
+                self.on_event("mer", {
+                    "lower": 10 * np.log10(signal / self._mer_acc[0])
+                    if self._mer_acc[0] > 0 else 0.0,
+                    "upper": 10 * np.log10(signal / self._mer_acc[1])
+                    if self._mer_acc[1] > 0 else 0.0})
+                self._mer_acc = [0.0, 0.0]
+                self._mer_cnt = 0
         for f in range(p1.shape[0]):
             self.on_event("ber", {
                 "cber": float(errors[f]) / C.P1_FRAME_LEN_ENCODED_FM})

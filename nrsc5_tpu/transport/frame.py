@@ -230,12 +230,10 @@ class FrameDecoder:
       * on_resync() — hard L1 resync request
     """
 
-    def __init__(self, output, on_audio_service=None, on_resync=None,
-                 on_ber=None):
+    def __init__(self, output, on_audio_service=None, on_resync=None):
         self.output = output
         self.on_audio_service = on_audio_service or (lambda info: None)
         self.on_resync = on_resync or (lambda: None)
-        self.on_ber = on_ber or (lambda ber: None)
         self.reset()
 
     def reset(self):

@@ -46,6 +46,9 @@ def test_am_pids_roundtrip(rng):
 @pytest.mark.parametrize("ma3,impair", [
     (False, dict()),
     (False, dict(sample_offset=101)),
+    # continuous fractional CFO: exercises the pilot-regression fine-CFO
+    # accumulation across blocks (reference: src/acquire.c:236-240)
+    (False, dict(cfo_hz=12.0, snr_db=30.0)),
     (True, dict()),
 ])
 def test_am_end_to_end(rng, ma3, impair):

@@ -291,3 +291,50 @@ def test_fm_session_p3_audio(rng):
     matches = sum(1 for d in hdc1 if d in cyc1)
     assert matches > 0, \
         f"no bit-exact cycle-1 P3 HDC packet of {len(cyc1)} surfaced"
+
+
+def test_cs16_bytes_push_and_partial_pairs():
+    """pipe_samples_cs16 must accept raw bytes (the worker thread hands
+    over unparsed source reads) and carry a trailing partial I/Q pair to
+    the next call (reference: src/nrsc5.c:627-650 leftover handling)."""
+    radio = NRSC5.open_pipe(lambda ev: None, MODE_FM)
+    got = []
+    radio.radio.push_cs16 = lambda arr: got.append(np.asarray(arr))
+
+    rng = np.random.default_rng(5)
+    iq = rng.integers(-3000, 3000, 4 * 100, dtype=np.int16)
+    raw = iq.tobytes()
+    # feed in deliberately misaligned chunks (not multiples of 4 bytes)
+    for lo, hi in ((0, 7), (7, 130), (130, 133), (133, len(raw))):
+        radio.pipe_samples_cs16(raw[lo:hi])
+    stream = np.concatenate(got)
+
+    radio2 = NRSC5.open_pipe(lambda ev: None, MODE_FM)
+    got2 = []
+    radio2.radio.push_cs16 = lambda arr: got2.append(np.asarray(arr))
+    radio2.pipe_samples_cs16(iq)
+    assert np.array_equal(stream, np.concatenate(got2))
+
+
+def test_cs16_file_worker(tmp_path):
+    """open_file(input_format='cs16') + start(): the worker thread must
+    survive raw byte reads (odd tails included) and emit LOST_DEVICE at
+    EOF instead of dying silently (ADVICE round 1, medium)."""
+    rng = np.random.default_rng(6)
+    path = tmp_path / "capture.cs16"
+    # 3 reads of 32768 bytes plus a ragged 2-byte tail
+    path.write_bytes(rng.integers(-100, 100, 3 * 16384 + 1,
+                                  dtype=np.int16).tobytes())
+
+    events = []
+    radio = NRSC5.open_file(str(path), events.append, MODE_FM,
+                            input_format="cs16")
+    pushed = []
+    radio.radio.push_cs16 = lambda arr: pushed.append(np.asarray(arr))
+    radio.start()
+    radio._worker.join(timeout=30)
+    assert not radio._worker.is_alive(), "worker thread hung"
+    radio.close()
+    assert any(e.type == EventType.LOST_DEVICE for e in events), \
+        "no LOST_DEVICE at EOF (worker died early?)"
+    assert sum(len(p) for p in pushed) == (3 * 16384 + 1) // 2
