@@ -38,16 +38,21 @@ class NRSC5:
     """One receive session.
 
     callback: receives :class:`nrsc5_tpu.api.events.Event`.
-    hdc_decoder_factory: optional () -> decoder with .decode(bytes) -> pcm;
-      when absent, HDC packets are still emitted but no AUDIO events.
+    hdc_decoder_factory: () -> decoder with .decode(bytes) -> pcm.  The
+      default "auto" selects nrsc5_tpu.audio.hdc.HDCDecoder (built-in
+      codec, or a patched libfaad via NRSC5_TPU_FAAD_HDC); pass None to
+      disable audio decode (HDC packet events still flow).
     """
 
     def __init__(self, callback: Callable[[Event], None],
-                 mode: int = MODE_FM, hdc_decoder_factory=None,
+                 mode: int = MODE_FM, hdc_decoder_factory="auto",
                  turbo: bool = False):
         self.callback = callback
         self.mode = mode
         self.turbo = turbo
+        if hdc_decoder_factory == "auto":
+            from nrsc5_tpu.audio.hdc import HDCDecoder
+            hdc_decoder_factory = HDCDecoder
         self._hdc_factory = hdc_decoder_factory
         self._source = None
         self._worker = None

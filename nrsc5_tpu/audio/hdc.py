@@ -1,19 +1,17 @@
-"""HDC (HDC-AAC) → PCM decode.
+"""HDC (HDC-AAC) → PCM decode backend selection.
 
 HDC is a nonstandard AAC variant: an AAC-LC core with a modified SBR
 (32 subsamples), fed as raw packets without ADTS framing.  The reference
 uses a patched FAAD2 (`NeAACDecInitHDC`; reference:
 support/faad2-hdc-support.patch, src/output.c:126-163).
 
-This environment has no network access and no FAAD2 sources, so the
-framework's primary correctness boundary is **bit-exact HDC packets**
-(SURVEY.md §2, external-dependency table); PCM is produced when a decoder
-backend is available:
+Backends, in order:
 
-  * ``libfaad_hdc.so`` (a FAAD2 build with the HDC patch) found via
-    NRSC5_TPU_FAAD_HDC or on the default library path — bound with ctypes.
-  * otherwise :class:`HDCDecoder.check` raises and audio output is
-    disabled (HDC events still carry the exact packets).
+  * the built-in clean-room decoder (nrsc5_tpu/audio/hdc_decoder.py) —
+    always available, the default;
+  * ``libfaad_hdc.so`` (a FAAD2 build with the HDC patch), selected by
+    setting NRSC5_TPU_FAAD_HDC to its path — bound with ctypes, for
+    cross-checking against the reference codec where one exists.
 """
 
 from __future__ import annotations
@@ -98,21 +96,22 @@ def _find_library() -> str | None:
 
 
 class HDCDecoder:
-    """Per-program HDC decoder (factory signature used by Output)."""
+    """Per-program HDC decoder (factory signature used by Output).
+
+    Dispatches to the faad backend when NRSC5_TPU_FAAD_HDC points at a
+    patched libfaad, the built-in decoder otherwise."""
 
     @staticmethod
     def check():
-        if _find_library() is None:
-            raise RuntimeError(
-                "no HDC decoder backend: set NRSC5_TPU_FAAD_HDC to a "
-                "faad2-hdc build of libfaad (see reference "
-                "support/faad2-hdc-support.patch)")
+        pass  # the built-in backend is always available
 
     def __init__(self):
         path = _find_library()
-        if path is None:
-            raise RuntimeError("no HDC decoder backend")
-        self._dec = _FaadHDC(path)
+        if path is not None:
+            self._dec = _FaadHDC(path)
+        else:
+            from nrsc5_tpu.audio.hdc_decoder import HDCDecoder as _Builtin
+            self._dec = _Builtin()
 
     def decode(self, packet: bytes):
         return self._dec.decode(packet)

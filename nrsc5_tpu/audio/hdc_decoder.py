@@ -1,0 +1,507 @@
+"""HDC (HD-Radio codec, AAC-LC core) bitstream decoder.
+
+Clean-room implementation of the HDC packet syntax established by the
+reference's FAAD2 patch (support/faad2-hdc-support.patch):
+
+* ``hdc_data_block`` (patch:755-857): 3-bit block type selects mono/stereo
+  (``hdc_is_stereo_layer``, patch:732-753), one shared compact ics header
+  (``hdc_data_frame``, patch:630-693: reserved bit, window shape/sequence,
+  max_sfb, grouping, ms mask), TNS presence flags up front, then per
+  channel the AAC-LC side info (global gain, section data, scalefactors —
+  ``side_info`` with scal_flag=1) and spectral data.
+* TNS quirk: long windows imply n_filt=1 without reading it
+  (patch:920-929).
+* An optional trailing fill element (ID_FIL + 1 bit) carries SBR to the
+  end of the packet (``hdc_sbr_data_block``, patch:695-730) — decoded by
+  nrsc5_tpu/audio/sbr.py with the HDC flavor (32 subsamples).
+
+The core layer is standard ISO/IEC 13818-7 / 14496-3 AAC-LC at 22050 Hz,
+1024-sample frames (patch:199-212); all spec data tables come from the
+generated nrsc5_tpu/audio/aac_tables.py.  Output is 2048 stereo samples
+at 44100 Hz per packet (reference: include/nrsc5.h:51,56) — via SBR when
+present, spectral upsampling otherwise (the ``forceUpSampling`` analog,
+patch:210).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from nrsc5_tpu.audio import aac_core as A
+from nrsc5_tpu.audio import aac_tables as T
+from nrsc5_tpu.audio.bitio import BitReader
+from nrsc5_tpu.audio.huffman import PrefixCode
+
+ID_FIL = 6
+LEN_SE_ID = 3
+
+SF_HUFF = PrefixCode(T.FF_AAC_SCALEFACTOR_CODE, T.FF_AAC_SCALEFACTOR_BITS)
+SPEC_HUFF = {i: PrefixCode(getattr(T, f"CODES{i}"), getattr(T, f"BITS{i}"))
+             for i in range(1, 12)}
+
+STEREO_BLOCK_TYPES = (2, 7)  # patch:732-753
+KNOWN_BLOCK_TYPES = (0, 1, 2, 5, 6, 7)
+
+
+class HDCError(ValueError):
+    pass
+
+
+@dataclass
+class IcsInfo:
+    window_shape: int = 0
+    window_sequence: int = A.ONLY_LONG
+    max_sfb: int = 0
+    scale_factor_grouping: int = 0
+    num_window_groups: int = 1
+    group_len: list = field(default_factory=lambda: [1])
+    ms_mask_present: int = 0
+    ms_used: np.ndarray | None = None
+    # per group x sfb
+    sfb_cb: np.ndarray | None = None
+    scale_factors: np.ndarray | None = None
+    global_gain: int = 0
+    tns: "TnsInfo | None" = None
+
+    @property
+    def short(self) -> bool:
+        return self.window_sequence == A.EIGHT_SHORT
+
+    @property
+    def num_windows(self) -> int:
+        return 8 if self.short else 1
+
+    @property
+    def swb_offset(self) -> np.ndarray:
+        return A.swb_offsets(self.short)
+
+
+@dataclass
+class TnsInfo:
+    n_filt: list = field(default_factory=list)      # per window
+    coef_res: list = field(default_factory=list)    # per window
+    # per window: list of (length, order, direction, compress, coefs)
+    filt: list = field(default_factory=list)
+
+
+# ----------------------------------------------------------------------
+# syntax
+# ----------------------------------------------------------------------
+def _window_grouping(ics: IcsInfo):
+    if ics.short:
+        groups, lens = 1, [1]
+        for i in range(7):
+            if (ics.scale_factor_grouping >> (6 - i)) & 1:
+                lens[-1] += 1
+            else:
+                groups += 1
+                lens.append(1)
+        ics.num_window_groups, ics.group_len = groups, lens
+    else:
+        ics.num_window_groups, ics.group_len = 1, [1]
+    if ics.max_sfb > A.num_swb(ics.short):
+        raise HDCError(f"max_sfb {ics.max_sfb} > num_swb")
+
+
+def _parse_hdc_data_frame(br: BitReader, stereo: bool) -> IcsInfo:
+    """The compact shared ics header (patch:630-693)."""
+    ics = IcsInfo()
+    if br.read1() != 0:  # ics_reserved_bit
+        raise HDCError("ics reserved bit set")
+    ics.window_shape = br.read1()
+    ics.window_sequence = br.read(2)
+    if ics.short:
+        ics.max_sfb = br.read(4)
+        ics.scale_factor_grouping = br.read(7)
+    else:
+        ics.max_sfb = br.read(6)
+    _window_grouping(ics)
+    if stereo:
+        ics.ms_mask_present = br.read(2)
+        if ics.ms_mask_present == 3:
+            raise HDCError("ms_mask_present == 3")
+        ics.ms_used = np.zeros((ics.num_window_groups, ics.max_sfb), bool)
+        if ics.ms_mask_present == 1:
+            for g in range(ics.num_window_groups):
+                for sfb in range(ics.max_sfb):
+                    ics.ms_used[g, sfb] = bool(br.read1())
+        elif ics.ms_mask_present == 2:  # all bands M/S
+            ics.ms_used[:] = True
+    return ics
+
+
+def _parse_tns(br: BitReader, ics: IcsInfo) -> TnsInfo:
+    """tns_data with the HDC long-window n_filt quirk (patch:916-929)."""
+    tns = TnsInfo()
+    if ics.short:
+        n_filt_bits, length_bits, order_bits = 1, 4, 3
+    else:
+        n_filt_bits, length_bits, order_bits = 2, 6, 5
+    for w in range(ics.num_windows):
+        if not ics.short:
+            n_filt = 1  # HDC: implicit for long windows
+        else:
+            n_filt = br.read(n_filt_bits)
+        coef_res = 0
+        start_coef_bits = 3
+        if n_filt:
+            coef_res = br.read1()
+            if coef_res:
+                start_coef_bits = 4
+        filts = []
+        for _ in range(n_filt):
+            length = br.read(length_bits)
+            order = br.read(order_bits)
+            if order:
+                direction = br.read1()
+                compress = br.read1()
+                coef_bits = start_coef_bits - compress
+                coefs = [br.read(coef_bits) for _ in range(order)]
+            else:
+                direction = compress = 0
+                coefs = []
+            filts.append((length, order, direction, compress, coefs))
+        tns.n_filt.append(n_filt)
+        tns.coef_res.append(coef_res)
+        tns.filt.append(filts)
+    return tns
+
+
+def _parse_section_data(br: BitReader, ics: IcsInfo):
+    sect_bits = 3 if ics.short else 5
+    esc = (1 << sect_bits) - 1
+    sfb_cb = np.zeros((ics.num_window_groups, ics.max_sfb), np.int32)
+    for g in range(ics.num_window_groups):
+        k = 0
+        while k < ics.max_sfb:
+            cb = br.read(4)
+            if cb == 12:  # reserved codebook id
+                raise HDCError("reserved codebook 12")
+            run = 0
+            while True:
+                incr = br.read(sect_bits)
+                run += incr
+                if incr != esc:
+                    break
+            if k + run > ics.max_sfb or br.overrun():
+                raise HDCError("section data overrun")
+            sfb_cb[g, k:k + run] = cb
+            k += run
+    ics.sfb_cb = sfb_cb
+
+
+def _parse_scale_factors(br: BitReader, ics: IcsInfo):
+    sf = np.zeros((ics.num_window_groups, ics.max_sfb), np.int32)
+    scale_factor = ics.global_gain
+    is_position = 0
+    noise_energy = ics.global_gain - 90
+    noise_pcm = True
+    for g in range(ics.num_window_groups):
+        for b in range(ics.max_sfb):
+            cb = int(ics.sfb_cb[g, b])
+            if cb == A.ZERO_HCB:
+                sf[g, b] = 0
+            elif cb in (A.INTENSITY_HCB, A.INTENSITY_HCB2):
+                is_position += SF_HUFF.decode(br) - A.SF_CENTER
+                sf[g, b] = is_position
+            elif cb == A.NOISE_HCB:
+                if noise_pcm:
+                    noise_pcm = False
+                    noise_energy += br.read(9) - 256
+                else:
+                    noise_energy += SF_HUFF.decode(br) - A.SF_CENTER
+                sf[g, b] = noise_energy
+            else:
+                scale_factor += SF_HUFF.decode(br) - A.SF_CENTER
+                if not 0 <= scale_factor < 256:
+                    raise HDCError("scalefactor out of range")
+                sf[g, b] = scale_factor
+    ics.scale_factors = sf
+
+
+def _read_escape(br: BitReader) -> int:
+    n = 0
+    while br.read1() == 1:
+        n += 1
+        if n > 16 or br.overrun():
+            raise HDCError("bad escape")
+    return (1 << (n + 4)) | br.read(n + 4)
+
+
+def _parse_spectral(br: BitReader, ics: IcsInfo) -> np.ndarray:
+    """Huffman spectral decode → per-window-ordered coefficients[1024]."""
+    offs = ics.swb_offset
+    nshort = A.SHORT_LEN
+    quant = np.zeros(A.FRAME_LEN, np.int64)
+    win_base = 0
+    for g in range(ics.num_window_groups):
+        glen = ics.group_len[g]
+        for b in range(ics.max_sfb):
+            cb = int(ics.sfb_cb[g, b])
+            width = int(offs[b + 1] - offs[b])
+            n = width * glen
+            if cb == A.ZERO_HCB or cb >= A.NOISE_HCB:
+                continue
+            dim, lav, signed = A.CB_META[cb]
+            huff = SPEC_HUFF[cb]
+            vals = np.zeros(n, np.int64)
+            i = 0
+            while i < n:
+                tup = A.unpack_index(cb, huff.decode(br))
+                if not signed:
+                    tup = [(-v if v and br.read1() else v) for v in tup]
+                if cb == A.ESC_HCB:
+                    tup = [int(np.sign(v)) * _read_escape(br)
+                           if abs(v) == 16 else v for v in tup]
+                vals[i:i + dim] = tup[:n - i]
+                i += dim
+            if br.overrun():
+                raise HDCError("spectral overrun")
+            # bitstream order within a group: sfb-major, then window, then
+            # bin → scatter to per-window order
+            vals = vals.reshape(glen, width)
+            for wi in range(glen):
+                w = win_base + wi
+                lo = w * nshort + int(offs[b]) if ics.short else int(offs[b])
+                quant[lo:lo + width] = vals[wi]
+        win_base += glen
+    return quant
+
+
+# ----------------------------------------------------------------------
+# reconstruction
+# ----------------------------------------------------------------------
+def _apply_scalefactors(ics: IcsInfo, quant: np.ndarray,
+                        rng: np.random.Generator) -> np.ndarray:
+    offs = ics.swb_offset
+    spec = np.zeros(A.FRAME_LEN, np.float32)
+    win_base = 0
+    for g in range(ics.num_window_groups):
+        for b in range(ics.max_sfb):
+            cb = int(ics.sfb_cb[g, b])
+            if cb in (A.INTENSITY_HCB, A.INTENSITY_HCB2):
+                continue
+            width = int(offs[b + 1] - offs[b])
+            for wi in range(ics.group_len[g]):
+                w = win_base + wi
+                lo = (w * A.SHORT_LEN + int(offs[b])) if ics.short \
+                    else int(offs[b])
+                if cb == A.NOISE_HCB:
+                    nrg = int(ics.scale_factors[g, b])
+                    noise = rng.standard_normal(width).astype(np.float32)
+                    rms = np.sqrt((noise * noise).mean()) or 1.0
+                    spec[lo:lo + width] = \
+                        noise / rms * 2.0 ** (0.25 * nrg)
+                elif cb != A.ZERO_HCB:
+                    sf = int(ics.scale_factors[g, b])
+                    spec[lo:lo + width] = A.dequant(
+                        quant[lo:lo + width], sf)
+        win_base += ics.group_len[g]
+    return spec
+
+
+def _apply_ms_is(ics: IcsInfo, ics2: IcsInfo, left: np.ndarray,
+                 right: np.ndarray):
+    offs = ics.swb_offset
+    win_base = 0
+    for g in range(ics.num_window_groups):
+        for b in range(ics.max_sfb):
+            cb_r = int(ics2.sfb_cb[g, b])
+            ms = bool(ics.ms_used[g, b]) if ics.ms_used is not None \
+                and b < ics.ms_used.shape[1] else False
+            for wi in range(ics.group_len[g]):
+                w = win_base + wi
+                lo = (w * A.SHORT_LEN + int(offs[b])) if ics.short \
+                    else int(offs[b])
+                hi = lo + int(offs[b + 1] - offs[b])
+                if cb_r in (A.INTENSITY_HCB, A.INTENSITY_HCB2):
+                    scale = 0.5 ** (0.25 * int(ics2.scale_factors[g, b]))
+                    invert = (cb_r == A.INTENSITY_HCB2) ^ ms
+                    right[lo:hi] = left[lo:hi] * \
+                        (-scale if invert else scale)
+                elif ms and cb_r < A.NOISE_HCB and \
+                        int(ics.sfb_cb[g, b]) < A.NOISE_HCB:
+                    l_ = left[lo:hi] + right[lo:hi]
+                    r_ = left[lo:hi] - right[lo:hi]
+                    left[lo:hi], right[lo:hi] = l_, r_
+        win_base += ics.group_len[g]
+
+
+def _tns_lpc(coefs, coef_res, compress):
+    """Transmitted TNS indices → direct-form LPC (ISO 14496-3 tns_decode_coef
+    via the tmp2 map, tables from aacdec.o)."""
+    tab = {(0, 0): T.TNS_TMP2_MAP_0_3, (0, 1): T.TNS_TMP2_MAP_1_3,
+           (1, 0): T.TNS_TMP2_MAP_0_4, (1, 1): T.TNS_TMP2_MAP_1_4}[
+               (coef_res, compress)]
+    tmp2 = [float(tab[c]) for c in coefs]
+    a = np.zeros(len(coefs) + 1)
+    a[0] = 1.0
+    for m in range(1, len(coefs) + 1):
+        b = a.copy()
+        for i in range(1, m):
+            b[i] = a[i] + tmp2[m - 1] * a[m - i]
+        b[m] = tmp2[m - 1]
+        a = b
+    return a
+
+
+def _apply_tns(ics: IcsInfo, spec: np.ndarray, decode: bool = True):
+    """All-pole (decode) / all-zero (encode) TNS filtering along the
+    spectrum (reference behavior: faad tns_decode_frame)."""
+    if ics.tns is None:
+        return
+    offs = ics.swb_offset
+    nbands = min(ics.max_sfb, A.tns_max_bands(ics.short))
+    size = A.SHORT_LEN if ics.short else A.FRAME_LEN
+    for w in range(ics.num_windows):
+        bottom = ics.max_sfb
+        for (length, order, direction, compress, coefs) in ics.tns.filt[w]:
+            top = bottom
+            bottom = max(top - length, 0)
+            if order == 0:
+                continue
+            start = int(offs[min(bottom, nbands)])
+            end = int(offs[min(top, nbands)])
+            if start >= end:
+                continue
+            a = _tns_lpc(coefs, ics.tns.coef_res[w], compress)
+            base = w * size
+            idx = range(start, end) if not direction \
+                else range(end - 1, start - 1, -1)
+            inc = 1 if not direction else -1
+            s = spec[base:base + size]
+            for i in idx:
+                acc = 0.0
+                for j in range(1, order + 1):
+                    k = i - inc * j
+                    if (inc == 1 and k < start) or (inc == -1 and k > end - 1):
+                        break
+                    acc += a[j] * s[k]
+                if decode:
+                    s[i] -= acc
+                else:
+                    s[i] += acc
+
+
+# ----------------------------------------------------------------------
+# decoder
+# ----------------------------------------------------------------------
+class HDCDecoder:
+    """Stateful per-program HDC → PCM decoder.
+
+    decode(packet) returns interleaved int16 stereo at 44100 Hz (2048
+    samples per channel → 4096 values) or None on a corrupt packet —
+    the contract of transport/output.py's decoder factory (reference:
+    src/output.c:126-163).
+    """
+
+    @staticmethod
+    def check():
+        return True  # built-in: always available
+
+    def __init__(self):
+        self._overlap = [np.zeros(A.FRAME_LEN, np.float32) for _ in range(2)]
+        self._prev_shape = [0, 0]
+        self._rng = np.random.default_rng(0x48444331)  # PNS source
+        from nrsc5_tpu.audio.sbr import SBRDecoder
+        self._sbr = [SBRDecoder(), SBRDecoder()]
+        self._had_sbr = False
+
+    def reset(self):
+        self.__init__()
+
+    # ------------------------------------------------------------------
+    def decode(self, packet: bytes) -> np.ndarray | None:
+        try:
+            return self._decode(packet)
+        except Exception:
+            # a decoder fed RF-recovered bytes treats every parse problem
+            # as a corrupt packet (reference: NeAACDecDecode error return)
+            return None
+
+    def _decode(self, packet: bytes) -> np.ndarray:
+        br = BitReader(bytes(packet))
+        block_type = br.read(LEN_SE_ID)
+        if block_type not in KNOWN_BLOCK_TYPES:
+            raise HDCError(f"unknown block type {block_type}")
+        stereo = block_type in STEREO_BLOCK_TYPES
+
+        ics1 = _parse_hdc_data_frame(br, stereo)
+        ics2 = None
+        if stereo:
+            ics2 = IcsInfo(**{k: getattr(ics1, k) for k in (
+                "window_shape", "window_sequence", "max_sfb",
+                "scale_factor_grouping", "num_window_groups",
+                "ms_mask_present")})
+            ics2.group_len = list(ics1.group_len)
+            ics2.ms_used = ics1.ms_used
+
+        # TNS flags precede side info (patch:797-805)
+        if br.read1():
+            ics1.tns = _parse_tns(br, ics1)
+        if stereo and br.read1():
+            ics2.tns = _parse_tns(br, ics2)
+
+        # channel 1: side info (scal_flag=1: global gain + sections +
+        # scalefactors only) + spectral data
+        ics1.global_gain = br.read(8)
+        _parse_section_data(br, ics1)
+        _parse_scale_factors(br, ics1)
+        q1 = _parse_spectral(br, ics1)
+        if stereo:
+            ics2.global_gain = br.read(8)
+            _parse_section_data(br, ics2)
+            _parse_scale_factors(br, ics2)
+            q2 = _parse_spectral(br, ics2)
+        if br.overrun():
+            raise HDCError("bitstream overrun")
+
+        # optional SBR fill element to end of packet (patch:824-832)
+        sbr_payload = None
+        if br.bits_left() >= LEN_SE_ID + 1 and \
+                br.peek(LEN_SE_ID) == ID_FIL:
+            br.skip(LEN_SE_ID)
+            if br.read1():
+                sbr_payload = br
+
+        left = _apply_scalefactors(ics1, q1, self._rng)
+        if stereo:
+            right = _apply_scalefactors(ics2, q2, self._rng)
+            _apply_ms_is(ics1, ics2, left, right)
+        else:
+            right = None
+
+        _apply_tns(ics1, left)
+        if stereo:
+            _apply_tns(ics2, right)
+
+        pcm_l, self._overlap[0] = A.filterbank_synthesis(
+            left, ics1.window_sequence, ics1.window_shape,
+            self._prev_shape[0], self._overlap[0])
+        chans = [pcm_l]
+        if stereo:
+            pcm_r, self._overlap[1] = A.filterbank_synthesis(
+                right, ics2.window_sequence, ics2.window_shape,
+                self._prev_shape[1], self._overlap[1])
+            chans.append(pcm_r)
+        self._prev_shape[0] = ics1.window_shape
+        if stereo:
+            self._prev_shape[1] = ics2.window_shape
+
+        # SBR / upsampling to 44100 (2048 samples per channel)
+        if sbr_payload is not None:
+            self._had_sbr = True
+            hdr = self._sbr[0].parse_payload(sbr_payload, stereo)
+            out = [self._sbr[i].process(chans[i], hdr, ch=i)
+                   for i in range(len(chans))]
+        else:
+            out = [self._sbr[i].upsample_only(chans[i])
+                   for i in range(len(chans))]
+
+        if len(out) == 1:
+            out = [out[0], out[0]]  # mono → both channels
+        pcm = np.stack(out, axis=-1).reshape(-1)
+        return np.clip(np.round(pcm * 32768.0), -32768, 32767) \
+            .astype(np.int16)

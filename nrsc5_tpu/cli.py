@@ -193,8 +193,8 @@ class CLI:
 
 
 def _try_hdc_factory():
-    """HDC→PCM decoder factory, if a decoder is available in this
-    environment (see nrsc5_tpu/audio/hdc.py)."""
+    """HDC→PCM decoder factory (see nrsc5_tpu/audio/hdc.py — the built-in
+    codec is always available; NRSC5_TPU_FAAD_HDC selects a faad build)."""
     try:
         from nrsc5_tpu.audio.hdc import HDCDecoder
         HDCDecoder.check()

@@ -1,0 +1,195 @@
+"""HDC encoder — truth-harness counterpart of nrsc5_tpu/audio/hdc_decoder.
+
+Produces valid HDC packets (the bitstream syntax of
+support/faad2-hdc-support.patch: hdc_data_block / hdc_data_frame element
+layout, AAC-LC core at 22050 Hz) from 44100 Hz PCM, so session/CLI tests
+can assert real decoded AUDIO events end-to-end.  The reference ships no
+encoder — broadcast HDC packets are produced by commercial exciters — so,
+as with the L1/L2 modulator in tx/, this encoder exists to generate
+self-consistent test vectors: decode(encode(pcm)) ≈ pcm.
+
+Tool subset emitted: long windows (ONLY_LONG, sine shape), per-sfb
+scalefactors, spectral codebooks {0,2,6,8,10,11}, no TNS/MS/IS/PNS, no
+SBR fill element (the decoder upsamples through the QMF pair).  All of
+these are legal HDC streams; the decoder accepts the full syntax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nrsc5_tpu.audio import aac_core as A
+from nrsc5_tpu.audio.bitio import BitWriter
+from nrsc5_tpu.audio.hdc_decoder import (ID_FIL, LEN_SE_ID, SF_HUFF,
+                                         SPEC_HUFF)
+
+# smallest codebook fully covering a given max |q| (unsigned books need
+# sign bits; the signed 4-dim book 2 wins at LAV 1)
+_BOOK_BY_MAX = [(1, 2), (4, 6), (7, 8), (12, 10)]
+TARGET_MAXQ = 42  # per-band quantization target (≈ 33 dB band SNR)
+
+
+def _halfband(n_taps: int = 94) -> np.ndarray:
+    """Windowed-sinc lowpass at fs/4 for the 44.1k→22.05k decimation.
+
+    Even length on purpose: its half-sample delay cancels the QMF pair's,
+    so the whole codec has an integer group delay (≈ 2673 samples)."""
+    n = np.arange(n_taps) - (n_taps - 1) / 2
+    h = np.sinc(n / 2.0) / 2.0 * np.hamming(n_taps)
+    return (h / h.sum()).astype(np.float64)
+
+
+class HDCEncoder:
+    """Streaming PCM → HDC packets (one packet per 2048 input samples).
+
+    ``target_maxq`` trades rate for quality (peak quantized magnitude per
+    band); ``floor_db`` drops bands that far below the frame peak."""
+
+    def __init__(self, channels: int = 2, target_maxq: int = TARGET_MAXQ,
+                 floor_db: float = -65.0):
+        assert channels in (1, 2)
+        self.channels = channels
+        self.target_maxq = target_maxq
+        self.floor = 10.0 ** (floor_db / 20.0)
+        self.h = _halfband()
+        self._dec_state = [np.zeros(len(self.h) - 1) for _ in range(channels)]
+        self._prev_core = [np.zeros(A.FRAME_LEN) for _ in range(channels)]
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, pcm: np.ndarray) -> bytes:
+        """pcm: [2048] mono or [2048, 2] stereo float in [-1, 1] at
+        44100 Hz → one HDC packet."""
+        pcm = np.asarray(pcm, np.float64)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        assert pcm.shape == (2 * A.FRAME_LEN, self.channels)
+
+        bw = BitWriter()
+        bw.write(2 if self.channels == 2 else 0, LEN_SE_ID)  # block type
+        specs = []
+        for ch in range(self.channels):
+            x = np.concatenate([self._dec_state[ch], pcm[:, ch]])
+            self._dec_state[ch] = x[-(len(self.h) - 1):]
+            core = np.convolve(x, self.h, mode="valid")[::2]  # 1024 @22050
+            frame2x = np.concatenate([self._prev_core[ch], core])
+            self._prev_core[ch] = core
+            specs.append(A.filterbank_analysis(frame2x, A.ONLY_LONG, 0, 0))
+
+        # shared compact ics header (hdc_data_frame)
+        max_sfb = A.num_swb(False)
+        bw.write(0, 1)              # ics_reserved_bit
+        bw.write(0, 1)              # window_shape: sine
+        bw.write(A.ONLY_LONG, 2)    # window_sequence
+        bw.write(max_sfb, 6)
+        if self.channels == 2:
+            bw.write(0, 2)          # ms_mask_present: none
+
+        for _ in range(self.channels):
+            bw.write(0, 1)          # tns_data_present
+        for ch in range(self.channels):
+            self._encode_channel(bw, specs[ch], max_sfb)
+        return bw.getvalue()
+
+    # ------------------------------------------------------------------
+    def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int):
+        offs = A.swb_offsets(False)
+        sfs = np.zeros(max_sfb, np.int32)
+        cbs = np.zeros(max_sfb, np.int32)
+        quants = []
+        frame_peak = np.abs(spec).max()
+        T = self.target_maxq
+        for b in range(max_sfb):
+            band = spec[offs[b]:offs[b + 1]]
+            peak = np.abs(band).max()
+            if peak < 1e-6 or peak < frame_peak * self.floor:
+                quants.append(np.zeros(len(band), np.int64))
+                continue
+            # scalefactor so the band peak quantizes near TARGET_MAXQ:
+            # (peak·2^{−(sf−100)/4})^{3/4} ≤ T  ⇒  sf ≥ 100 + 4·log2 peak
+            # − (16/3)·log2 T
+            sf = int(np.ceil(100 + 4.0 * np.log2(peak)
+                             - (16.0 / 3.0) * np.log2(T + 0.4)))
+            sf = int(np.clip(sf, 0, 255))
+            q = A.quant(band, sf)
+            maxq = int(np.abs(q).max())
+            if maxq == 0:
+                quants.append(np.zeros(len(band), np.int64))
+                continue
+            cb = A.ESC_HCB
+            for lav, book in _BOOK_BY_MAX:
+                if maxq <= lav:
+                    cb = book
+                    break
+            sfs[b], cbs[b] = sf, cb
+            quants.append(q)
+
+        # clamp dpcm steps to the ±60 range of the scalefactor codebook
+        prev = None
+        for b in range(max_sfb):
+            if cbs[b] == 0:
+                continue
+            if prev is not None:
+                sfs[b] = int(np.clip(sfs[b], prev - 60, prev + 60))
+            prev = int(sfs[b])
+
+        first = next((b for b in range(max_sfb) if cbs[b]), None)
+        global_gain = int(sfs[first]) if first is not None else 100
+        bw.write(global_gain, 8)
+
+        # section data: runs of equal codebook (5-bit lengths, esc 31)
+        b = 0
+        while b < max_sfb:
+            run = 1
+            while b + run < max_sfb and cbs[b + run] == cbs[b]:
+                run += 1
+            bw.write(int(cbs[b]), 4)
+            r = run
+            while r >= 31:
+                bw.write(31, 5)
+                r -= 31
+            bw.write(r, 5)
+            b += run
+
+        # scalefactors: huffman dpcm from global_gain
+        prev = global_gain
+        for b in range(max_sfb):
+            if cbs[b] == 0:
+                continue
+            SF_HUFF.encode(bw, int(sfs[b]) - prev + A.SF_CENTER)
+            prev = int(sfs[b])
+
+        # spectral data
+        for b in range(max_sfb):
+            cb = int(cbs[b])
+            if cb == 0:
+                continue
+            q = quants[b]
+            dim, lav, signed = A.CB_META[cb]
+            huff = SPEC_HUFF[cb]
+            for i in range(0, len(q), dim):
+                tup = [int(v) for v in q[i:i + dim]]
+                if cb == A.ESC_HCB:
+                    coded = [min(abs(v), 16) if not signed else v
+                             for v in tup]
+                elif not signed:
+                    coded = [abs(v) for v in tup]
+                else:
+                    coded = tup
+                huff.encode(bw, A.pack_index(cb, coded))
+                if not signed:
+                    for v, c in zip(tup, coded):
+                        if c:
+                            bw.write(0 if v >= 0 else 1, 1)
+                if cb == A.ESC_HCB:
+                    for v in tup:
+                        if abs(v) >= 16:
+                            self._write_escape(bw, abs(v))
+
+    @staticmethod
+    def _write_escape(bw: BitWriter, value: int):
+        assert value >= 16
+        n = value.bit_length() - 1  # value in [2^n, 2^(n+1))
+        for _ in range(n - 4):
+            bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(value - (1 << n), n)

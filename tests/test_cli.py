@@ -1,0 +1,69 @@
+"""CLI end-to-end: drive the golden capture through nrsc5_tpu.cli main()
+and assert the user-visible side effects — raw audio output, LOT file
+dump, HDC ADTS dump, and the log lines the reference CI greps for
+(reference: src/main.c callback side effects, .github/workflows/ci.yml)."""
+
+import importlib
+import logging
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cap") / "sample.cu8"
+    mod = importlib.import_module("support.make_capture")
+    argv = sys.argv
+    sys.argv = ["make_capture.py", str(path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    return path
+
+
+def test_cli_golden_capture(capture, tmp_path, caplog):
+    from nrsc5_tpu.cli import main
+    from support.make_capture import LOT_DATA, LOT_NAME
+
+    raw = tmp_path / "audio.pcm"
+    aas_dir = tmp_path / "aas"
+    aas_dir.mkdir()
+    hdc = tmp_path / "dump.hdc"
+    with caplog.at_level(logging.INFO, logger="nrsc5-tpu"):
+        main(["-r", str(capture), "0", "0", "-o", str(raw),
+              "--dump-aas-files", str(aas_dir), "--dump-hdc", str(hdc)])
+
+    text = caplog.text
+    assert "You're Listening to TPU" in text  # the reference CI assertion
+    assert "Synchronized" in text
+    assert "LOT file" in text  # the round-1 ev.port crash path
+
+    # LOT file reassembled and dumped
+    dumped = aas_dir / LOT_NAME
+    assert dumped.exists()
+    assert dumped.read_bytes() == LOT_DATA
+
+    # raw (non-wav) audio output carries real PCM
+    pcm = np.frombuffer(raw.read_bytes(), np.int16)
+    assert pcm.size >= 2 * 2048 * 32, f"only {pcm.size} raw samples"
+    assert np.abs(pcm).max() > 3000, "raw audio is silent"
+
+    # HDC ADTS dump non-trivial
+    assert hdc.stat().st_size > 5000
+
+
+def test_cli_wav_output(capture, tmp_path):
+    import wave
+
+    from nrsc5_tpu.cli import main
+
+    wav_path = tmp_path / "audio.wav"
+    main(["-r", str(capture), "0", "0", "-o", str(wav_path), "-q"])
+    with wave.open(str(wav_path)) as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == 44100
+        frames = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert frames.size > 0 and np.abs(frames).max() > 3000

@@ -1,0 +1,171 @@
+"""HDC (AAC-LC core) codec tests: encoder-truth roundtrips, filterbank
+perfect reconstruction, huffman properties, and corrupt-packet rejection.
+
+The reference decodes HDC via a patched FAAD2 (support/
+faad2-hdc-support.patch); here both directions are implemented clean-room
+(nrsc5_tpu/audio, nrsc5_tpu/tx/hdc_encoder) and verified against each
+other — the same encoder-truth strategy as the L1/L2 chain."""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu.audio import aac_core as A
+from nrsc5_tpu.audio.hdc_decoder import HDCDecoder
+from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+
+SR = 44100
+
+
+def _music_like(n, rng, lp_hz=4000.0):
+    """Band-limited noise with a 1/f-ish spectrum (speech/music proxy)."""
+    w = rng.normal(size=n)
+    W = np.fft.rfft(w)
+    f = np.fft.rfftfreq(n, 1 / SR)
+    W *= 1.0 / np.sqrt(1 + (f / 300.0) ** 2)
+    W[f > lp_hz] = 0.0
+    x = np.fft.irfft(W, n)
+    return 0.4 * x / np.abs(x).max()
+
+
+def _align_snr(y, x, search=4000, skip=6000, n=16000):
+    """Find the codec latency by correlation, return (lag, SNR dB)."""
+    best = (0, -1.0)
+    for lag in range(search):
+        seg, r = y[skip:skip + n // 2], x[skip - lag:skip - lag + n // 2]
+        c = np.dot(seg, r) / (np.linalg.norm(seg) * np.linalg.norm(r) + 1e-12)
+        if c > best[1]:
+            best = (lag, c)
+    lag = best[0]
+    seg, r = y[skip:skip + n], x[skip - lag:skip - lag + n]
+    err = seg - r
+    return lag, 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
+
+
+def _run_codec(pcm, channels):
+    enc = HDCEncoder(channels)
+    dec = HDCDecoder()
+    outs, sizes = [], []
+    n_frames = pcm.shape[0] // 2048
+    for f in range(n_frames):
+        pkt = enc.encode_frame(pcm[f * 2048:(f + 1) * 2048])
+        sizes.append(len(pkt))
+        out = dec.decode(pkt)
+        assert out is not None, f"frame {f} failed to decode"
+        assert out.dtype == np.int16 and out.size == 4096
+        outs.append(out)
+    y = np.concatenate(outs).reshape(-1, 2).astype(np.float64) / 32768.0
+    return y, sizes
+
+
+def test_roundtrip_stereo(rng):
+    x = _music_like(12 * 2048, rng)
+    stereo = np.stack([x, 0.7 * x], axis=-1)
+    y, sizes = _run_codec(stereo, 2)
+    lag, snr = _align_snr(y[:, 0], x)
+    assert snr > 30.0, f"left SNR {snr:.1f} dB (lag {lag})"
+    _, snr_r = _align_snr(y[:, 1], 0.7 * x)
+    assert snr_r > 30.0, f"right SNR {snr_r:.1f} dB"
+    # sane bitrate for the harness subset
+    kbps = np.mean(sizes) * 8 / (2048 / SR) / 1000
+    assert kbps < 400, f"{kbps:.0f} kbps"
+
+
+def test_roundtrip_mono(rng):
+    x = _music_like(12 * 2048, rng)
+    y, _ = _run_codec(x[:, None], 1)
+    # mono duplicates into both output channels
+    assert np.array_equal(y[:, 0], y[:, 1])
+    _, snr = _align_snr(y[:, 0], x)
+    assert snr > 30.0, f"mono SNR {snr:.1f} dB"
+
+
+def test_corrupt_packets(rng):
+    x = _music_like(4 * 2048, rng)
+    enc = HDCEncoder(1)
+    pkts = [enc.encode_frame(x[i * 2048:(i + 1) * 2048, None])
+            for i in range(4)]
+    dec = HDCDecoder()
+    # random garbage must never raise, only return None or junk PCM
+    for _ in range(50):
+        garbage = rng.integers(0, 256, rng.integers(1, 400),
+                               dtype=np.uint8).tobytes()
+        dec.decode(garbage)
+    # truncations of a valid packet
+    for cut in (1, 7, len(pkts[0]) // 2):
+        dec.decode(pkts[0][:cut])
+    # a valid packet still decodes afterwards
+    assert dec.decode(pkts[1]) is not None
+
+
+def test_filterbank_perfect_reconstruction(rng):
+    x = rng.normal(0, 1, 1024 * 6)
+    frames = x.reshape(-1, 1024)
+    for shape in (0, 1):
+        seqs = [A.ONLY_LONG, A.LONG_START, A.EIGHT_SHORT, A.LONG_STOP,
+                A.ONLY_LONG, A.ONLY_LONG]
+        overlap, prev = np.zeros(1024), np.zeros(1024)
+        out = []
+        for i, seq in enumerate(seqs):
+            X = A.filterbank_analysis(np.concatenate([prev, frames[i]]),
+                                      seq, shape, shape)
+            y, overlap = A.filterbank_synthesis(X, seq, shape, shape,
+                                                overlap)
+            out.append(y)
+            prev = frames[i]
+        out = np.concatenate(out)
+        err = np.abs(out[1024:] - x[:len(out) - 1024]).max()
+        assert err < 1e-5, f"shape {shape}: PR error {err}"
+
+
+@pytest.mark.parametrize("cb", list(range(1, 12)))
+def test_spectral_codebook_roundtrip(rng, cb):
+    from nrsc5_tpu.audio.bitio import BitReader, BitWriter
+    from nrsc5_tpu.audio.hdc_decoder import SPEC_HUFF, _read_escape
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder as E
+    dim, lav, signed = A.CB_META[cb]
+    huff = SPEC_HUFF[cb]
+    lo, hi = (-lav, lav) if signed else (0, lav)
+    vals = rng.integers(lo, hi + 1, 64 * dim)
+    if cb == A.ESC_HCB:
+        vals = rng.integers(-900, 901, 64 * dim)  # exercises escapes
+    bw = BitWriter()
+    for i in range(0, len(vals), dim):
+        tup = [int(v) for v in vals[i:i + dim]]
+        if cb == A.ESC_HCB:
+            coded = [min(abs(v), 16) for v in tup]
+        elif not signed:
+            coded = [abs(v) for v in tup]
+        else:
+            coded = tup
+        huff.encode(bw, A.pack_index(cb, coded))
+        if not signed:
+            for v, c in zip(tup, coded):
+                if c:
+                    bw.write(0 if v >= 0 else 1, 1)
+        if cb == A.ESC_HCB:
+            for v in tup:
+                if abs(v) >= 16:
+                    E._write_escape(bw, abs(v))
+    br = BitReader(bw.getvalue())
+    got = []
+    for i in range(0, len(vals), dim):
+        tup = A.unpack_index(cb, huff.decode(br))
+        if not signed:
+            tup = [(-v if v and br.read1() else v) for v in tup]
+        if cb == A.ESC_HCB:
+            tup = [int(np.sign(v)) * _read_escape(br)
+                   if abs(v) == 16 else v for v in tup]
+        got.extend(tup)
+    assert got == [int(v) for v in vals]
+
+
+def test_scalefactor_codebook_roundtrip(rng):
+    from nrsc5_tpu.audio.bitio import BitReader, BitWriter
+    from nrsc5_tpu.audio.hdc_decoder import SF_HUFF
+    deltas = rng.integers(-60, 61, 200)
+    bw = BitWriter()
+    for d in deltas:
+        SF_HUFF.encode(bw, int(d) + A.SF_CENTER)
+    br = BitReader(bw.getvalue())
+    got = [SF_HUFF.decode(br) - A.SF_CENTER for _ in deltas]
+    assert got == [int(d) for d in deltas]
