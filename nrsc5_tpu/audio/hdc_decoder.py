@@ -491,10 +491,13 @@ class HDCDecoder:
             self._prev_shape[1] = ics2.window_shape
 
         # SBR / upsampling to 44100 (2048 samples per channel)
+        sbr_data = None
         if sbr_payload is not None:
+            from nrsc5_tpu.audio.sbr import parse_sbr_payload
+            sbr_data = parse_sbr_payload(sbr_payload, stereo, self._sbr)
+        if sbr_data is not None:
             self._had_sbr = True
-            hdr = self._sbr[0].parse_payload(sbr_payload, stereo)
-            out = [self._sbr[i].process(chans[i], hdr, ch=i)
+            out = [self._sbr[i].process(chans[i], sbr_data[i])
                    for i in range(len(chans))]
         else:
             out = [self._sbr[i].upsample_only(chans[i])
@@ -502,6 +505,6 @@ class HDCDecoder:
 
         if len(out) == 1:
             out = [out[0], out[0]]  # mono → both channels
+        # internal full-scale is ±32768 (see tx/hdc_encoder.py)
         pcm = np.stack(out, axis=-1).reshape(-1)
-        return np.clip(np.round(pcm * 32768.0), -32768, 32767) \
-            .astype(np.int16)
+        return np.clip(np.round(pcm), -32768, 32767).astype(np.int16)

@@ -43,17 +43,45 @@ class HDCEncoder:
     """Streaming PCM → HDC packets (one packet per 2048 input samples).
 
     ``target_maxq`` trades rate for quality (peak quantized magnitude per
-    band); ``floor_db`` drops bands that far below the frame peak."""
+    band); ``floor_db`` drops bands that far below the frame peak.
+    ``sbr`` appends an SBR fill element restoring the 11-22 kHz band
+    (single-envelope FIXFIX grid, band energies measured from the input
+    through a 64-band QMF; reference syntax: faad2-hdc-support patch
+    hdc_sbr_data_block)."""
+
+    # decoder QMF-bin energies are 1/4 of the encoder's 64-band analysis
+    _QMF_SCALE = 0.25
+    _CODEC_DELAY = 2673  # samples@44.1k: aligns envelopes with the output
 
     def __init__(self, channels: int = 2, target_maxq: int = TARGET_MAXQ,
-                 floor_db: float = -65.0):
+                 floor_db: float = -65.0, sbr: bool = True):
         assert channels in (1, 2)
         self.channels = channels
         self.target_maxq = target_maxq
         self.floor = 10.0 ** (floor_db / 20.0)
+        self.sbr = sbr
         self.h = _halfband()
         self._dec_state = [np.zeros(len(self.h) - 1) for _ in range(channels)]
         self._prev_core = [np.zeros(A.FRAME_LEN) for _ in range(channels)]
+        if sbr:
+            from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
+                                             derive_tables)
+            # crossover ≈5.9 kHz, stop ≈15.5 kHz (kx=17, k2=45)
+            self._sbr_hdr = SbrHeader(start_freq=8, stop_freq=7)
+            self._sbr_ft = derive_tables(self._sbr_hdr)
+            self._qmf64 = [QMFAnalysis64() for _ in range(channels)]
+            self._in_delay = [np.zeros(self._CODEC_DELAY)
+                              for _ in range(channels)]
+            # the core is band-limited at the crossover (kx QMF bands =
+            # kx·32 MDCT bins); cap the coded scalefactor bands there
+            core_bins = self._sbr_ft.kx * 32
+            offs = A.swb_offsets(False)
+            self._max_sfb = max(b for b in range(1, A.num_swb(False) + 1)
+                                if offs[b] <= core_bins)
+            self._core_bins = int(offs[self._max_sfb])
+        else:
+            self._max_sfb = A.num_swb(False)
+            self._core_bins = A.FRAME_LEN
 
     # ------------------------------------------------------------------
     def encode_frame(self, pcm: np.ndarray) -> bytes:
@@ -63,6 +91,9 @@ class HDCEncoder:
         if pcm.ndim == 1:
             pcm = pcm[:, None]
         assert pcm.shape == (2 * A.FRAME_LEN, self.channels)
+        # internal full-scale is ±32768 (the faad convention — keeps SBR
+        # envelope values inside their non-negative quantized range)
+        pcm = pcm * 32768.0
 
         bw = BitWriter()
         bw.write(2 if self.channels == 2 else 0, LEN_SE_ID)  # block type
@@ -73,10 +104,12 @@ class HDCEncoder:
             core = np.convolve(x, self.h, mode="valid")[::2]  # 1024 @22050
             frame2x = np.concatenate([self._prev_core[ch], core])
             self._prev_core[ch] = core
-            specs.append(A.filterbank_analysis(frame2x, A.ONLY_LONG, 0, 0))
+            spec = A.filterbank_analysis(frame2x, A.ONLY_LONG, 0, 0)
+            spec[self._core_bins:] = 0.0  # band-limit at the SBR crossover
+            specs.append(spec)
 
         # shared compact ics header (hdc_data_frame)
-        max_sfb = A.num_swb(False)
+        max_sfb = self._max_sfb
         bw.write(0, 1)              # ics_reserved_bit
         bw.write(0, 1)              # window_shape: sine
         bw.write(A.ONLY_LONG, 2)    # window_sequence
@@ -88,7 +121,95 @@ class HDCEncoder:
             bw.write(0, 1)          # tns_data_present
         for ch in range(self.channels):
             self._encode_channel(bw, specs[ch], max_sfb)
+        if self.sbr:
+            self._encode_sbr(bw, pcm)
         return bw.getvalue()
+
+    # ------------------------------------------------------------------
+    def _encode_sbr(self, bw: BitWriter, pcm: np.ndarray):
+        """SBR fill element: header + FIXFIX 1-envelope data per channel.
+
+        Envelope energies are measured from the (delay-aligned) input
+        through the 64-band analysis bank, so the decoder's HF adjustment
+        reproduces the source's high-band spectral envelope."""
+        ft = self._sbr_ft
+        bw.write(ID_FIL, LEN_SE_ID)
+        bw.write(1, 1)              # SBR present (patch:826-830)
+        bw.write(1, 1)              # bs_header_flag: every packet
+        h = self._sbr_hdr
+        bw.write(h.amp_res, 1)
+        bw.write(h.start_freq, 4)
+        bw.write(h.stop_freq, 4)
+        bw.write(h.xover_band, 3)
+        bw.write(0, 2)              # reserved
+        bw.write(0, 1)              # header_extra_1 (defaults)
+        bw.write(0, 1)              # header_extra_2 (defaults)
+
+        env_rows = []
+        for ch in range(self.channels):
+            buf = np.concatenate([self._in_delay[ch], pcm[:, ch]])
+            self._in_delay[ch] = buf[-self._CODEC_DELAY:]
+            x64 = self._qmf64[ch].run(buf[:2 * A.FRAME_LEN])  # [32, 64]
+            e_bin = (np.abs(x64) ** 2).mean(axis=0) * self._QMF_SCALE
+            row = np.zeros(ft.n_high, np.int32)
+            for b in range(ft.n_high):
+                e = e_bin[int(ft.f_high[b]):int(ft.f_high[b + 1])].mean()
+                # forced 1.5 dB resolution (FIXFIX, 1 envelope): a = 2
+                row[b] = int(np.clip(round(2.0 * np.log2(max(e, 1e-9)
+                                                         / 64.0)), 0, 127))
+            env_rows.append(row)
+
+        if self.channels == 2:
+            bw.write(0, 1)          # bs_data_extra
+            bw.write(0, 1)          # bs_coupling: off
+            for _ in range(2):
+                self._write_grid(bw)
+            for _ in range(2):
+                bw.write(0, 1)      # df_env: freq delta
+                bw.write(0, 1)      # df_noise
+            for _ in range(2):
+                for _ in range(ft.n_q):
+                    bw.write(2, 2)  # invf mode: medium
+            for ch in range(2):
+                self._write_envelope(bw, env_rows[ch])
+            for _ in range(2):
+                self._write_noise(bw)
+            for _ in range(2):
+                bw.write(0, 1)      # bs_add_harmonic_flag
+            bw.write(0, 1)          # bs_extended_data
+        else:
+            bw.write(0, 1)          # bs_data_extra
+            bw.write(0, 1)          # HDC extra bit (patch:577-582)
+            self._write_grid(bw)
+            bw.write(0, 1)          # df_env
+            bw.write(0, 1)          # df_noise
+            for _ in range(ft.n_q):
+                bw.write(2, 2)
+            self._write_envelope(bw, env_rows[0])
+            self._write_noise(bw)
+            bw.write(0, 1)          # bs_add_harmonic_flag
+            bw.write(0, 1)          # bs_extended_data
+
+    @staticmethod
+    def _write_grid(bw: BitWriter):
+        bw.write(0, 2)              # FIXFIX
+        bw.write(0, 2)              # 1 envelope
+        bw.write(1, 1)              # freq_res: high
+
+    def _write_envelope(self, bw: BitWriter, row):
+        from nrsc5_tpu.audio.sbr import HUFF_ENV15_F
+        bw.write(int(np.clip(row[0], 0, 127)), 7)  # amp_res 0 start
+        prev = int(row[0])
+        for b in range(1, len(row)):
+            delta = int(np.clip(int(row[b]) - prev, -60, 60))
+            HUFF_ENV15_F.encode(bw, delta + 60)
+            prev += delta
+
+    def _write_noise(self, bw: BitWriter):
+        from nrsc5_tpu.audio.sbr import HUFF_NOISE_F
+        bw.write(22, 5)             # moderate fixed noise floor
+        for _ in range(self._sbr_ft.n_q - 1):
+            HUFF_NOISE_F.encode(bw, 0 + 31)  # delta 0
 
     # ------------------------------------------------------------------
     def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int):

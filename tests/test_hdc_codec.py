@@ -169,3 +169,76 @@ def test_scalefactor_codebook_roundtrip(rng):
     br = BitReader(bw.getvalue())
     got = [SF_HUFF.decode(br) - A.SF_CENTER for _ in deltas]
     assert got == [int(d) for d in deltas]
+
+
+def _band_db(sig, lo, hi, n=16384, skip=6000):
+    seg = sig[skip:skip + n] * np.hanning(n)
+    E = np.abs(np.fft.rfft(seg)) ** 2
+    fr = np.fft.rfftfreq(n, 1 / SR)
+    m = (fr >= lo) & (fr < hi)
+    return 10 * np.log10(E[m].sum() + 1e-12)
+
+
+def test_sbr_roundtrip_band_energies(rng):
+    """Full-bandwidth input: the SBR fill element must reconstruct the
+    high-band spectral envelope (parametric, not waveform-exact) while
+    the core band stays waveform-accurate."""
+    from nrsc5_tpu.audio.sbr import derive_tables
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder as E
+
+    x = _music_like(12 * 2048, rng, lp_hz=18000.0)
+    stereo = np.stack([x, x], axis=-1)
+    enc = HDCEncoder(2, sbr=True)
+    dec = HDCDecoder()
+    outs = []
+    for f in range(12):
+        out = dec.decode(enc.encode_frame(stereo[f * 2048:(f + 1) * 2048]))
+        assert out is not None, f
+        outs.append(out)
+    assert dec._had_sbr
+    y = np.concatenate(outs).reshape(-1, 2)[:, 0].astype(np.float64) / 32768
+
+    ft = enc._sbr_ft
+    kx_hz, k2_hz = ft.kx * SR / 128.0, ft.k2 * SR / 128.0
+    ref = np.roll(x, enc._CODEC_DELAY)
+
+    # core band: waveform SNR (lowpass both to below the crossover)
+    n = 16384
+    seg, r = y[6000:6000 + n], ref[6000:6000 + n]
+    for arr in (seg, r):
+        pass
+    W = np.fft.rfft(seg)
+    Wr = np.fft.rfft(r)
+    fw = np.fft.rfftfreq(n, 1 / SR)
+    W[fw > kx_hz - 400] = 0
+    Wr[fw > kx_hz - 400] = 0
+    sl, rl = np.fft.irfft(W), np.fft.irfft(Wr)
+    err = sl - rl
+    snr = 10 * np.log10(np.dot(rl, rl) / max(np.dot(err, err), 1e-12))
+    assert snr > 28.0, f"core-band SNR {snr:.1f} dB"
+
+    # SBR bands: energy envelope within tolerance
+    edges = np.linspace(kx_hz, k2_hz, 5)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        d = _band_db(y, lo, hi) - _band_db(ref, lo, hi)
+        assert abs(d) < 5.0, f"band {lo:.0f}-{hi:.0f} Hz off by {d:.1f} dB"
+    # above the SBR stop frequency: silent
+    assert _band_db(y, k2_hz + 700, 20000) < _band_db(ref, kx_hz, k2_hz) - 30
+
+
+def test_sbr_mono(rng):
+    """Mono SCE path incl. the HDC extra bit before sbr_grid
+    (patch:577-582)."""
+    x = _music_like(12 * 2048, rng, lp_hz=15000.0)
+    enc = HDCEncoder(1, sbr=True)
+    dec = HDCDecoder()
+    outs = []
+    for f in range(12):
+        out = dec.decode(enc.encode_frame(x[f * 2048:(f + 1) * 2048, None]))
+        assert out is not None, f
+        outs.append(out)
+    assert dec._had_sbr
+    y = np.concatenate(outs).reshape(-1, 2)[:, 0].astype(np.float64) / 32768
+    ref = np.roll(x, enc._CODEC_DELAY)
+    d = _band_db(y, 7000, 12000) - _band_db(ref, 7000, 12000)
+    assert abs(d) < 5.0, f"mono SBR band off by {d:.1f} dB"
