@@ -36,7 +36,7 @@ def log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_bench(args) -> dict:
+def _bench_setup():
     import jax
     if os.environ.get("NRSC5_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
@@ -46,6 +46,227 @@ def run_bench(args) -> dict:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def run_bench_mp3(args) -> dict:
+    """Extended-mode row: MP3 (cm=3) P1 + PX1 from I/Q on device, decode
+    gate bit-exact on P1 frames and cycle-1 P3 frames."""
+    jax = _bench_setup()
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.tx.encoder import build_pm_matrix, build_px_stream
+    from nrsc5_tpu.tx.modulator import modulate_fm
+
+    log(f"# bench device: {jax.devices()[0].platform} mode=mp3")
+    rng = np.random.default_rng(7)
+    psmi, n_cycles, trail = 3, 2, 16
+    fl = C.P3_FRAME_LEN_MP3_MP11
+    p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+    p1s, mats = [], []
+    for _ in range(n_cycles * 2):
+        p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+        p1s.append(p1)
+        mats.append(build_pm_matrix(
+            p1, rng.integers(0, 2, (16, 80)).astype(np.uint8)))
+    px = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        np.zeros((16, 80), np.uint8))
+    matrix = np.concatenate(mats + [dummy[:trail * 32]])
+    px_all = np.concatenate(
+        [px, np.ones((trail * 32, px.shape[1]), np.int8)])
+    bc_seq = np.concatenate([np.tile(np.arange(16), n_cycles * 2),
+                             np.arange(trail)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
+
+    n_blocks = n_cycles * 32 + trail
+    buf = np.zeros((rcc.buffer_len(n_blocks), 2), np.float32)
+    start = C.FFTCP_FM // 2
+    buf[start:start + len(sig), 0] = sig.real
+    buf[start:start + len(sig), 1] = -sig.imag
+    samples = jnp.asarray(np.broadcast_to(
+        buf, (args.stations,) + buf.shape))
+
+    @jax.jit
+    def _carries():
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+            rcc.chain_rc_init_carry(psmi=psmi))
+
+    carries = _carries()
+    step = jax.jit(lambda s, c: rcc.fm_chain_batch_rc(
+        s, c, n_blocks, psmi, 0)[0])
+
+    t0 = time.perf_counter()
+    out = step(samples, carries)
+    np.asarray(out["p1_margin"])
+    log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out = step(samples, carries)
+        np.asarray(out["p1_margin"])
+    dt = time.perf_counter() - t0
+
+    got_p1 = np.asarray(out["p1"])
+    for s in range(args.stations):
+        for i in range(1, 4):
+            assert np.array_equal(got_p1[s, i], p1s[i]), \
+                f"P1 gate failed (station {s} frame {i})"
+    got_px = np.asarray(out["px1"])
+    for s in range(args.stations):
+        have = {got_px[s, i].tobytes() for i in range(got_px.shape[1])}
+        hits = sum(p3[1][i].tobytes() in have for i in range(16))
+        assert hits >= 12, f"PX1 gate: {hits}/16 (station {s})"
+    log("# decode gate: PASSED (P1 + cycle-1 PX1 bit-exact)")
+
+    n_samples = args.reps * args.stations * n_blocks * C.BLKSZ * C.FFTCP_FM
+    realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
+    return {"metric": "fm_mp3_px1_chain_realtime_multiple_per_chip",
+            "value": round(realtime, 2), "unit": "x_realtime",
+            "vs_baseline": round(realtime, 2)}
+
+
+def run_bench_am(args) -> dict:
+    """AM row: MA1 decode from I/Q (acquire + sync + FEC) on device."""
+    jax = _bench_setup()
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    log(f"# bench device: {jax.devices()[0].platform} mode=am")
+    rng = np.random.default_rng(7)
+    n = 6
+    p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+
+    buf = np.zeros((scar.am_buffer_len(n), 2), np.float32)
+    start = C.FFTCP_AM // 2
+    buf[start:start + len(sig), 0] = sig.real
+    buf[start:start + len(sig), 1] = sig.imag
+    samples = jnp.asarray(np.broadcast_to(
+        buf, (args.stations,) + buf.shape))
+
+    @jax.jit
+    def _carries():
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+            scar.am_chain_rc_init_carry())
+
+    carries = _carries()
+    step = jax.jit(lambda s, c: scar.am_chain_batch_rc(s, c, n, False)[0])
+    t0 = time.perf_counter()
+    out = step(samples, carries)
+    np.asarray(out["p1_margin"])
+    log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out = step(samples, carries)
+        np.asarray(out["p1_margin"])
+    dt = time.perf_counter() - t0
+
+    got = np.asarray(out["p1"])
+    got3 = np.asarray(out["p3"])
+    for s in range(args.stations):
+        for f in range(3, n):
+            assert np.array_equal(got[s, f], p1[f]), f"P1 gate s{s} f{f}"
+            assert np.array_equal(got3[s, f], p3[f]), f"P3 gate s{s} f{f}"
+    log("# decode gate: PASSED (AM MA1 P1+P3 from I/Q bit-exact)")
+
+    n_samples = args.reps * args.stations * n * 8 * C.BLKSZ * C.FFTCP_AM
+    realtime = n_samples / dt / C.SAMPLE_RATE_CS16_AM
+    return {"metric": "am_ma1_iq_chain_realtime_multiple_per_chip",
+            "value": round(realtime, 2), "unit": "x_realtime",
+            "vs_baseline": round(realtime, 2)}
+
+
+def run_bench_coldstart(args) -> dict:
+    """Cold-start row: unknown timing + integer/fractional CFO → lock +
+    first bit-exact P1 frame; reports the real-time multiple of the whole
+    flow (probe dispatches + chain) over the signal consumed."""
+    jax = _bench_setup()
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+
+    log(f"# bench device: {jax.devices()[0].platform} mode=coldstart")
+    rng = np.random.default_rng(7)
+    n_frames = 2
+    p1 = rng.integers(0, 2, (n_frames, C.P1_FRAME_LEN_FM)).astype(np.uint8)
+    mats = [build_pm_matrix(p1[i], np.zeros((16, 80), np.uint8))
+            for i in range(n_frames)]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        np.zeros((16, 80), np.uint8))
+    matrix = np.concatenate([dummy[14 * 32:]] + mats)
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    buf = np.zeros(rcc.buffer_len(2 + 16 * n_frames), np.complex64)
+    buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+    bin_hz = C.SAMPLE_RATE_CS16_FM / C.FFT_FM
+    sig = ch.impair(buf, sample_offset=2789, cfo_hz=5 * bin_hz + 41.0,
+                    snr_db=25.0, rng=rng)
+    rcs = jnp.asarray(np.stack([sig.real, -sig.imag], -1)
+                      .astype(np.float32))
+
+    def flow():
+        lock = rcc.cold_start_rc(rcs)
+        assert lock is not None, "cold start failed to lock"
+        avail = rcs.shape[0] - lock["offset"]
+        blocks = min((int(avail) - C.FFTCP_FM - rcc.SLACK)
+                     // (C.BLKSZ * C.FFTCP_FM), 18)
+        out, _ = rcc.fm_chain_scan_rc(rcs[lock["offset"]:], lock["carry"],
+                                      blocks, lock["psmi"],
+                                      lock["first_bc"])
+        return out, blocks
+
+    t0 = time.perf_counter()
+    out, blocks = flow()
+    got = {np.asarray(out["p1"][i]).tobytes()
+           for i in range(out["p1"].shape[0])}
+    log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    assert got & {p1[i].tobytes() for i in range(n_frames)}, \
+        "cold-start decode gate failed"
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out, blocks = flow()
+        np.asarray(out["p1_margin"])
+    dt = time.perf_counter() - t0
+    log("# decode gate: PASSED (cold start -> bit-exact P1)")
+
+    n_samples = args.reps * blocks * C.BLKSZ * C.FFTCP_FM
+    realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
+    return {"metric": "fm_coldstart_lock_decode_realtime_multiple",
+            "value": round(realtime, 2), "unit": "x_realtime",
+            "vs_baseline": round(realtime, 2)}
+
+
+def run_bench(args) -> dict:
+    if args.mode == "am":
+        return run_bench_am(args)
+    if args.mode == "mp3":
+        return run_bench_mp3(args)
+    if args.mode == "coldstart":
+        return run_bench_coldstart(args)
+    jax = _bench_setup()
     import jax.numpy as jnp
 
     from nrsc5_tpu import constants as C
@@ -153,6 +374,10 @@ def main():
     ap.add_argument("--frames", type=int, default=2,
                     help="P1 frames per station per step")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--mode", choices=("fm", "am", "mp3", "coldstart"),
+                    default="fm",
+                    help="fm = headline full chain; am / mp3 / coldstart = "
+                         "additional gated rows")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-fallback", action="store_true")
     ap.add_argument("--single", action="store_true",
@@ -171,7 +396,7 @@ def main():
     # not starve the fallback
     base = [sys.executable, os.path.abspath(__file__), "--single",
             "--stations", str(args.stations), "--frames", str(args.frames),
-            "--reps", str(args.reps)]
+            "--reps", str(args.reps), "--mode", args.mode]
     if args.verbose:
         base.append("--verbose")
     for attempt in range(RETRIES):

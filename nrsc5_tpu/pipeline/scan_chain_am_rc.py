@@ -1,0 +1,270 @@
+"""Real-valued fused AM receive chain: I/Q in → frame bits out on device.
+
+rc twin of :mod:`nrsc5_tpu.pipeline.scan_chain_am` (see
+:mod:`nrsc5_tpu.ops.rcplx` for the representation): the AM acquire
+(two-pass pilot-regression demodulation, reference src/acquire.c:170-240),
+sideband combining + training equalization + QAM demap (src/sync.c:612-768)
+and the frame FEC all run without complex dtypes, so the whole AM receiver
+— not just the hard-symbol FEC tail — executes on backends without
+complex support (axon).  Equality with the complex chain is pinned by
+tests/test_scan_chain.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.ops import rcplx as rc
+from nrsc5_tpu.ops import sync_am as SA
+from nrsc5_tpu.ops.acquire import WINDOW_AM
+from nrsc5_tpu.ops.decode_am import (AMDecodeState, am_decode_init_state,
+                                     am_frame_decode, am_pids_decode)
+from nrsc5_tpu.pipeline.scan_chain_am import SLACK_AM, am_buffer_len  # noqa: F401
+
+W = C.PARTITION_WIDTH_AM
+
+
+class AMChainCarryRC(NamedTuple):
+    offset: jax.Array  # int32
+    phase: jax.Array  # [2] float32
+    prev_angle: jax.Array  # float32
+    samperr_fb: jax.Array  # int32
+    dec: AMDecodeState
+
+
+def am_chain_rc_init_carry(offset: int = 0) -> AMChainCarryRC:
+    return AMChainCarryRC(
+        offset=jnp.asarray(offset, jnp.int32),
+        phase=jnp.asarray(np.array([1.0, 0.0], np.float32)),
+        prev_angle=jnp.asarray(0.0, jnp.float32),
+        samperr_fb=jnp.asarray(0, jnp.int32),
+        dec=am_decode_init_state(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# acquire (rc twins of ops/acquire.py _am_fold_fft / _am_process)
+# ---------------------------------------------------------------------------
+
+def _am_fold_fft_rc(buf, samperr, phase0, angle):
+    """buf: [WINDOW_AM, 2].  Returns (spectra [32, 256, 2], phase_out [2])."""
+    fftcp, fft, cp = C.FFTCP_AM, C.FFT_AM, C.CP_AM
+    nsym = C.ACQUIRE_SYMBOLS
+    offset = (fft - cp) // 2
+
+    n = jnp.arange(nsym * fftcp, dtype=jnp.float32)
+    ramp = rc.mul(phase0[None, :], rc.exp_i((angle / fft) * n)).reshape(
+        nsym, fftcp, 2)
+    sliced = jax.lax.dynamic_slice(
+        buf, (samperr, 0), (nsym * fftcp, 2)).reshape(nsym, fftcp, 2)
+    x = rc.mul(sliced, ramp)
+
+    w = jnp.asarray(C.ofdm_shape(fft, cp))
+    head = w[None, :cp, None] * x[:, :cp] + w[None, fft:, None] * x[:, fft:]
+    folded = jnp.concatenate([head, x[:, cp:fft]], axis=1)
+    folded = jnp.roll(folded, offset, axis=-2)  # fftin[(j+offset) % fft]
+    spectra = rc.dft(folded, shift=True)
+
+    total = nsym * fftcp
+    phase_out = rc.normalize(rc.mul(phase0, rc.exp_i(
+        jnp.asarray(angle / fft * total))))
+    return spectra, phase_out
+
+
+def _am_process_rc(window, phase, samperr, prev_angle, cfo_bins):
+    fftcp, fft = C.FFTCP_AM, C.FFT_AM
+    nsym = C.ACQUIRE_SYMBOLS
+    angle = prev_angle - 2 * jnp.pi * cfo_bins.astype(jnp.float32)
+
+    phase0 = rc.normalize(rc.mul(phase, rc.exp_i(
+        -(fftcp // 2 - samperr).astype(jnp.float32) * angle / fft)))
+
+    # pass 1: pilot-phase regression (reference: src/acquire.c:170-240)
+    spectra1, _ = _am_fold_fft_rc(window, samperr, phase0, angle)
+    pilot = spectra1[:, C.CENTER_AM]  # [32, 2]
+    dphi = rc.angle(rc.mul_conj(pilot[1:], pilot[:-1]))
+    y = rc.angle(pilot[0]) + jnp.concatenate(
+        [jnp.zeros(1), jnp.cumsum(dphi)])
+    x = fftcp * (jnp.arange(nsym, dtype=jnp.float32) - (nsym - 1) / 2)
+    slope = (x * y).sum() / (x * x).sum()
+    angle2 = angle - slope * fft
+    phase0b = rc.mul(phase0, rc.exp_i(
+        -y.mean() + slope * nsym * fftcp / 2 - 0.06))
+
+    # pass 2: corrected demodulation
+    spectra, phase_out = _am_fold_fft_rc(window, samperr, phase0b, angle2)
+    mag_sums = rc.rabs(spectra1).sum(axis=0)
+
+    keep = (fftcp + (fftcp // 2 - samperr)).astype(jnp.int32)
+    prev_angle_out = (angle2 + 2 * jnp.pi * cfo_bins.astype(jnp.float32)
+                      ).astype(jnp.float32)
+    return spectra, phase_out, prev_angle_out, samperr, keep, mag_sums
+
+
+def acquire_am_fine_rc(window, phase, prev_angle, sync_samperr, cfo_bins):
+    """FINE-only AM acquire step (rc twin of ops/acquire.py
+    acquire_am_fine)."""
+    samperr = (C.FFTCP_AM // 2 + sync_samperr).astype(jnp.int32)
+    return _am_process_rc(window, phase, samperr, prev_angle, cfo_bins)
+
+
+# ---------------------------------------------------------------------------
+# sync (rc twin of ops/sync_am.py sync_am_block)
+# ---------------------------------------------------------------------------
+
+def _qam64_map_rc(z):
+    return SA.gray8_map(z[..., 0]) | (SA.gray8_map(z[..., 1]) << 3)
+
+
+def _qam16_map_rc(z):
+    return SA.gray4_map(z[..., 0]) | (SA.gray4_map(z[..., 1]) << 2)
+
+
+def _qpsk_map_rc(z):
+    return ((z[..., 0] >= 0).astype(jnp.uint8)
+            | ((z[..., 1] >= 0).astype(jnp.uint8) << 1))
+
+
+def _const_rc(v: complex) -> jnp.ndarray:
+    return jnp.asarray(np.array([v.real, v.imag], np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("ma3",))
+def sync_am_block_rc(spectra, ma3: bool = False):
+    """spectra: [32, 256, 2].  Same outputs as ops/sync_am.sync_am_block."""
+    buf = spectra
+    c = SA.CENTER
+
+    i = np.arange(C.REF_INDEX_AM, C.MAX_INDEX_AM + 1)
+    low = buf[:, c - i]
+    buf = buf.at[:, c - i].set(rc.neg_conj(low))
+
+    if not ma3:
+        j = np.arange(C.REF_INDEX_AM, C.PIDS_OUTER_INDEX_AM + 1)
+        buf = buf.at[:, c + j].add(buf[:, c - j])
+
+    ref_bits = (buf[:, c + C.REF_INDEX_AM, 1] > 0).astype(jnp.uint8)
+
+    pids1_bin = c + (C.PIDS_INNER_INDEX_AM if not ma3
+                     else -C.PIDS_INNER_INDEX_AM)
+    pids2_bin = c + (C.PIDS_OUTER_INDEX_AM if not ma3
+                     else C.PIDS_INNER_INDEX_AM)
+    p1col = buf[:, pids1_bin]
+    p2col = buf[:, pids2_bin]
+    tq16 = _const_rc(2 * SA.TRAIN_QAM16)
+    p1m = rc.div(tq16, p1col[8] + p1col[24])
+    p2m = rc.div(tq16, p2col[8] + p2col[24])
+    pids = jnp.stack([_qam16_map_rc(rc.mul(p1col, p1m[None, :])),
+                      _qam16_map_rc(rc.mul(p2col, p2m[None, :]))], axis=1)
+
+    primary = C.OUTER_PARTITION_START_AM if not ma3 \
+        else C.INNER_PARTITION_START_AM
+    secondary = C.MIDDLE_PARTITION_START_AM
+    tertiary = C.INNER_PARTITION_START_AM if not ma3 \
+        else C.MIDDLE_PARTITION_START_AM
+
+    col = np.arange(W)
+    pl_bins = c - primary - col
+    pu_bins = c + primary + col
+    s_bins = c + secondary + col
+    t_bins = (c + tertiary + col) if not ma3 else (c - tertiary - col)
+
+    t1 = jnp.asarray(SA.TRAIN1)
+    t2 = jnp.asarray(SA.TRAIN2)
+
+    def train_mult(bins, nominal):
+        cols = buf[:, bins]  # [32, W, 2]
+        tr = cols[t1, jnp.arange(W)] + cols[t2, jnp.arange(W)]
+        return rc.div(jnp.broadcast_to(_const_rc(2 * nominal), tr.shape), tr)
+
+    pl_mult = train_mult(pl_bins, SA.TRAIN_QAM64)
+    pu_mult = train_mult(pu_bins, SA.TRAIN_QAM64)
+    s_mult = train_mult(s_bins, SA.TRAIN_QAM64 if ma3 else SA.TRAIN_QAM16)
+    t_mult = train_mult(t_bins, SA.TRAIN_QAM64 if ma3 else SA.TRAIN_QPSK)
+
+    dp = SA._wrap_half_pi(rc.angle(pl_mult[1:])
+                          - rc.angle(pl_mult[:-1])).sum()
+    du = SA._wrap_half_pi(rc.angle(pu_mult[1:])
+                          - rc.angle(pu_mult[:-1])).sum()
+    samperr = (dp + du) / (2 * (W - 1)) * C.FFT_AM / (2 * jnp.pi)
+    samperr = jnp.round(samperr).astype(jnp.int32)
+
+    pl_eq = rc.mul(buf[:, pl_bins], pl_mult[None])
+    pu_eq = rc.mul(buf[:, pu_bins], pu_mult[None])
+    s_eq = rc.mul(buf[:, s_bins], s_mult[None])
+    t_eq = rc.mul(buf[:, t_bins], t_mult[None])
+
+    pl_c, pu_c = _qam64_map_rc(pl_eq), _qam64_map_rc(pu_eq)
+    if not ma3:
+        s_c, t_c = _qam16_map_rc(s_eq), _qpsk_map_rc(t_eq)
+    else:
+        s_c, t_c = _qam64_map_rc(s_eq), _qam64_map_rc(t_eq)
+
+    return {
+        "ref_bits": ref_bits,
+        "pids": pids,
+        "pl": pl_c.reshape(-1),
+        "pu": pu_c.reshape(-1),
+        "s": s_c.reshape(-1),
+        "t": t_c.reshape(-1),
+        "samperr": samperr,
+    }
+
+
+# ---------------------------------------------------------------------------
+# fused chain
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_frames", "ma3"))
+def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
+                     ma3: bool = False):
+    """Decode ``n_frames`` AM frames in steady state from rc I/Q.
+
+    samples: [am_buffer_len(n_frames), 2] float32 at 46511.7 S/s, first
+    symbol starting FFTCP_AM//2 in, first block bc=0.  Same outputs as
+    scan_chain_am.am_chain_scan."""
+
+    def block_step(cy, _):
+        offset, phase, prev_angle, samperr_fb = cy
+        window = jax.lax.dynamic_slice(samples, (offset, 0), (WINDOW_AM, 2))
+        spectra, phase, prev_angle, samperr, keep, _ = acquire_am_fine_rc(
+            window, phase, prev_angle, samperr_fb,
+            jnp.asarray(0, jnp.int32))
+        out = sync_am_block_rc(spectra, ma3)
+        consumed = WINDOW_AM - keep
+        return (offset + consumed, phase, prev_angle, out["samperr"]), out
+
+    def frame_step(cy: AMChainCarryRC, _):
+        (offset, phase, prev_angle, samperr_fb), outs = jax.lax.scan(
+            block_step, (cy.offset, cy.phase, cy.prev_angle,
+                         cy.samperr_fb), None, length=8)
+        pl = outs["pl"].reshape(-1)
+        pu = outs["pu"].reshape(-1)
+        s = outs["s"].reshape(-1)
+        t = outs["t"].reshape(-1)
+        p1, p3, margins, dec = am_frame_decode(pl, pu, s, t, cy.dec, ma3)
+        pids = jax.vmap(lambda ps: am_pids_decode(ps, jnp.asarray(False)))(
+            outs["pids"])
+        ncy = AMChainCarryRC(offset=offset, phase=phase,
+                             prev_angle=prev_angle,
+                             samperr_fb=samperr_fb, dec=dec)
+        return ncy, {"p1": p1, "p3": p3, "pids": pids,
+                     "p1_margin": margins["p1"],
+                     "p3_margin": margins["p3"]}
+
+    carry, outs = jax.lax.scan(frame_step, carry, None, length=n_frames)
+    outs["pids"] = outs["pids"].reshape(-1, C.PIDS_FRAME_LEN)
+    return outs, carry
+
+
+def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False):
+    """vmap over a leading station axis; samples [S, am_buffer_len, 2]."""
+    return jax.vmap(
+        lambda s, c: am_chain_scan_rc(s, c, n_frames, ma3)
+    )(samples, carries)

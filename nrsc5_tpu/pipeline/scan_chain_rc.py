@@ -36,9 +36,33 @@ class ChainCarryRC(NamedTuple):
     costas_freq: jax.Array  # [FFT_FM] float32
     samperr_fb: jax.Array  # int32
     angle_fb: jax.Array  # float32
+    cfo: jax.Array  # int32 accumulated integer CFO (bins)
+    px1_internal: jax.Array  # [N or 0] int8 interleaver-IV state
+    px1_phase: jax.Array  # int32 IV call phase
+    px2_internal: jax.Array  # [N or 0] int8
+    px2_phase: jax.Array  # int32
 
 
-def chain_rc_init_carry(offset: int = 0) -> ChainCarryRC:
+def _px_frame_lens(psmi: int) -> tuple[int, int]:
+    """(px1 frame_len, px2 frame_len) in bits; 0 = channel absent."""
+    cm = C.COMPATIBILITY_MODE[psmi]
+    px1 = {2: C.P3_FRAME_LEN_MP2, 3: C.P3_FRAME_LEN_MP3_MP11,
+           11: C.P3_FRAME_LEN_MP3_MP11}.get(cm, 0)
+    px2 = C.P3_FRAME_LEN_MP3_MP11 if cm == 11 else 0
+    return px1, px2
+
+
+def _iv_state_len(frame_len: int) -> int:
+    if frame_len == 0:
+        return 0
+    from nrsc5_tpu.ops import interleavers as IL
+    _, n, _ = IL.p3_iv_tables(frame_len)
+    return n
+
+
+def chain_rc_init_carry(offset: int = 0, psmi: int = 1,
+                        cfo: int = 0) -> ChainCarryRC:
+    fl1, fl2 = _px_frame_lens(psmi)
     return ChainCarryRC(
         offset=jnp.asarray(offset, jnp.int32),
         phase=jnp.asarray(np.array([1.0, 0.0], np.float32)),
@@ -47,6 +71,11 @@ def chain_rc_init_carry(offset: int = 0) -> ChainCarryRC:
         costas_freq=jnp.zeros(C.FFT_FM, jnp.float32),
         samperr_fb=jnp.asarray(0, jnp.int32),
         angle_fb=jnp.asarray(0.0, jnp.float32),
+        cfo=jnp.asarray(cfo, jnp.int32),
+        px1_internal=jnp.zeros(_iv_state_len(fl1), jnp.int8),
+        px1_phase=jnp.asarray(0, jnp.int32),
+        px2_internal=jnp.zeros(_iv_state_len(fl2), jnp.int8),
+        px2_phase=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -54,35 +83,20 @@ def chain_rc_init_carry(offset: int = 0) -> ChainCarryRC:
 # acquire (fine path) — rc twin of ops/acquire.py _demod
 # ---------------------------------------------------------------------------
 
-def acquire_fine_rc(window, phase, prev_angle, sync_samperr, sync_angle):
+def acquire_fine_rc(window, phase, prev_angle, sync_samperr, sync_angle,
+                    cfo=None):
     """window: [WINDOW_FM, 2] rc samples, ALREADY conjugated for FM.
 
     Returns (spectra [32, 2048, 2], phase_out [2], prev_angle_out,
     samperr, keep)."""
-    fftcp, fft, cp = C.FFTCP_FM, C.FFT_FM, C.CP_FM
-    nsym = C.ACQUIRE_SYMBOLS
+    from nrsc5_tpu.ops.acquire_rc import demod_rc
+    fftcp = C.FFTCP_FM
     samperr = (fftcp // 2 + sync_samperr).astype(jnp.int32)
     angle = prev_angle - sync_angle
-
-    n = jnp.arange(nsym * fftcp, dtype=jnp.float32)
-    adj = (fftcp // 2 - samperr).astype(jnp.float32)
-    phase0 = rc.normalize(rc.mul(phase, rc.exp_i(-adj * angle / fft)))
-    ramp = rc.mul(phase0, rc.exp_i((angle / fft) * n)).reshape(
-        nsym, fftcp, 2)
-
-    sliced = jax.lax.dynamic_slice(
-        window, (samperr, 0), (nsym * fftcp, 2)).reshape(nsym, fftcp, 2)
-    x = rc.mul(sliced, ramp)
-
-    w = jnp.asarray(C.ofdm_shape(fft, cp))
-    head = w[None, :cp, None] * x[:, :cp] + w[None, fft:, None] * x[:, fft:]
-    folded = jnp.concatenate([head, x[:, cp:fft]], axis=1)
-    spectra = rc.dft(folded, shift=True)
-
-    total = float(nsym * fftcp)
-    phase_out = rc.normalize(rc.mul(phase0, rc.exp_i(
-        jnp.asarray(angle / fft * total))))
-    keep = (fftcp + (fftcp // 2 - samperr)).astype(jnp.int32)
+    if cfo is None:
+        cfo = jnp.asarray(0, jnp.int32)
+    spectra, phase_out, samperr, keep = demod_rc(
+        window, phase, samperr, angle, cfo)
     return spectra, phase_out, angle, samperr, keep
 
 
@@ -209,6 +223,30 @@ def sync_block_rc(spectra, costas_phase, costas_freq, psmi: int, timing_adj):
         "error_lb": error_lb,
         "error_ub": error_ub,
     }
+
+    # PX1/PX2 extended partitions (static geometry per compatibility
+    # mode — rc twin of ops/sync_fm.py:233-252)
+    cm = C.COMPATIBILITY_MODE[psmi]
+    if cm == 2:
+        px1 = jnp.concatenate([
+            demod(data_eq[:, 10:11], mult_lb),
+            demod(data_eq[:, ppb + 10:ppb + 11], mult_ub)], axis=1)
+        out["px1"] = px1.reshape(-1)  # [2304]
+    elif cm in (3, 11):
+        px1 = jnp.concatenate([
+            demod(data_eq[:, 10:12], mult_lb),
+            demod(data_eq[:, ppb + 11:ppb + 12], mult_ub),
+            demod(data_eq[:, ppb + 10:ppb + 11], mult_ub)], axis=1)
+        out["px1"] = px1.reshape(-1)  # [4608]
+    if cm == 11:
+        # the reference applies mult_lb to both px2 sidebands
+        # (src/sync.c:574-595)
+        px2 = jnp.concatenate([
+            demod(data_eq[:, 12:14], mult_lb),
+            demod(data_eq[:, ppb + 13:ppb + 14], mult_lb),
+            demod(data_eq[:, ppb + 12:ppb + 13], mult_lb)], axis=1)
+        out["px2"] = px2.reshape(-1)
+
     new_phase = costas_phase.at[bins].set(_wrap_pi(ph_out))
     new_freq = costas_freq.at[bins].set(fr_out)
     return out, new_phase, new_freq
@@ -223,27 +261,33 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
                      psmi: int = 1, first_bc: int = 0):
     """samples: [buffer_len(n_blocks), 2] float32 rc at 744187.5 S/s,
     ALREADY conjugated (Im negated) for the FM ingest convention.
-    Same outputs as fm_chain_scan."""
+    Same outputs as fm_chain_scan, plus px1/px2 frames for extended
+    service modes (decoded on device through the carried interleaver-IV
+    state; requires first_bc even so block pairs align)."""
     fftcp = C.FFTCP_FM
+    cm = C.COMPATIBILITY_MODE[psmi]
+    fl1, fl2 = _px_frame_lens(psmi)
 
     def step(cy: ChainCarryRC, _):
         window = jax.lax.dynamic_slice(
             samples, (cy.offset, 0), (WINDOW_FM, 2))
         spectra, phase, prev_angle, samperr, keep = acquire_fine_rc(
-            window, cy.phase, cy.prev_angle, cy.samperr_fb, cy.angle_fb)
+            window, cy.phase, cy.prev_angle, cy.samperr_fb, cy.angle_fb,
+            cy.cfo)
         out, cph, cfr = sync_block_rc(
             spectra, cy.costas_phase, cy.costas_freq, psmi,
             fftcp // 2 - samperr)
         consumed = WINDOW_FM - keep
-        ncy = ChainCarryRC(
+        ncy = cy._replace(
             offset=cy.offset + consumed, phase=phase, prev_angle=prev_angle,
             costas_phase=cph, costas_freq=cfr,
             samperr_fb=out["samperr"], angle_fb=out["angle"])
+        px = tuple(out[k] for k in ("px1", "px2") if k in out)
         return ncy, (out["pm"], out["samperr"],
-                     out["error_lb"] + out["error_ub"])
+                     out["error_lb"] + out["error_ub"]) + px
 
-    carry, (pm, samperr, err) = jax.lax.scan(step, carry, None,
-                                             length=n_blocks)
+    carry, scanned = jax.lax.scan(step, carry, None, length=n_blocks)
+    pm, samperr, err = scanned[:3]
     out = {"diag": {"samperr": samperr, "error": err}}
     pids = jax.vmap(pids_decode)(pm)
     out["pids"] = pids
@@ -258,6 +302,36 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
         out["p1"] = p1
         out["p1_margin"] = margin
         out["p1_bit_errors"] = errors
+
+    # PX channels: interleaver-IV call per block pair, state carried
+    # across dispatches (rc analog of pipeline/receiver.py _fine_step)
+    if fl1 or fl2:
+        assert first_bc % 2 == 0 and n_blocks % 2 == 0, \
+            "PX decode needs pair-aligned blocks"
+        from nrsc5_tpu.ops import interleavers as IL
+        from nrsc5_tpu.ops.decode_fm import px_decode
+        idx = 3
+        for key, fl, st_i, st_p in (("px1", fl1, "px1_internal",
+                                     "px1_phase"),
+                                    ("px2", fl2, "px2_internal",
+                                     "px2_phase")):
+            if not fl:
+                continue
+            llrs = scanned[idx].reshape(n_blocks // 2, 2 * fl)
+            idx += 1
+            _, _, calls = IL.p3_iv_tables(fl)
+
+            def px_step(c, llr, fl=fl, calls=calls):
+                internal, ph = c
+                bits, margin, internal = px_decode(internal, llr, ph, fl)
+                return (internal, (ph + 1) % calls), (bits, margin)
+
+            (internal, phase_), (bits, margins) = jax.lax.scan(
+                px_step, (getattr(carry, st_i), getattr(carry, st_p)),
+                llrs)
+            carry = carry._replace(**{st_i: internal, st_p: phase_})
+            out[key] = bits
+            out[key + "_margin"] = margins
     return out, carry
 
 
@@ -267,3 +341,91 @@ def fm_chain_batch_rc(samples, carries: ChainCarryRC, n_blocks: int,
     return jax.vmap(
         lambda s, c: fm_chain_scan_rc(s, c, n_blocks, psmi, first_bc)
     )(samples, carries)
+
+
+# ---------------------------------------------------------------------------
+# cold start: coarse timing + integer-CFO/block-offset search + bc probe
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def coldstart_probe_rc(samples):
+    """Probe 1 (device): coarse CP-correlation timing on the first
+    33-symbol window, demodulate it, and run the batched CFO×offset
+    needle search (reference: src/acquire.c:129-151 + src/sync.c:292-337).
+
+    samples: [>= WINDOW_FM, 2] conjugated rc.
+    Returns (samperr int32, angle float32, count int32 [76, 32])."""
+    from nrsc5_tpu.ops.acquire_rc import (coarse_timing_rc, demod_rc,
+                                          detect_cfo_scan_rc)
+    window = jax.lax.dynamic_slice(samples, (0, 0), (WINDOW_FM, 2))
+    samperr, max_v = coarse_timing_rc(window)
+    angle = rc.angle(max_v)
+    unit = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    spectra, _, _, _ = demod_rc(window, unit, samperr, angle,
+                                jnp.asarray(0, jnp.int32))
+    count = detect_cfo_scan_rc(spectra)
+    return samperr, angle, count
+
+
+@jax.jit
+def bc_probe_rc(samples, offset, angle, cfo):
+    """Probe 2 (device): demodulate one block at ``offset`` and read the
+    reference-subcarrier DBPSK control word (block count + service mode)
+    by majority over good refs (reference: src/sync.c:366-421).
+
+    Returns (ref_ok bool [2R], ref_bc int32 [2R], ref_psmi int32 [2R])."""
+    from nrsc5_tpu.ops.acquire_rc import demod_rc
+    window = jax.lax.dynamic_slice(samples, (offset, 0), (WINDOW_FM, 2))
+    unit = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    samperr = jnp.asarray(C.FFTCP_FM // 2, jnp.int32)
+    spectra, _, _, _ = demod_rc(window, unit, samperr, angle, cfo)
+    out, _, _ = sync_block_rc(spectra, jnp.zeros(C.FFT_FM, jnp.float32),
+                              jnp.zeros(C.FFT_FM, jnp.float32), 1,
+                              jnp.asarray(0, jnp.int32))
+    return out["ref_ok"], out["ref_bc"], out["ref_psmi"]
+
+
+def cold_start_rc(samples_rc) -> dict | None:
+    """Host-orchestrated cold start over a conjugated rc capture with
+    unknown timing, fractional and integer CFO.
+
+    Two device dispatches (timing+CFO search, then a bc/psmi probe at the
+    aligned offset), argmax/majority on host — the fused-chain analog of
+    the per-block receiver's NONE→COARSE→FINE machine.  Returns
+    ``{"offset", "first_bc", "psmi", "carry"}`` ready for
+    :func:`fm_chain_scan_rc` (pass ``samples[offset:]``), or None when no
+    lock was found."""
+    fftcp = C.FFTCP_FM
+    samperr, angle, count = coldstart_probe_rc(samples_rc)
+    samperr = int(samperr)
+    angle = float(np.asarray(angle))
+    count = np.asarray(count)  # [76, 32]
+    ci, off = np.unravel_index(np.argmax(count), count.shape)
+    if count[ci, off] < 3:
+        return None
+    from nrsc5_tpu.ops.detect_cfo import CFO_RANGE
+    cfo = int(ci) - CFO_RANGE
+    # the needle (block boundary) starts at probe-symbol index ``off``
+    skip_sym = int(off)
+
+    # the chain (and bc probe) demodulate with samperr = FFTCP//2, i.e.
+    # the first symbol starts FFTCP//2 past the buffer offset
+    start = samperr - fftcp // 2 + skip_sym * fftcp
+    while start < 0:
+        start += C.BLKSZ * fftcp
+
+    ok, bcs, psmis = bc_probe_rc(samples_rc, jnp.asarray(start, jnp.int32),
+                                 jnp.asarray(angle, jnp.float32),
+                                 jnp.asarray(cfo, jnp.int32))
+    ok = np.asarray(ok)
+    if ok.sum() < 4:
+        return None
+    vote = lambda a: int(np.bincount(np.asarray(a)[ok]).argmax())  # noqa
+    first_bc = vote(bcs)
+    psmi = vote(psmis)
+    if not 0 <= psmi < len(C.COMPATIBILITY_MODE):
+        psmi = 1
+    carry = chain_rc_init_carry(psmi=psmi, cfo=cfo)
+    carry = carry._replace(prev_angle=jnp.asarray(angle, jnp.float32))
+    return {"offset": start, "first_bc": first_bc, "psmi": psmi,
+            "carry": carry, "cfo": cfo}

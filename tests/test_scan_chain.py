@@ -166,3 +166,166 @@ def test_rc_chain_matches_complex(rng):
     # clock estimates agree
     assert np.abs(np.asarray(out_r["diag"]["samperr"])
                   - np.asarray(out_c["diag"]["samperr"])).max() <= 1
+
+
+def test_rc_coarse_and_cfo_probe_match_complex(rng):
+    """coarse_timing_rc / detect_cfo_scan_rc must agree with the complex
+    implementations on an impaired capture."""
+    import jax.numpy as jnp
+    from nrsc5_tpu.ops import acquire as AQ
+    from nrsc5_tpu.ops import acquire_rc as AQR
+    from nrsc5_tpu.ops.detect_cfo import detect_cfo_scan
+
+    buf, p1, pids, n_blocks, first_bc = _steady_signal(rng)
+    sig = ch.impair(buf[:AQ.WINDOW_FM + 4000], sample_offset=1357,
+                    snr_db=25.0, rng=rng)
+    cbuf = np.conj(sig[:AQ.WINDOW_FM]).astype(np.complex64)
+    samperr_c, max_c = AQ._coarse_timing(jnp.asarray(cbuf))
+    rcw = jnp.asarray(np.stack([cbuf.real, cbuf.imag], -1)
+                      .astype(np.float32))
+    samperr_r, max_r = AQR.coarse_timing_rc(rcw)
+    assert int(samperr_c) == int(samperr_r)
+    assert abs(complex(np.asarray(max_c))
+               - complex(np.asarray(max_r)[0]
+                         + 1j * np.asarray(max_r)[1])) < 1e-2 * abs(
+        complex(np.asarray(max_c)))
+
+    # CFO scan on demodulated spectra
+    unit = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    spectra_rc, _, _, _ = AQR.demod_rc(
+        rcw, unit, samperr_r, jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(0, jnp.int32))
+    sp_c = np.asarray(spectra_rc[..., 0]) + 1j * np.asarray(
+        spectra_rc[..., 1])
+    count_c = np.asarray(detect_cfo_scan(jnp.asarray(
+        sp_c.astype(np.complex64))))
+    count_r = np.asarray(AQR.detect_cfo_scan_rc(spectra_rc))
+    assert np.array_equal(count_c, count_r)
+
+
+def test_rc_cold_start_decode(rng):
+    """Cold start from a capture with unknown timing, integer + fractional
+    CFO: the two-probe cold start locks and the fused rc chain decodes
+    bit-exactly (the accelerator-path analog of the NONE→COARSE→FINE
+    machine; reference: src/acquire.c:129-151, src/sync.c:292-337)."""
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+
+    buf, p1, pids, n_blocks, first_bc = _steady_signal(rng, n_frames=2,
+                                                       lead_blocks=2)
+    bin_hz = C.SAMPLE_RATE_CS16_FM / C.FFT_FM
+    sig = ch.impair(buf, sample_offset=2789, cfo_hz=5 * bin_hz + 41.0,
+                    snr_db=25.0, rng=rng)
+    rcs = jnp.asarray(np.stack([sig.real, -sig.imag], -1)
+                      .astype(np.float32))
+
+    lock = rcc.cold_start_rc(rcs)
+    assert lock is not None, "cold start failed to lock"
+    assert abs(lock["cfo"]) == 5, f"CFO {lock['cfo']} != ±5 bins"
+    assert lock["psmi"] == 1
+
+    # run the chain from the locked offset; decode what fits
+    avail = rcs.shape[0] - lock["offset"]
+    blocks = min((int(avail) - C.FFTCP_FM - rcc.SLACK)
+                 // (C.BLKSZ * C.FFTCP_FM), 32)
+    out, _ = rcc.fm_chain_scan_rc(rcs[lock["offset"]:],
+                                  lock["carry"], blocks,
+                                  lock["psmi"], lock["first_bc"])
+    assert "p1" in out and out["p1"].shape[0] >= 1
+    got = {np.asarray(out["p1"][i]).tobytes()
+           for i in range(out["p1"].shape[0])}
+    want = {p1[i].tobytes() for i in range(2)}
+    assert got & want, "no bit-exact P1 frame after cold start"
+
+
+def test_rc_chain_px_mp3(rng):
+    """MP3 (cm=3) through the fused rc chain: P1 + PX1 decoded on device
+    with carried interleaver-IV state; cycle-1 P3 frames bit-exact."""
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    psmi = 3
+    n_cycles = 2
+    fl = C.P3_FRAME_LEN_MP3_MP11
+    p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+
+    mats, p1s = [], []
+    for _ in range(n_cycles * 2):
+        p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+        pids = rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+        p1s.append(p1)
+        mats.append(build_pm_matrix(p1, pids))
+    px = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+
+    trail = 16  # half a cycle feeds the IV read-out of cycle 1
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    matrix = np.concatenate(mats + [dummy[:trail * 32]])
+    px_all = np.concatenate(
+        [px, np.ones((trail * 32, px.shape[1]), np.int8)])
+    bc_seq = np.concatenate([np.tile(np.arange(16), n_cycles * 2),
+                             np.arange(trail)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
+
+    n_blocks = n_cycles * 32 + trail
+    buf = np.zeros((sc.buffer_len(n_blocks), 2), np.float32)
+    start = C.FFTCP_FM // 2
+    buf[start:start + len(sig), 0] = sig.real
+    buf[start:start + len(sig), 1] = -sig.imag
+
+    out, carry = rcc.fm_chain_scan_rc(
+        jnp.asarray(buf), rcc.chain_rc_init_carry(psmi=psmi), n_blocks,
+        psmi, 0)
+    # P1 (frames 1+ — frame 0 covers the Costas cold lock)
+    for i in range(1, 4):
+        assert np.array_equal(np.asarray(out["p1"][i]), p1s[i]), \
+            f"P1 frame {i}"
+    # PX1: cycle-1 frames must surface bit-exact among the decoded calls
+    got = {np.asarray(out["px1"][i]).tobytes()
+           for i in range(out["px1"].shape[0])}
+    hits = sum(p3[1][i].tobytes() in got for i in range(16))
+    assert hits >= 12, f"only {hits}/16 cycle-1 P3 frames decoded"
+
+
+def test_am_rc_chain_matches_complex(rng):
+    """The real-valued AM chain (I/Q in, no complex dtypes) reproduces the
+    complex chain's decode bit-exactly — the on-chip AM path now covers
+    acquire+sync, not just the hard-symbol FEC tail."""
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_am as sca
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    n = 6
+    p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_bits = rng.integers(0, 2,
+                             (n * 8, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    pids_codes = np.stack([EAM.encode_pids_am(p) for p in pids_bits])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+    sig = ch.impair(sig, sample_rate=C.SAMPLE_RATE_CS16_AM, cfo_hz=8.0,
+                    snr_db=35.0, rng=rng)
+
+    buf = np.zeros(sca.am_buffer_len(n), np.complex64)
+    start = C.FFTCP_AM // 2
+    buf[start:start + len(sig)] = sig
+    out_c, _ = sca.am_chain_scan(jnp.asarray(buf),
+                                 sca.am_chain_init_carry(), n, False)
+
+    buf_rc = jnp.asarray(np.stack([buf.real, buf.imag], -1)
+                         .astype(np.float32))
+    out_r, _ = scar.am_chain_scan_rc(buf_rc, scar.am_chain_rc_init_carry(),
+                                     n, False)
+    for f in range(3, n):
+        assert np.array_equal(np.asarray(out_r["p1"][f]), p1[f]), f
+        assert np.array_equal(np.asarray(out_r["p3"][f]), p3[f]), f
+    assert np.array_equal(np.asarray(out_r["pids"]), pids_bits)
+    assert np.array_equal(np.asarray(out_r["p1"][3:]),
+                          np.asarray(out_c["p1"][3:]))
