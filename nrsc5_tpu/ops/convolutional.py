@@ -29,6 +29,7 @@ parallel) and the radix-2^r ACS (r trellis steps per scan step).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -206,8 +207,11 @@ def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 8):
         if nw == 1:
             word = dec_t[:, 0]
         else:
+            # one-hot word select (no gather; nw is 8 for K=9)
             widx = state >> 5
-            word = jnp.take_along_axis(dec_t, widx[:, None], axis=-1)[:, 0]
+            oh = (jnp.arange(nw, dtype=jnp.int32)[None, :]
+                  == widx[:, None])
+            word = jnp.where(oh, dec_t, 0).sum(axis=-1)
         p = (word >> (state & 31)) & 1
         bit = (state >> (k - 2)).astype(jnp.uint8)
         prev = ((state << 1) & (ns - 1)) | p
@@ -292,14 +296,34 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
     # bit i of the super-step (time-ascending) sits at position k-1-r+i
     shifts = jnp.asarray(np.arange(r) + (k - 1 - r), np.int32)
 
-    def tb(state, dec_t):
-        j = jnp.take_along_axis(dec_t, state[:, None],
-                                axis=-1)[:, 0].astype(jnp.int32)
-        bits = ((state[:, None] >> shifts[None, :]) & 1).astype(jnp.uint8)
-        prev = ((state << r) & (ns - 1)) | j
-        return prev, bits
+    if os.environ.get("NRSC5_VITERBI_TB", "onehot") == "gather":
+        def tb(state, dec_t):
+            j = jnp.take_along_axis(dec_t, state[:, None],
+                                    axis=-1)[:, 0].astype(jnp.int32)
+            bits = ((state[:, None] >> shifts[None, :]) & 1) \
+                .astype(jnp.uint8)
+            prev = ((state << r) & (ns - 1)) | j
+            return prev, bits
 
-    _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1], unroll=unroll)
+        _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1],
+                                   unroll=unroll)
+    else:
+        # arithmetic traceback: the per-step survivor lookup dec_t[state]
+        # becomes a one-hot multiply-reduce over the tiny state axis —
+        # pure VPU elementwise work, no gathers (device gathers are the
+        # slow path on this target; cf. the round-1 deinterleaver finding)
+        iota = jnp.arange(ns, dtype=jnp.int32)
+
+        def tb(state, dec_t):
+            oh = (iota[None, :] == state[:, None])
+            j = jnp.where(oh, dec_t.astype(jnp.int32), 0).sum(axis=-1)
+            bits = ((state[:, None] >> shifts[None, :]) & 1) \
+                .astype(jnp.uint8)
+            prev = ((state << r) & (ns - 1)) | j
+            return prev, bits
+
+        _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1],
+                                   unroll=max(unroll, 4))
     # bits_rev: [L/r, B, r] — reverse super-steps, bits within stay ordered
     bits = jnp.swapaxes(bits_rev[::-1], 0, 1).reshape(b_, l)
     return bits, margin

@@ -105,6 +105,88 @@ def sharded_fm_chain(mesh: Mesh, n_blocks: int, psmi: int = 1):
     return jax.jit(step)
 
 
+def selfsync_halo() -> int:
+    """Right-neighbor context a self-synchronizing time shard needs:
+    worst-case block-boundary skip + symbol offset + scan slack + the
+    coarse probe window."""
+    from nrsc5_tpu.ops.acquire import WINDOW_FM
+    return C.BLKSZ * C.FFTCP_FM + 2 * C.FFTCP_FM + sc.SLACK + WINDOW_FM
+
+
+def sharded_fm_chain_selfsync(mesh: Mesh, n_blocks: int, psmi: int = 1):
+    """Self-synchronizing (station, time) sharded receive: every time
+    shard cold-starts *on device* inside its own chunk — coarse CP timing,
+    integer-CFO/block-offset needle search, bc/psmi probe — so the host
+    does NOT pre-align chunks to frame boundaries or steady-state offsets
+    (round-1 gap; the reference analog is the per-session NONE→COARSE→FINE
+    machine, src/input.c:172-188).
+
+    samples: [S, n_time * chunk, 2] float32 rc, ALREADY conjugated, at
+    arbitrary timing/CFO.  Each shard decodes the complete P1 frames whose
+    16 aligned blocks fall inside its chunk: F = n_blocks//16 − 1 frames
+    (one frame of headroom pays for the unknown block/bc alignment).
+    Returns (p1 [S, n_time*F, 146176], margins [S, n_time*F],
+    first_bc [S, n_time], cfo [S, n_time], locked [S, n_time],
+    quality scalar).
+    """
+    from nrsc5_tpu.ops.acquire import WINDOW_FM
+    from nrsc5_tpu.ops.decode_fm import p1_decode
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+
+    n_time = mesh.shape["time"]
+    chunk = shard_chunk_len(n_blocks)
+    n_frames = n_blocks // C.P1_FM_BLOCKS - 1
+    assert n_frames >= 1, "need at least 32 blocks per time shard"
+    halo = selfsync_halo()
+
+    def local_step(samples_loc, tail_loc):
+        head = samples_loc[:, :halo]
+        if n_time > 1:
+            perm = [(j, j - 1) for j in range(1, n_time)]
+            recv = jax.lax.ppermute(head, "time", perm)
+        else:
+            recv = jnp.zeros_like(head)
+        t_idx = jax.lax.axis_index("time")
+        recv = jnp.where(t_idx == n_time - 1, tail_loc, recv)
+        ext = jnp.concatenate([samples_loc, recv], axis=1)
+
+        def one_station(s):
+            start, first_bc, cfo, angle, locked = \
+                rcc.cold_start_device_rc(s)
+            carry = rcc.chain_rc_init_carry(psmi=psmi)._replace(
+                offset=start, cfo=cfo,
+                prev_angle=angle.astype(jnp.float32))
+            pm, diag, _, _ = rcc.frontend_scan_rc(s, carry, n_blocks, psmi)
+            skip = (C.P1_FM_BLOCKS - first_bc) % C.P1_FM_BLOCKS
+            frames = jax.lax.dynamic_slice(
+                pm, (skip, 0), (n_frames * C.P1_FM_BLOCKS, pm.shape[1]))
+            frames = frames.reshape(n_frames, -1)
+            p1, margin, _ = jax.vmap(
+                lambda m: p1_decode(m, chunked=True))(frames)
+            return p1, margin, first_bc, cfo, locked, diag["error"].sum()
+
+        p1, margin, first_bc, cfo, locked, err = \
+            jax.vmap(one_station)(ext)
+        denom = jnp.asarray(samples_loc.shape[0] * n_blocks, jnp.float32)
+        quality = jax.lax.psum(err.sum(), ("station", "time")) \
+            / jax.lax.psum(denom, ("station", "time"))
+        # scalars-per-shard get a trailing axis so the time axis has a
+        # dimension to concatenate along
+        return (p1, margin, first_bc[:, None], cfo[:, None],
+                locked[:, None], quality)
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("station", "time"), P("station", None)),
+        out_specs=(P("station", "time"), P("station", "time"),
+                   P("station", "time"), P("station", "time"),
+                   P("station", "time"), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def shard_chunk_len_am(n_frames: int) -> int:
     """Samples per (station, time) shard for the AM chain."""
     return n_frames * 8 * C.BLKSZ * C.FFTCP_AM

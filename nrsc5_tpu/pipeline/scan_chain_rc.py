@@ -256,17 +256,11 @@ def sync_block_rc(spectra, costas_phase, costas_freq, psmi: int, timing_adj):
 # fused chain
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc"))
-def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
-                     psmi: int = 1, first_bc: int = 0):
-    """samples: [buffer_len(n_blocks), 2] float32 rc at 744187.5 S/s,
-    ALREADY conjugated (Im negated) for the FM ingest convention.
-    Same outputs as fm_chain_scan, plus px1/px2 frames for extended
-    service modes (decoded on device through the carried interleaver-IV
-    state; requires first_bc even so block pairs align)."""
+def frontend_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
+                     psmi: int = 1):
+    """The fused per-block frontend (acquire + sync) scan.  Returns
+    (pm [n_blocks, ...], diag, px outputs tuple, new carry)."""
     fftcp = C.FFTCP_FM
-    cm = C.COMPATIBILITY_MODE[psmi]
-    fl1, fl2 = _px_frame_lens(psmi)
 
     def step(cy: ChainCarryRC, _):
         window = jax.lax.dynamic_slice(
@@ -288,7 +282,22 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
 
     carry, scanned = jax.lax.scan(step, carry, None, length=n_blocks)
     pm, samperr, err = scanned[:3]
-    out = {"diag": {"samperr": samperr, "error": err}}
+    return pm, {"samperr": samperr, "error": err}, scanned[3:], carry
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc"))
+def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
+                     psmi: int = 1, first_bc: int = 0):
+    """samples: [buffer_len(n_blocks), 2] float32 rc at 744187.5 S/s,
+    ALREADY conjugated (Im negated) for the FM ingest convention.
+    Same outputs as fm_chain_scan, plus px1/px2 frames for extended
+    service modes (decoded on device through the carried interleaver-IV
+    state; requires first_bc even so block pairs align)."""
+    fl1, fl2 = _px_frame_lens(psmi)
+
+    pm, diag, px_scanned, carry = frontend_scan_rc(samples, carry,
+                                                   n_blocks, psmi)
+    out = {"diag": diag}
     pids = jax.vmap(pids_decode)(pm)
     out["pids"] = pids
 
@@ -310,14 +319,14 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
             "PX decode needs pair-aligned blocks"
         from nrsc5_tpu.ops import interleavers as IL
         from nrsc5_tpu.ops.decode_fm import px_decode
-        idx = 3
+        idx = 0
         for key, fl, st_i, st_p in (("px1", fl1, "px1_internal",
                                      "px1_phase"),
                                     ("px2", fl2, "px2_internal",
                                      "px2_phase")):
             if not fl:
                 continue
-            llrs = scanned[idx].reshape(n_blocks // 2, 2 * fl)
+            llrs = px_scanned[idx].reshape(n_blocks // 2, 2 * fl)
             idx += 1
             _, _, calls = IL.p3_iv_tables(fl)
 
@@ -383,6 +392,35 @@ def bc_probe_rc(samples, offset, angle, cfo):
                               jnp.zeros(C.FFT_FM, jnp.float32), 1,
                               jnp.asarray(0, jnp.int32))
     return out["ref_ok"], out["ref_bc"], out["ref_psmi"]
+
+
+def cold_start_device_rc(samples):
+    """Fully-on-device cold start (no host in the loop — usable inside
+    shard_map for self-synchronizing time shards).
+
+    samples: [N, 2] conjugated rc with N >= WINDOW_FM + 33 blocks.
+    Returns device scalars (offset int32, first_bc int32, cfo int32,
+    angle float32, locked bool): ``offset`` is where the fused chain
+    should start reading (symbol boundary − FFTCP//2), ``first_bc`` the
+    block count there.
+    """
+    fftcp = C.FFTCP_FM
+    from nrsc5_tpu.ops.detect_cfo import CFO_RANGE
+    samperr, angle, count = coldstart_probe_rc(samples)
+    flat = jnp.argmax(count.reshape(-1))
+    ci = (flat // C.BLKSZ).astype(jnp.int32)
+    off = (flat % C.BLKSZ).astype(jnp.int32)
+    locked = count.reshape(-1)[flat] >= 3
+    cfo = ci - CFO_RANGE
+    start = samperr - fftcp // 2 + off * fftcp
+    start = jnp.where(start < 0, start + C.BLKSZ * fftcp, start)
+
+    ok, bcs, psmis = bc_probe_rc(samples, start, angle, cfo)
+    votes = ((bcs[:, None] == jnp.arange(16)[None, :])
+             & ok[:, None]).sum(axis=0)
+    first_bc = jnp.argmax(votes).astype(jnp.int32)
+    locked = locked & (ok.sum() >= 4)
+    return start, first_bc, cfo, angle, locked
 
 
 def cold_start_rc(samples_rc) -> dict | None:
