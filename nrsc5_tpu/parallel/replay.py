@@ -5,8 +5,9 @@ chunk independently (parallel/receive.py), and the host merges each
 station's frame sequence back into the transport layer (frame → elastic
 buffer → HDC/ID3/SIS events) in time order.
 On a single host this exercises the full path with a virtual device mesh;
-on a pod slice the same code spans hosts via jax.distributed + DCN-sharded
-inputs (each host feeds its local shard of the station axis).
+on a pod slice the same code spans hosts via :mod:`.distributed`
+(jax.distributed multi-controller setup + DCN-sharded station inputs;
+tested two-process in tests/test_distributed.py).
 """
 from __future__ import annotations
 from dataclasses import dataclass, field
