@@ -151,52 +151,69 @@ def depuncture(llr, pattern: tuple[int, ...], coded_len: int):
 # Viterbi decoder (JAX)
 # ---------------------------------------------------------------------------
 
-def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 8):
+def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 8,
+                   fuse: int = 1):
     """ACS forward recursion + traceback over an extended LLR sequence.
 
-    ext: [B, L, 3] float32.  Free boundary conditions (uniform initial
-    metrics, traceback from the max-metric final state).
-    Returns (bits [B, L] uint8, metric margin [B] float32).
+    ext: [B, L, 3] float32, L divisible by ``fuse``.  Free boundary
+    conditions (uniform initial metrics, traceback from the max-metric
+    final state).  Returns (bits [B, L] uint8, metric margin [B] float32).
 
     TPU shaping: the predecessor maps pred0 = (s'<<1) & (ns-1) and
     pred1 = pred0 | 1 are *strided tilings*, not general permutations —
     pm[pred0] = tile(pm[0::2], 2) — so the ACS step is pure
-    reshape/concat/elementwise (no gathers on the hot path).  Survivor
-    decisions are packed into two int32 words per (step, lane) so the
+    reshape/concat/elementwise (no gathers on the hot path).  Branch
+    metrics are three broadcast FMAs against static ±1 sign vectors (no
+    thin [B,3]x[3,ns] matmuls — MXU-hostile shapes).  Survivor decisions
+    are packed into int32 words of 32 states (reshape/shift/sum) so the
     traceback is a vectorized bit-shift instead of a per-step gather.
+
+    ``fuse`` chains that many radix-1 butterflies inside one scan step:
+    unlike the radix-2^r ACS it keeps the radix-1 arithmetic (2 adds +
+    1 select per state per trellis step vs 2^r candidates), cuts the scan
+    trip count by ``fuse``, and stays *bit-identical* to the fuse=1
+    recursion (identical op order per substep).
     """
-    pred0_np, pred1_np, out_np = trellis_tables(k, gens)
+    _, _, out_np = trellis_tables(k, gens)
     ns = 1 << (k - 1)
     half = ns // 2
 
-    out0 = jnp.asarray(out_np[:, 0, :])  # [ns, 3]
-    out1 = jnp.asarray(out_np[:, 1, :])
-    # decision packing: int32 words of 32 states each
+    # static ±1 sign rows: bm_p[B, ns] = sum_j llr[:, j] * sgn[p][j][ns]
+    sgn0 = [jnp.asarray(out_np[:, 0, j]) for j in range(3)]  # each [ns]
+    sgn1 = [jnp.asarray(out_np[:, 1, j]) for j in range(3)]
     nw = ns // 32
-    pack_w = np.arange(ns, dtype=np.int64)
-    pack_shift = jnp.asarray((pack_w % 32).astype(np.int32))
-    pack_word = (pack_w // 32).astype(np.int64)
-    word_onehot = jnp.asarray(
-        (pack_word[:, None] == np.arange(nw)[None, :]).astype(np.int32))
+    shifts32 = jnp.asarray(np.arange(32, dtype=np.int32))
 
     def acs(pm, llr_t):
         # pm: [B, ns]; llr_t: [B, 3]
-        bm0 = llr_t @ out0.T  # [B, ns]
-        bm1 = llr_t @ out1.T
+        l0, l1, l2 = llr_t[:, 0:1], llr_t[:, 1:2], llr_t[:, 2:3]
+        bm0 = l0 * sgn0[0] + l1 * sgn0[1] + l2 * sgn0[2]  # [B, ns]
+        bm1 = l0 * sgn1[0] + l1 * sgn1[1] + l2 * sgn1[2]
         pairs = pm.reshape(-1, half, 2)
         ev = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 0]], axis=1)
         od = jnp.concatenate([pairs[:, :, 1], pairs[:, :, 1]], axis=1)
         c0 = ev + bm0
         c1 = od + bm1
         dec = c1 > c0
-        # pack decisions: words[b, w] = sum_s dec[b, s] << (s % 32)
-        packed = ((dec.astype(jnp.int32) << pack_shift) @ word_onehot)
+        # pack decisions: words[b, w] = sum_s dec[b, 32w+s] << s
+        packed = (dec.astype(jnp.int32).reshape(-1, nw, 32)
+                  << shifts32).sum(axis=-1)
         return jnp.where(dec, c1, c0), packed
 
-    pm0 = jnp.zeros((ext.shape[0], ns), dtype=jnp.float32)
-    pm, decisions = jax.lax.scan(acs, pm0, jnp.swapaxes(ext, 0, 1),
-                                 unroll=unroll)
-    # decisions: [L, B, nw] int32 packed survivor bits
+    def step(pm, llr_f):
+        # llr_f: [fuse, B, 3] — chain `fuse` butterflies per scan step
+        packs = []
+        for i in range(fuse):
+            pm, p = acs(pm, llr_f[i])
+            packs.append(p)
+        return pm, jnp.stack(packs)
+
+    b_, l, _ = ext.shape
+    assert l % fuse == 0, (l, fuse)
+    xs = jnp.swapaxes(ext, 0, 1).reshape(l // fuse, fuse, b_, 3)
+    pm0 = jnp.zeros((b_, ns), dtype=jnp.float32)
+    pm, decisions = jax.lax.scan(step, pm0, xs, unroll=unroll)
+    # decisions: [L/fuse, fuse, B, nw] int32 packed survivor bits
 
     top2 = jax.lax.top_k(pm, 2)[0]
     margin = top2[:, 0] - top2[:, 1]
@@ -206,6 +223,8 @@ def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 8):
         # dec_t: [B, nw] packed; state: [B]
         if nw == 1:
             word = dec_t[:, 0]
+        elif nw == 2:
+            word = jnp.where(state < 32, dec_t[:, 0], dec_t[:, 1])
         else:
             # one-hot word select (no gather; nw is 8 for K=9)
             widx = state >> 5
@@ -217,8 +236,19 @@ def _acs_traceback(ext, k: int, gens: tuple[int, int, int], unroll: int = 8):
         prev = ((state << 1) & (ns - 1)) | p
         return prev, bit
 
-    _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1], unroll=unroll)
-    return jnp.swapaxes(bits_rev[::-1], 0, 1), margin
+    def tb_step(state, dec_f):
+        # dec_f: [fuse, B, nw]; walk the fused substeps newest-first
+        bits = []
+        for i in reversed(range(fuse)):
+            state, b = tb(state, dec_f[i])
+            bits.append(b)
+        return state, jnp.stack(bits[::-1])  # [fuse, B] time-ascending
+
+    _, bits_rev = jax.lax.scan(tb_step, state0, decisions[::-1],
+                               unroll=unroll)
+    # bits_rev: [L/fuse, fuse, B], scan steps reversed, substeps ascending
+    bits = bits_rev[::-1].reshape(l, b_)
+    return jnp.swapaxes(bits, 0, 1), margin
 
 
 @functools.lru_cache(maxsize=16)
@@ -329,7 +359,8 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
     return bits, margin
 
 
-def _viterbi_impl(llr, k: int, gens: tuple[int, int, int], radix: int = 1):
+def _viterbi_impl(llr, k: int, gens: tuple[int, int, int], radix: int = 1,
+                  fuse: int = 1):
     """Core tail-biting Viterbi.  llr: [B, T, 3] float32 (positive = bit 1).
     Returns (bits [B, T] uint8, metric margin [B] float32)."""
     t = llr.shape[-2]
@@ -339,7 +370,9 @@ def _viterbi_impl(llr, k: int, gens: tuple[int, int, int], radix: int = 1):
     if radix > 1 and ext.shape[1] % radix == 0:
         bits, margin = _acs_traceback_radix(ext, k, gens, radix)
     else:
-        bits, margin = _acs_traceback(ext, k, gens)
+        if fuse > 1 and ext.shape[1] % fuse:
+            fuse = 1  # exactness first: no padding on the sequential path
+        bits, margin = _acs_traceback(ext, k, gens, fuse=fuse)
     # steps [wrap, T+wrap) map to frame positions [0, T)
     return bits[:, wrap:wrap + t], margin
 
@@ -367,10 +400,10 @@ def _chunk_plan(t: int, chunk: int, overlap: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "gens", "chunk", "overlap", "radix",
-                                    "unroll"))
+                                    "unroll", "fuse"))
 def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
                            chunk: int = 1024, overlap: int = 96,
-                           radix: int = 4, unroll: int = 2):
+                           radix: int = 4, unroll: int = 2, fuse: int = 1):
     """Chunk-parallel tail-biting Viterbi (the TPU-throughput variant).
 
     The sequential trellis recursion is the reference's only hot kernel that
@@ -406,6 +439,18 @@ def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
                 axis=1)
         bits_seg, margins = _acs_traceback_radix(flat, k, gens, radix,
                                                  unroll=unroll)
+        bits_seg = bits_seg[:, :length]
+    elif fuse > 1:
+        # same zero-LLR tail padding as the radix path; the pad steps sit
+        # beyond the kept middle of the last-position segments, so any
+        # tie flips re-merge inside the overlap margin
+        pad = (-length) % fuse
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(flat.shape[:1] + (pad, 3), flat.dtype)],
+                axis=1)
+        bits_seg, margins = _acs_traceback(flat, k, gens, unroll=unroll,
+                                           fuse=fuse)
         bits_seg = bits_seg[:, :length]
     else:
         bits_seg, margins = _acs_traceback(flat, k, gens)

@@ -124,16 +124,19 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
     p3_am = p3_stack[jnp.asarray(p3_sel), jnp.asarray(p3_idx)]
 
     # depuncture (zero insertion) + Viterbi
-    # same tuning knob as the FM path (decode_fm.p1_decode); K=9 admits
-    # radix up to 8 (256 states)
-    radix = (1 if jax.default_backend() == "cpu"
-             else int(os.environ.get("NRSC5_VITERBI_RADIX", "4")))
+    # same tuning knobs as the FM path (decode_fm.p1_decode); measured
+    # A/B on v5e: radix-4 AM frame decode 58.8 ms/call vs fused-8 70.9 ms
+    cpu = jax.default_backend() == "cpu"
+    radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
+    fuse = (1 if cpu or radix > 1
+            else int(os.environ.get("NRSC5_VITERBI_FUSE", "8")))
     p1_llr = (p1_am.astype(jnp.float32) * 2 - 1)
     p1_full = depuncture(p1_llr.reshape(8, -1), C.PUNCTURE_E1,
                          C.P1_FRAME_LEN_AM * 3)
     p1_full = p1_full.reshape(8, C.P1_FRAME_LEN_AM, 3)
     p1_bits, p1_margin = viterbi_decode_chunked(
-        p1_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix)
+        p1_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix,
+        fuse=fuse)
     p1_bits = jax.vmap(lambda b: _descramble_dev(b, C.P1_FRAME_LEN_AM))(p1_bits)
 
     # chunk-parallel Viterbi for the long P3 frame too (24k/30k trellis
@@ -144,13 +147,14 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
         p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA1, 3)
         p3_bits, p3_margin = viterbi_decode_chunked(
             p3_full, 9, C.CONV_E2_E3_GEN, chunk=1024, overlap=160,
-            radix=radix)
+            radix=radix, fuse=fuse)
         p3_bits = _descramble_dev(p3_bits, C.P3_FRAME_LEN_MA1)
     else:
         p3_full = depuncture(p3_llr, C.PUNCTURE_E1, C.P3_FRAME_LEN_MA3 * 3)
         p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA3, 3)
         p3_bits, p3_margin = viterbi_decode_chunked(
-            p3_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix)
+            p3_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160,
+            radix=radix, fuse=fuse)
         p3_bits = _descramble_dev(p3_bits, C.P3_FRAME_LEN_MA3)
 
     return (p1_bits, p3_bits,

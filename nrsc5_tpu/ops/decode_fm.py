@@ -65,16 +65,24 @@ def p1_decode(pm_matrix, chunked: bool = False):
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
     full = full.reshape(C.P1_FRAME_LEN_FM, 3)
     if chunked:
-        # radix-2^r ACS wins where scans are latency-bound (TPU); the
-        # radix-1 recursion is cheaper on compute-bound CPU.  Env knobs
-        # exist for on-hardware tuning sweeps.
+        # Default ACS on TPU is radix-4 (2 trellis steps / scan step).
+        # Measured A/B on v5e, 16 stations: radix-4 P1 Viterbi 135.0
+        # ms/call vs fused-8 radix-1 158.7 ms — the radix path wins even
+        # though fuse cuts trip count 4x more, because its 2 adds+select
+        # per state per substep still serializes on the VPU while the
+        # radix butterfly's extra candidates vectorize.  NRSC5_VITERBI_FUSE
+        # opts into the fused radix-1 ACS, which is strictly BIT-IDENTICAL
+        # to the sequential decoder (the radix path can flip float
+        # near-ties, ~1/20k bits at 3 dB, none at operating SNR).
         cpu = jax.default_backend() == "cpu"
         radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
+        fuse = (1 if cpu or radix > 1
+                else int(os.environ.get("NRSC5_VITERBI_FUSE", "8")))
         chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1024"))
         unroll = int(os.environ.get("NRSC5_VITERBI_UNROLL", "2"))
         bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
                                               chunk=chunk, radix=radix,
-                                              unroll=unroll)
+                                              unroll=unroll, fuse=fuse)
     else:
         bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
     errors = reencode_bit_errors(full, bits, 7, C.CONV_K7_GEN,

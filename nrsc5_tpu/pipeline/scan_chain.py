@@ -58,6 +58,44 @@ def chain_init_carry(offset: int = 0) -> ChainCarry:
     )
 
 
+class PxState(NamedTuple):
+    """Carried interleaver-IV state for the extended (PX) channels; a
+    separate pytree (not part of ChainCarry) so the common MP1 path and
+    existing checkpoints keep their carry structure."""
+    px1_internal: jax.Array  # [N or 0] int8
+    px1_phase: jax.Array  # int32 IV call phase
+    px2_internal: jax.Array  # [N or 0] int8
+    px2_phase: jax.Array  # int32
+
+
+def px_frame_lens(psmi: int) -> tuple[int, int]:
+    """(px1 frame_len, px2 frame_len) in bits; 0 = channel absent
+    (reference service-mode map: src/sync.c:30-35,339-357)."""
+    cm = C.COMPATIBILITY_MODE[psmi]
+    px1 = {2: C.P3_FRAME_LEN_MP2, 3: C.P3_FRAME_LEN_MP3_MP11,
+           11: C.P3_FRAME_LEN_MP3_MP11}.get(cm, 0)
+    px2 = C.P3_FRAME_LEN_MP3_MP11 if cm == 11 else 0
+    return px1, px2
+
+
+def iv_state_len(frame_len: int) -> int:
+    if frame_len == 0:
+        return 0
+    from nrsc5_tpu.ops import interleavers as IL
+    _, n, _ = IL.p3_iv_tables(frame_len)
+    return n
+
+
+def px_init_state(psmi: int) -> PxState:
+    fl1, fl2 = px_frame_lens(psmi)
+    return PxState(
+        px1_internal=jnp.zeros(iv_state_len(fl1), jnp.int8),
+        px1_phase=jnp.asarray(0, jnp.int32),
+        px2_internal=jnp.zeros(iv_state_len(fl2), jnp.int8),
+        px2_phase=jnp.asarray(0, jnp.int32),
+    )
+
+
 def buffer_len(n_blocks: int) -> int:
     """Sample-buffer length the scan expects for ``n_blocks`` blocks."""
     return n_blocks * C.BLKSZ * C.FFTCP_FM + C.FFTCP_FM + SLACK
@@ -71,7 +109,8 @@ def fm_frontend_scan(samples: jax.Array, carry: ChainCarry,
     samples: [buffer_len(n_blocks)] complex64 at 744187.5 S/s; the first
       OFDM symbol must start ``FFTCP//2 + carry.offset`` samples in (the
       steady-state framing the COARSE path establishes).
-    Returns (pm [n_blocks, 23040] int8, diag dict, new_carry).
+    Returns (pm [n_blocks, 23040] int8, diag dict, px_scanned tuple of
+    per-block PX1/PX2 soft-bit arrays (empty for MP1), new_carry).
     """
     fftcp = C.FFTCP_FM
 
@@ -85,26 +124,34 @@ def fm_frontend_scan(samples: jax.Array, carry: ChainCarry,
         consumed = WINDOW_FM - keep
         ncy = ChainCarry(offset=cy.offset + consumed, acq=acq, sync=sync,
                          samperr_fb=out["samperr"], angle_fb=out["angle"])
+        px = tuple(out[key] for key in ("px1", "px2") if key in out)
         return ncy, (out["pm"], out["samperr"], out["error_lb"],
-                     out["error_ub"])
+                     out["error_ub"]) + px
 
-    carry, (pm, samperr, elb, eub) = jax.lax.scan(step, carry, None,
-                                                  length=n_blocks)
+    carry, scanned = jax.lax.scan(step, carry, None, length=n_blocks)
+    pm, samperr, elb, eub = scanned[:4]
     return pm, {"samperr": samperr, "error": elb + eub,
-                "error_lb": elb, "error_ub": eub}, carry
+                "error_lb": elb, "error_ub": eub}, scanned[4:], carry
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc"))
 def fm_chain_scan(samples: jax.Array, carry: ChainCarry,
-                  n_blocks: int, psmi: int = 1, first_bc: int = 0):
+                  n_blocks: int, psmi: int = 1, first_bc: int = 0,
+                  px_state: PxState | None = None):
     """Full fused chain: frontend scan + batched PIDS/P1 FEC decode.
 
     ``first_bc`` is the block count of the first block in the buffer; only
     complete P1 frames (16 aligned blocks) inside the scan are decoded.
+    For extended service modes pass ``px_state`` (from
+    :func:`px_init_state` or handed off from the per-block receiver) and
+    the PX1/PX2 channels decode fused as well — one interleaver-IV call
+    per block pair, state returned in ``out["px_state"]``; requires
+    ``first_bc`` and ``n_blocks`` even so block pairs align.
     Returns dict with p1 [F, 146176] uint8, p1_margin [F], pids
     [n_blocks, 80] uint8, diag, and the new carry.
     """
-    pm, diag, carry = fm_frontend_scan(samples, carry, n_blocks, psmi)
+    pm, diag, px_scanned, carry = fm_frontend_scan(samples, carry,
+                                                   n_blocks, psmi)
 
     pids = jax.vmap(pids_decode)(pm)  # [n_blocks, 80]
 
@@ -119,16 +166,52 @@ def fm_chain_scan(samples: jax.Array, carry: ChainCarry,
         out["p1"] = p1
         out["p1_margin"] = margin
         out["p1_bit_errors"] = errors
+
+    if px_state is not None:
+        fl1, fl2 = px_frame_lens(psmi)
+        assert fl1 or fl2, "px_state passed but psmi has no PX channels"
+        assert first_bc % 2 == 0 and n_blocks % 2 == 0, \
+            "PX decode needs pair-aligned blocks"
+        from nrsc5_tpu.ops.decode_fm import px_decode
+        from nrsc5_tpu.ops import interleavers as IL
+        new_px = dict(px_state._asdict())
+        idx = 0
+        for key, fl, st_i, st_p in (
+                ("px1", fl1, "px1_internal", "px1_phase"),
+                ("px2", fl2, "px2_internal", "px2_phase")):
+            if not fl:
+                continue
+            llrs = px_scanned[idx].reshape(n_blocks // 2, 2 * fl)
+            idx += 1
+            _, _, calls = IL.p3_iv_tables(fl)
+
+            def px_step(c, llr, fl=fl, calls=calls):
+                internal, ph = c
+                bits, margin, internal = px_decode(internal, llr, ph, fl)
+                return (internal, (ph + 1) % calls), (bits, margin)
+
+            (internal, phase_), (bits, margins) = jax.lax.scan(
+                px_step, (getattr(px_state, st_i),
+                          getattr(px_state, st_p)), llrs)
+            new_px[st_i], new_px[st_p] = internal, phase_
+            out[key] = bits
+            out[key + "_margin"] = margins
+        out["px_state"] = PxState(**new_px)
     return out, carry
 
 
 def fm_chain_batch(samples: jax.Array, carries: ChainCarry,
-                   n_blocks: int, psmi: int = 1, first_bc: int = 0):
+                   n_blocks: int, psmi: int = 1, first_bc: int = 0,
+                   px_states: PxState | None = None):
     """Multi-station batch: ``vmap`` of the fused chain over a leading
     station axis.  samples: [S, buffer_len]; carries: stacked ChainCarry."""
+    if px_states is None:
+        return jax.vmap(
+            lambda s, c: fm_chain_scan(s, c, n_blocks, psmi, first_bc)
+        )(samples, carries)
     return jax.vmap(
-        lambda s, c: fm_chain_scan(s, c, n_blocks, psmi, first_bc)
-    )(samples, carries)
+        lambda s, c, px: fm_chain_scan(s, c, n_blocks, psmi, first_bc, px)
+    )(samples, carries, px_states)
 
 
 def rebase_carry(carry: ChainCarry, consumed: int) -> ChainCarry:

@@ -175,3 +175,46 @@ def test_chunked_viterbi_explicit_static_args(rng):
                                     chunk=1024, overlap=96, radix=4,
                                     unroll=2)
     assert np.array_equal(np.asarray(out), bits)
+
+
+@pytest.mark.parametrize("k,gens,fuse", [
+    (7, (0o133, 0o171, 0o165), 8),
+    (7, (0o133, 0o171, 0o165), 16),
+    (9, (0o561, 0o657, 0o711), 8),
+])
+def test_viterbi_fused_bit_identical(rng, k, gens, fuse):
+    """The fused radix-1 ACS (`fuse` butterflies per scan step) must be
+    BIT-IDENTICAL to the unfused recursion — unlike the radix-2^r ACS it
+    keeps the radix-1 op order, so even float near-ties resolve the same."""
+    from nrsc5_tpu.ops.convolutional import _acs_traceback
+    import jax.numpy as jnp
+
+    t = 480
+    llr = rng.normal(0, 1, (3, t, 3)).astype(np.float32)
+    ext = jnp.asarray(llr)
+    b1, m1 = _acs_traceback(ext, k, gens)
+    bf, mf = _acs_traceback(ext, k, gens, fuse=fuse)
+    assert np.array_equal(np.asarray(m1), np.asarray(mf))
+    assert np.array_equal(np.asarray(b1), np.asarray(bf))
+
+
+def test_viterbi_chunked_fused_matches_sequential(rng):
+    """Chunked + fused (the TPU default path) reproduces the sequential
+    Viterbi path and recovers the transmitted bits."""
+    from nrsc5_tpu.ops.convolutional import (conv_encode, depuncture,
+                                             puncture, viterbi_decode,
+                                             viterbi_decode_chunked)
+
+    t = 9136
+    bits = rng.integers(0, 2, (2, t)).astype(np.uint8)
+    coded = puncture(conv_encode(bits, 7, C.CONV_K7_GEN),
+                     C.PUNCTURE_P1_PIDS_FM)
+    llr = coded.astype(np.float32) * 2 - 1
+    llr = llr + rng.normal(0, 0.5, llr.shape).astype(np.float32)
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(2, t, 3)
+    seq_bits, _ = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    fus_bits, _ = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
+                                         chunk=1024, overlap=96, fuse=8,
+                                         radix=1)
+    assert np.array_equal(np.asarray(seq_bits), np.asarray(fus_bits))
+    assert np.array_equal(np.asarray(seq_bits), bits)
