@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--stations", type=int, default=8)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ab-agreement", action="store_true",
+                    help="also measure radix-4 vs radix-1 Viterbi bit "
+                         "agreement at 10 dB Es/N0 (round-1 VERDICT item: "
+                         "quantify the radix tie-flip margin on-chip)")
     args = ap.parse_args()
 
     import jax
@@ -132,6 +136,35 @@ def main():
     for name, m, rt in rows:
         gf = f"{m.tflops * 1e3:.1f}" if m.tflops else "-"
         print(f"{name:24} {m.per_call_s * 1e3:9.3f} {gf:>9} {rt:11.1f}")
+
+    if args.ab_agreement:
+        # radix-4 vs radix-1 bit agreement at operating SNR: the radix ACS
+        # sums branch metrics in a different association order, so float
+        # near-ties can resolve to a different (equally likely) ML path;
+        # quantify how often at 10 dB Es/N0 (clean-capture operating point)
+        from nrsc5_tpu.ops.convolutional import (conv_encode, depuncture,
+                                                 puncture,
+                                                 viterbi_decode_chunked)
+        rng = np.random.default_rng(7)
+        t = C.P1_FRAME_LEN_FM
+        tx = rng.integers(0, 2, (B, t)).astype(np.uint8)
+        coded = puncture(conv_encode(tx, 7, C.CONV_K7_GEN),
+                         C.PUNCTURE_P1_PIDS_FM)
+        llr10 = (coded.astype(np.float32) * 2 - 1
+                 + rng.normal(0, 10 ** (-10 / 20), coded.shape)
+                 .astype(np.float32))
+        full = depuncture(llr10, C.PUNCTURE_P1_PIDS_FM, t * 3) \
+            .reshape(B, t, 3)
+        r4 = np.asarray(viterbi_decode_chunked(
+            jnp.asarray(full), 7, C.CONV_K7_GEN, radix=4)[0])
+        r1 = np.asarray(viterbi_decode_chunked(
+            jnp.asarray(full), 7, C.CONV_K7_GEN, radix=1, fuse=8)[0])
+        dis = int((r4 != r1).sum())
+        err4 = int((r4 != tx).sum())
+        err1 = int((r1 != tx).sum())
+        print(f"ab_agreement_10dB: radix4 vs radix1 disagree {dis}/"
+              f"{r4.size} bits ({dis / r4.size:.2e}); decode errors "
+              f"radix4={err4} radix1={err1}")
 
 
 if __name__ == "__main__":

@@ -280,13 +280,19 @@ def _radix_tables(k: int, gens: tuple[int, int, int], r: int):
 
 
 def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
-                         unroll: int = 2):
+                         unroll: int = 2, fuse: int = 1):
     """Radix-2^r ACS: r trellis steps per scan step — cuts the sequential
     scan length by r at ~2^r/2 x the per-step arithmetic, a win on TPU
     where tiny-step scans are launch-latency-bound.
 
-    ext: [B, L, 3] float32 with L divisible by r.
+    ext: [B, L, 3] float32 with L divisible by r*fuse.
     Returns (bits [B, L] uint8, margin [B] float32).
+
+    ``fuse`` chains that many radix super-steps inside one scan iteration
+    (trip count L/(r*fuse)) with per-substep arithmetic unchanged, so the
+    result is bit-identical to the fuse=1 radix recursion.  Unlike the
+    scan ``unroll`` knob this also statically indexes the per-substep
+    inputs (no dynamic-slice bookkeeping inside the loop body).
 
     NB: branch metrics are summed in a different association order than the
     radix-1 recursion, so float-level near-ties can resolve differently —
@@ -295,13 +301,13 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
     SNRs).
     """
     if r == 1:
-        return _acs_traceback(ext, k, gens)
+        return _acs_traceback(ext, k, gens, fuse=max(fuse, 1))
     out_np = _radix_tables(k, gens, r)
     ns = 1 << (k - 1)
     nr = 1 << r
     group = ns >> r
     b_, l, _ = ext.shape
-    assert l % r == 0
+    assert l % (r * fuse) == 0, (l, r, fuse)
     out_flat = jnp.asarray(out_np.reshape(ns * nr, 3 * r))
 
     chunks = ext.reshape(b_, l // r, 3 * r)
@@ -315,9 +321,22 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
         return jnp.max(cand, axis=-1), dec
 
     pm0 = jnp.zeros((b_, ns), dtype=jnp.float32)
-    pm, decisions = jax.lax.scan(acs, pm0, jnp.swapaxes(chunks, 0, 1),
-                                 unroll=unroll)
-    # decisions: [L/r, B, ns] int32
+    xs = jnp.swapaxes(chunks, 0, 1)
+    if fuse > 1:
+        def fstep(pm, llr_f):
+            # llr_f: [fuse, B, 3r]
+            decs = []
+            for i in range(fuse):
+                pm, d = acs(pm, llr_f[i])
+                decs.append(d)
+            return pm, jnp.stack(decs)
+
+        xs = xs.reshape(l // r // fuse, fuse, b_, 3 * r)
+        pm, decisions = jax.lax.scan(fstep, pm0, xs, unroll=unroll)
+    else:
+        pm, decisions = jax.lax.scan(acs, pm0, xs, unroll=unroll)
+        decisions = decisions[:, None]
+    # decisions: [L/(r*fuse), fuse, B, ns] int8
 
     top2 = jax.lax.top_k(pm, 2)[0]
     margin = top2[:, 0] - top2[:, 1]
@@ -335,8 +354,7 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
             prev = ((state << r) & (ns - 1)) | j
             return prev, bits
 
-        _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1],
-                                   unroll=unroll)
+        tb_unroll = unroll
     else:
         # arithmetic traceback: the per-step survivor lookup dec_t[state]
         # becomes a one-hot multiply-reduce over the tiny state axis —
@@ -352,10 +370,22 @@ def _acs_traceback_radix(ext, k: int, gens: tuple[int, int, int], r: int,
             prev = ((state << r) & (ns - 1)) | j
             return prev, bits
 
-        _, bits_rev = jax.lax.scan(tb, state0, decisions[::-1],
-                                   unroll=max(unroll, 4))
-    # bits_rev: [L/r, B, r] — reverse super-steps, bits within stay ordered
-    bits = jnp.swapaxes(bits_rev[::-1], 0, 1).reshape(b_, l)
+        tb_unroll = max(unroll, 4)
+
+    def tb_step(state, dec_f):
+        # dec_f: [fuse, B, ns]; walk the fused substeps newest-first
+        bits = []
+        for i in reversed(range(fuse)):
+            state, bi = tb(state, dec_f[i])
+            bits.append(bi)
+        return state, jnp.stack(bits[::-1])  # [fuse, B, r] time-ascending
+
+    _, bits_rev = jax.lax.scan(tb_step, state0, decisions[::-1],
+                               unroll=tb_unroll)
+    # bits_rev: [L/(r*fuse), fuse, B, r] — scan steps reversed, substeps
+    # ascending, bits within a super-step ordered
+    bits = bits_rev[::-1].reshape(l // r, b_, r)
+    bits = jnp.swapaxes(bits, 0, 1).reshape(b_, l)
     return bits, margin
 
 
@@ -368,7 +398,9 @@ def _viterbi_impl(llr, k: int, gens: tuple[int, int, int], radix: int = 1,
     # extend sequence for tail-biting wrap (reference: src/conv_dec.c:407-412)
     ext = jnp.concatenate([llr[:, t - wrap:, :], llr, llr[:, :wrap, :]], axis=1)
     if radix > 1 and ext.shape[1] % radix == 0:
-        bits, margin = _acs_traceback_radix(ext, k, gens, radix)
+        if fuse > 1 and ext.shape[1] % (radix * fuse):
+            fuse = 1  # exactness first: no padding on the sequential path
+        bits, margin = _acs_traceback_radix(ext, k, gens, radix, fuse=fuse)
     else:
         if fuse > 1 and ext.shape[1] % fuse:
             fuse = 1  # exactness first: no padding on the sequential path
@@ -430,15 +462,15 @@ def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
     segs = llr[..., jnp.asarray(seg_idx), :]  # [..., n, L, 3]
     flat = segs.reshape((-1, length, 3))
     if radix > 1:
-        # pad to a multiple of the radix with zero LLRs (ties re-merge
+        # pad to a multiple of radix*fuse with zero LLRs (ties re-merge
         # within the overlap margin)
-        pad = (-length) % radix
+        pad = (-length) % (radix * fuse)
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros(flat.shape[:1] + (pad, 3), flat.dtype)],
                 axis=1)
         bits_seg, margins = _acs_traceback_radix(flat, k, gens, radix,
-                                                 unroll=unroll)
+                                                 unroll=unroll, fuse=fuse)
         bits_seg = bits_seg[:, :length]
     elif fuse > 1:
         # same zero-LLR tail padding as the radix path; the pad steps sit

@@ -128,8 +128,7 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
     # A/B on v5e: radix-4 AM frame decode 58.8 ms/call vs fused-8 70.9 ms
     cpu = jax.default_backend() == "cpu"
     radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
-    fuse = (1 if cpu or radix > 1
-            else int(os.environ.get("NRSC5_VITERBI_FUSE", "8")))
+    fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "1"))
     p1_llr = (p1_am.astype(jnp.float32) * 2 - 1)
     p1_full = depuncture(p1_llr.reshape(8, -1), C.PUNCTURE_E1,
                          C.P1_FRAME_LEN_AM * 3)

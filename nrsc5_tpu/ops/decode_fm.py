@@ -73,11 +73,12 @@ def p1_decode(pm_matrix, chunked: bool = False):
         # radix butterfly's extra candidates vectorize.  NRSC5_VITERBI_FUSE
         # opts into the fused radix-1 ACS, which is strictly BIT-IDENTICAL
         # to the sequential decoder (the radix path can flip float
-        # near-ties, ~1/20k bits at 3 dB, none at operating SNR).
+        # near-ties, ~1/20k bits at 3 dB, none at operating SNR).  Fuse
+        # also composes with radix (chains fuse radix super-steps per
+        # scan iteration, bit-identical to the unfused radix recursion).
         cpu = jax.default_backend() == "cpu"
         radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
-        fuse = (1 if cpu or radix > 1
-                else int(os.environ.get("NRSC5_VITERBI_FUSE", "8")))
+        fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "1"))
         chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1024"))
         unroll = int(os.environ.get("NRSC5_VITERBI_UNROLL", "2"))
         bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,

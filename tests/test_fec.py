@@ -218,3 +218,44 @@ def test_viterbi_chunked_fused_matches_sequential(rng):
                                          radix=1)
     assert np.array_equal(np.asarray(seq_bits), np.asarray(fus_bits))
     assert np.array_equal(np.asarray(seq_bits), bits)
+
+
+@pytest.mark.parametrize("k,gens,r,fuse", [
+    (7, (0o133, 0o171, 0o165), 4, 4),
+    (7, (0o133, 0o171, 0o165), 2, 8),
+    (9, (0o561, 0o657, 0o711), 4, 2),
+])
+def test_viterbi_radix_fused_bit_identical(rng, k, gens, r, fuse):
+    """Fusing radix super-steps (fuse per scan iteration) keeps per-substep
+    arithmetic unchanged, so it must be BIT-IDENTICAL to the unfused radix
+    recursion (same margins, same bits, even at float near-ties)."""
+    from nrsc5_tpu.ops.convolutional import _acs_traceback_radix
+    import jax.numpy as jnp
+
+    t = 512
+    llr = rng.normal(0, 1, (3, t, 3)).astype(np.float32)
+    ext = jnp.asarray(llr)
+    b1, m1 = _acs_traceback_radix(ext, k, gens, r)
+    bf, mf = _acs_traceback_radix(ext, k, gens, r, fuse=fuse)
+    assert np.array_equal(np.asarray(m1), np.asarray(mf))
+    assert np.array_equal(np.asarray(b1), np.asarray(bf))
+
+
+def test_viterbi_chunked_radix_fused_recovers(rng):
+    """Chunked + radix-4 + fuse (candidate TPU default) recovers the
+    transmitted bits through encode->puncture->noise->decode."""
+    from nrsc5_tpu.ops.convolutional import (conv_encode, depuncture,
+                                             puncture,
+                                             viterbi_decode_chunked)
+
+    t = 9136
+    bits = rng.integers(0, 2, (2, t)).astype(np.uint8)
+    coded = puncture(conv_encode(bits, 7, C.CONV_K7_GEN),
+                     C.PUNCTURE_P1_PIDS_FM)
+    llr = coded.astype(np.float32) * 2 - 1
+    llr = llr + rng.normal(0, 0.5, llr.shape).astype(np.float32)
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(2, t, 3)
+    dec, _ = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
+                                    chunk=1024, overlap=96, radix=4,
+                                    fuse=4)
+    assert np.array_equal(np.asarray(dec), bits)
