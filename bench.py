@@ -98,7 +98,7 @@ def run_bench_mp3(args) -> dict:
 
     carries = _carries()
     step = jax.jit(lambda s, c: rcc.fm_chain_batch_rc(
-        s, c, n_blocks, psmi, 0)[0])
+        s, c, n_blocks, psmi, 0, packed=True)[0])
 
     t0 = time.perf_counter()
     out = step(samples, carries)
@@ -110,12 +110,13 @@ def run_bench_mp3(args) -> dict:
         np.asarray(out["p1_margin"])
     dt = time.perf_counter() - t0
 
-    got_p1 = np.asarray(out["p1"])
+    from nrsc5_tpu.ops.bits import unpack_bits
+    got_p1 = unpack_bits(out["p1"])
     for s in range(args.stations):
         for i in range(1, 4):
             assert np.array_equal(got_p1[s, i], p1s[i]), \
                 f"P1 gate failed (station {s} frame {i})"
-    got_px = np.asarray(out["px1"])
+    got_px = unpack_bits(out["px1"])
     for s in range(args.stations):
         have = {got_px[s, i].tobytes() for i in range(got_px.shape[1])}
         hits = sum(p3[1][i].tobytes() in have for i in range(16))
@@ -166,7 +167,8 @@ def run_bench_am(args) -> dict:
             scar.am_chain_rc_init_carry())
 
     carries = _carries()
-    step = jax.jit(lambda s, c: scar.am_chain_batch_rc(s, c, n, False)[0])
+    step = jax.jit(lambda s, c: scar.am_chain_batch_rc(
+        s, c, n, False, packed=True)[0])
     t0 = time.perf_counter()
     out = step(samples, carries)
     np.asarray(out["p1_margin"])
@@ -177,8 +179,10 @@ def run_bench_am(args) -> dict:
         np.asarray(out["p1_margin"])
     dt = time.perf_counter() - t0
 
-    got = np.asarray(out["p1"])
-    got3 = np.asarray(out["p3"])
+    from nrsc5_tpu.ops.bits import unpack_bits
+    got = unpack_bits(out["p1"]).reshape(args.stations, n, 8,
+                                         C.P1_FRAME_LEN_AM)
+    got3 = unpack_bits(out["p3"])
     for s in range(args.stations):
         for f in range(3, n):
             assert np.array_equal(got[s, f], p1[f]), f"P1 gate s{s} f{f}"
@@ -234,13 +238,14 @@ def run_bench_coldstart(args) -> dict:
                      // (C.BLKSZ * C.FFTCP_FM), 18)
         out, _ = rcc.fm_chain_scan_rc(rcs[lock["offset"]:], lock["carry"],
                                       blocks, lock["psmi"],
-                                      lock["first_bc"])
+                                      lock["first_bc"], packed=True)
         return out, blocks
 
     t0 = time.perf_counter()
     out, blocks = flow()
-    got = {np.asarray(out["p1"][i]).tobytes()
-           for i in range(out["p1"].shape[0])}
+    from nrsc5_tpu.ops.bits import unpack_bits
+    p1u = unpack_bits(out["p1"])
+    got = {p1u[i].tobytes() for i in range(p1u.shape[0])}
     log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
     assert got & {p1[i].tobytes() for i in range(n_frames)}, \
         "cold-start decode gate failed"
@@ -327,7 +332,8 @@ def run_bench(args) -> dict:
         batch_fn = sc.fm_chain_batch
 
     carries = _make_carries()
-    step = jax.jit(lambda s, c: batch_fn(s, c, n_blocks, 1, 0)[0])
+    step = jax.jit(lambda s, c: batch_fn(s, c, n_blocks, 1, 0,
+                                         packed=True)[0])
 
     t_c0 = time.perf_counter()
     out = step(samples, carries)
@@ -344,7 +350,8 @@ def run_bench(args) -> dict:
 
     # correctness gate after timing: every station and every frame must be
     # bit-exact (the capture tiles the same frame content everywhere)
-    got = np.asarray(out["p1"])
+    from nrsc5_tpu.ops.bits import unpack_bits
+    got = unpack_bits(out["p1"])
     want = np.broadcast_to(p1, got.shape)
     assert np.array_equal(got, want), (
         f"bench decode failed: {int((got != want).sum())} / {got.size} "

@@ -94,8 +94,16 @@ def main():
                  B * 32 * C.FFTCP_FM / m.per_call_s / C.SAMPLE_RATE_CS16_FM))
 
     # 3. P1 Viterbi (deinterleave + chunk-parallel ACS + descramble)
+    from nrsc5_tpu.ops.bits import pack_bits
     pm = jnp.zeros((B, 16 * 23040), jnp.int8)
-    p1f = jax.jit(jax.vmap(lambda v: p1_decode(v, chunked=True)))
+
+    def _p1_packed(v):
+        bits, margin, errors = p1_decode(v, chunked=True)
+        # bit-pack the output: unpacked frames dominate the eager
+        # program-output transfer on the tunneled backend (ops/bits.py)
+        return pack_bits(bits), margin, errors
+
+    p1f = jax.jit(jax.vmap(_p1_packed))
     acs_flops = 146240 * 64 * 2 * 10  # per frame: steps x states x ops
     m = measure(p1f, pm, reps=args.reps, flops=B * acs_flops,
                 sync=sync_fetch)
@@ -109,7 +117,8 @@ def main():
     sym = jnp.zeros((B, 8 * 32 * 25), jnp.uint8)
     am_states = bcast(am_decode_init_state())
     amf = jax.jit(jax.vmap(
-        lambda a, b, c, d, st: am_frame_decode(a, b, c, d, st)[0]))
+        lambda a, b, c, d, st: pack_bits(
+            am_frame_decode(a, b, c, d, st)[0].reshape(1, -1))))
     m = measure(amf, sym, sym, sym, sym, am_states, reps=args.reps,
                 sync=sync_fetch)
     rows.append(("am_ma1_frame_decode", m,
@@ -126,7 +135,8 @@ def main():
             np.zeros((B, rcc.buffer_len(16), 2), np.float32))
         cys = bcast(rcc.chain_rc_init_carry())
         full = jax.jit(
-            lambda s, c: rcc.fm_chain_batch_rc(s, c, 16, 1, 0)[0])
+            lambda s, c: rcc.fm_chain_batch_rc(s, c, 16, 1, 0,
+                                               packed=True)[0])
     m = measure(full, buf, cys, reps=args.reps, sync=sync_fetch)
     rows.append(("full_chain_1frame", m,
                  B * 16 * 32 * C.FFTCP_FM / m.per_call_s

@@ -134,10 +134,11 @@ def fm_frontend_scan(samples: jax.Array, carry: ChainCarry,
                 "error_lb": elb, "error_ub": eub}, scanned[4:], carry
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc"))
+@functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc",
+                                             "packed"))
 def fm_chain_scan(samples: jax.Array, carry: ChainCarry,
                   n_blocks: int, psmi: int = 1, first_bc: int = 0,
-                  px_state: PxState | None = None):
+                  px_state: PxState | None = None, packed: bool = False):
     """Full fused chain: frontend scan + batched PIDS/P1 FEC decode.
 
     ``first_bc`` is the block count of the first block in the buffer; only
@@ -197,20 +198,26 @@ def fm_chain_scan(samples: jax.Array, carry: ChainCarry,
             out[key] = bits
             out[key + "_margin"] = margins
         out["px_state"] = PxState(**new_px)
+    if packed:
+        from nrsc5_tpu.ops.bits import pack_out
+        out = pack_out(out)
     return out, carry
 
 
 def fm_chain_batch(samples: jax.Array, carries: ChainCarry,
                    n_blocks: int, psmi: int = 1, first_bc: int = 0,
-                   px_states: PxState | None = None):
+                   px_states: PxState | None = None,
+                   packed: bool = False):
     """Multi-station batch: ``vmap`` of the fused chain over a leading
     station axis.  samples: [S, buffer_len]; carries: stacked ChainCarry."""
     if px_states is None:
         return jax.vmap(
-            lambda s, c: fm_chain_scan(s, c, n_blocks, psmi, first_bc)
+            lambda s, c: fm_chain_scan(s, c, n_blocks, psmi, first_bc,
+                                       None, packed)
         )(samples, carries)
     return jax.vmap(
-        lambda s, c, px: fm_chain_scan(s, c, n_blocks, psmi, first_bc, px)
+        lambda s, c, px: fm_chain_scan(s, c, n_blocks, psmi, first_bc, px,
+                                       packed)
     )(samples, carries, px_states)
 
 

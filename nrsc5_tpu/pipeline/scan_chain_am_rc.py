@@ -221,9 +221,9 @@ def sync_am_block_rc(spectra, ma3: bool = False):
 # fused chain
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_frames", "ma3"))
+@functools.partial(jax.jit, static_argnames=("n_frames", "ma3", "packed"))
 def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
-                     ma3: bool = False):
+                     ma3: bool = False, packed: bool = False):
     """Decode ``n_frames`` AM frames in steady state from rc I/Q.
 
     samples: [am_buffer_len(n_frames), 2] float32 at 46511.7 S/s, first
@@ -260,11 +260,18 @@ def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
 
     carry, outs = jax.lax.scan(frame_step, carry, None, length=n_frames)
     outs["pids"] = outs["pids"].reshape(-1, C.PIDS_FRAME_LEN)
+    if packed:
+        # p1 subframes are 3750 bits (not byte-aligned); pack the frame's
+        # 8 x 3750 = 30000 bits flattened — unpack host-side then reshape
+        from nrsc5_tpu.ops.bits import pack_bits
+        outs["p1"] = pack_bits(outs["p1"].reshape(n_frames, -1))
+        outs["p3"] = pack_bits(outs["p3"])
     return outs, carry
 
 
-def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False):
+def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False,
+                      packed: bool = False):
     """vmap over a leading station axis; samples [S, am_buffer_len, 2]."""
     return jax.vmap(
-        lambda s, c: am_chain_scan_rc(s, c, n_frames, ma3)
+        lambda s, c: am_chain_scan_rc(s, c, n_frames, ma3, packed)
     )(samples, carries)

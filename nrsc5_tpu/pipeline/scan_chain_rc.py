@@ -285,9 +285,10 @@ def frontend_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
     return pm, {"samperr": samperr, "error": err}, scanned[3:], carry
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc"))
+@functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc",
+                                             "packed"))
 def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
-                     psmi: int = 1, first_bc: int = 0):
+                     psmi: int = 1, first_bc: int = 0, packed: bool = False):
     """samples: [buffer_len(n_blocks), 2] float32 rc at 744187.5 S/s,
     ALREADY conjugated (Im negated) for the FM ingest convention.
     Same outputs as fm_chain_scan, plus px1/px2 frames for extended
@@ -341,14 +342,24 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
             carry = carry._replace(**{st_i: internal, st_p: phase_})
             out[key] = bits
             out[key + "_margin"] = margins
+    if packed:
+        from nrsc5_tpu.ops.bits import pack_out
+        out = pack_out(out)
     return out, carry
 
 
 def fm_chain_batch_rc(samples, carries: ChainCarryRC, n_blocks: int,
-                      psmi: int = 1, first_bc: int = 0):
-    """vmap over a leading station axis; samples [S, buffer_len, 2]."""
+                      psmi: int = 1, first_bc: int = 0,
+                      packed: bool = False):
+    """vmap over a leading station axis; samples [S, buffer_len, 2].
+
+    ``packed=True`` returns the decoded p1/px frames bit-packed 8x
+    (``ops.bits.unpack_bits`` host-side) — on the tunneled accelerator
+    every program output is transferred eagerly at ~50 MB/s, so the
+    unpacked frames would dominate dispatch time."""
     return jax.vmap(
-        lambda s, c: fm_chain_scan_rc(s, c, n_blocks, psmi, first_bc)
+        lambda s, c: fm_chain_scan_rc(s, c, n_blocks, psmi, first_bc,
+                                      packed)
     )(samples, carries)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,14 +145,23 @@ class TurboFMReceiver:
 
     def _fast_dispatch(self):
         r = self._slow
+        # bit-pack the frame outputs on accelerators: program outputs
+        # transfer eagerly over the tunnel, so unpacked P1 frames would
+        # dominate dispatch time (see ops/bits.py)
+        packed = jax.default_backend() != "cpu"
         out, carry = sc.fm_chain_scan(
             jnp.asarray(r.ring[:sc.buffer_len(self.n_blocks)]),
-            self._carry, self.n_blocks, self._psmi, 0, self._px_state)
+            self._carry, self.n_blocks, self._psmi, 0, self._px_state,
+            packed)
 
         consumed = int(np.asarray(carry.offset))
         self._carry = sc.rebase_carry(carry, consumed)
         r.ring = r.ring[consumed:]
 
+        if packed:
+            from nrsc5_tpu.ops.bits import unpack_out
+            out = dict(out)
+            unpack_out(out)
         pids = np.asarray(out["pids"])
         p1 = np.asarray(out["p1"])
         margins = np.asarray(out["p1_margin"])
