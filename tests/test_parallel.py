@@ -198,3 +198,40 @@ def test_sharded_fm_chain_selfsync(rng):
         assert got & want, f"station {s}: no bit-exact frame"
         assert len(got & want) == got_all.shape[1], \
             f"station {s}: {len(got & want)}/{got_all.shape[1]} exact"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_pipelined_receive_bit_exact(rng):
+    """Pipeline (stage) parallelism: the frontend|FEC 2-stage pipeline
+    (SURVEY §2 parallelism item 4) reproduces the fused single-device
+    chain bit-exactly, including the carried frontend state."""
+    from nrsc5_tpu.parallel import pipeline as pp
+    from nrsc5_tpu.pipeline import scan_chain as sc
+
+    n_frames = 3
+    p1 = rng.integers(0, 2, (n_frames, C.P1_FRAME_LEN_FM)).astype(np.uint8)
+    pids = rng.integers(0, 2,
+                        (n_frames, 16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    mats = [build_pm_matrix(p1[i], pids[i]) for i in range(n_frames)]
+    matrix = np.concatenate(mats)
+    bc_seq = np.tile(np.arange(16), n_frames)
+    sig = modulate_fm(matrix, bc_seq, 1)
+
+    buf = np.zeros(sc.buffer_len(16 * n_frames), np.complex64)
+    start = C.FFTCP_FM // 2
+    buf[start:start + len(sig)] = sig
+    samples = jax.numpy.asarray(buf)
+
+    mesh = pp.make_stage_mesh()
+    out, carry = pp.pipelined_receive(samples, sc.chain_init_carry(),
+                                      n_frames, mesh)
+
+    ref_out, ref_carry = sc.fm_chain_scan(samples, sc.chain_init_carry(),
+                                          16 * n_frames, 1, 0)
+    for f in range(n_frames):
+        assert np.array_equal(np.asarray(out["p1"][f]), p1[f]), f
+        assert np.array_equal(np.asarray(out["p1"][f]),
+                              np.asarray(ref_out["p1"][f])), f
+        assert np.array_equal(np.asarray(out["pids"][f]), pids[f]), f
+    assert int(np.asarray(carry.offset)) == int(
+        np.asarray(ref_carry.offset))
