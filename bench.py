@@ -343,9 +343,24 @@ def run_bench(args) -> dict:
     log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out = step(samples, carries)
-        np.asarray(out["p1_margin"])  # per-rep sync via a tiny fetch
+    if args.pipeline > 1:
+        # streaming shape: keep `pipeline` dispatches in flight so device
+        # compute overlaps the tunnel round-trip + output transfer (each
+        # dispatch is an independent 16-station batch; a deployment would
+        # rotate input buffers the same way)
+        inflight: list = []
+        for _ in range(args.reps):
+            inflight.append(step(samples, carries))
+            if len(inflight) > args.pipeline:
+                np.asarray(inflight.pop(0)["p1_margin"])
+        for o in inflight[:-1]:
+            np.asarray(o["p1_margin"])
+        out = inflight[-1]
+        np.asarray(out["p1_margin"])
+    else:
+        for _ in range(args.reps):
+            out = step(samples, carries)
+            np.asarray(out["p1_margin"])  # per-rep sync via a tiny fetch
     dt = time.perf_counter() - t0
 
     # correctness gate after timing: every station and every frame must be
@@ -363,7 +378,7 @@ def run_bench(args) -> dict:
     sps = n_samples / dt
     realtime = sps / C.SAMPLE_RATE_CS16_FM
     log(f"# stations={args.stations} frames={args.frames} reps={args.reps} "
-        f"wall={dt:.3f}s sps={sps:.3e}")
+        f"pipeline={args.pipeline} wall={dt:.3f}s sps={sps:.3e}")
     return {
         "metric": "fm_full_chain_realtime_multiple_per_chip",
         "value": round(realtime, 2),
@@ -381,6 +396,9 @@ def main():
     ap.add_argument("--frames", type=int, default=2,
                     help="P1 frames per station per step")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--pipeline", type=int, default=2,
+                    help="dispatches kept in flight (headline fm mode); "
+                         "1 = serial per-rep sync")
     ap.add_argument("--mode", choices=("fm", "am", "mp3", "coldstart"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
@@ -403,7 +421,8 @@ def main():
     # not starve the fallback
     base = [sys.executable, os.path.abspath(__file__), "--single",
             "--stations", str(args.stations), "--frames", str(args.frames),
-            "--reps", str(args.reps), "--mode", args.mode]
+            "--reps", str(args.reps), "--mode", args.mode,
+            "--pipeline", str(args.pipeline)]
     if args.verbose:
         base.append("--verbose")
     for attempt in range(RETRIES):

@@ -12,6 +12,7 @@ and MXU-friendly.  Equality with the complex chain is pinned by tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -124,8 +125,11 @@ def costas_track_rc(refs, phase0, freq0):
         ph_next = _wrap_pi(ph + fr + SF.ALPHA * err)
         return (ph_next, fr), (derot, ph)
 
+    # the PLL recurrence is inherently sequential (32 steps/block); the
+    # unroll is bit-exact and only reduces while-loop trip overhead
+    unroll = int(os.environ.get("NRSC5_COSTAS_UNROLL", "8"))
     (ph_out, fr_out), (derot, phases) = jax.lax.scan(
-        step, (phase0, freq0), refs)
+        step, (phase0, freq0), refs, unroll=unroll)
     return derot, phases, ph_out, fr_out
 
 
@@ -280,7 +284,9 @@ def frontend_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
         return ncy, (out["pm"], out["samperr"],
                      out["error_lb"] + out["error_ub"]) + px
 
-    carry, scanned = jax.lax.scan(step, carry, None, length=n_blocks)
+    carry, scanned = jax.lax.scan(
+        step, carry, None, length=n_blocks,
+        unroll=int(os.environ.get("NRSC5_BLOCK_UNROLL", "1")))
     pm, samperr, err = scanned[:3]
     return pm, {"samperr": samperr, "error": err}, scanned[3:], carry
 
