@@ -46,10 +46,14 @@ def build_adts(packet: bytes) -> bytes:
 class CLI:
     def __init__(self, args):
         self.args = args
+        # 16-slot queue with blocking push = the reference CLI's audio ring
+        # backpressure in file mode (reference: src/main.c:44-47,132-136)
         self.audio_queue: queue.Queue = queue.Queue(maxsize=16)
         self.wav = None
         self.hdc_file = None
         self.audio_stream = None
+        self.player = None
+        self._player_thread = None
 
     # ------------------------------------------------------------------
     def run(self):
@@ -65,11 +69,25 @@ class CLI:
             # raw interleaved int16 stereo (reference: src/main.c open_ao_file)
             self.audio_stream = (sys.stdout.buffer if a.output == "-"
                                  else open(a.output, "wb"))
+        elif not a.no_audio:
+            # no -o: play live, like the reference CLI's libao thread
+            # (reference: src/main.c:96-104,644-681)
+            from nrsc5_tpu.audio import playback
+            self.player = playback.open_player(C.SAMPLE_RATE_AUDIO, 2)
+            if self.player is None:
+                log.warning("no audio playback backend "
+                            "(pyaudio/sounddevice/ALSA/aplay); live audio "
+                            "disabled")
+            else:
+                self._player_thread = threading.Thread(
+                    target=self._playback_main, daemon=True)
+                self._player_thread.start()
         if a.dump_hdc:
             self.hdc_file = open(a.dump_hdc, "wb")
 
         hdc_factory = None
-        if self.wav is not None or (a.output and not a.output.endswith(".wav")):
+        if self.wav is not None or self.audio_stream is not None \
+                or self.player is not None:
             hdc_factory = _try_hdc_factory()
             if hdc_factory is None:
                 log.warning("no HDC decoder available; audio output disabled"
@@ -123,6 +141,24 @@ class CLI:
             self.audio_stream.close()
         if self.hdc_file:
             self.hdc_file.close()
+        if self.player is not None:
+            self.audio_queue.put(None)  # sentinel: drain and stop
+            self._player_thread.join(timeout=30)
+            self.player.close()
+
+    def _playback_main(self):
+        """Playback thread: pop PCM buffers and write them to the audio
+        backend (reference: src/main.c:644-681 audio_main)."""
+        while True:
+            samples = self.audio_queue.get()
+            if samples is None:
+                return
+            try:
+                self.player.write(samples)
+            except Exception as e:  # noqa: BLE001 — device died mid-play
+                log.error("audio playback failed: %s", e)
+                self.player = None
+                return
 
     def _start_keyboard_thread(self):
         """Program switching from the terminal: keys 0-7 select the audio
@@ -162,6 +198,9 @@ class CLI:
             if self.audio_stream is not None:
                 self.audio_stream.write(np.asarray(ev.samples, np.int16)
                                         .tobytes())
+            if self.player is not None:
+                # blocking put = file-mode backpressure (main.c:132-136)
+                self.audio_queue.put(np.asarray(ev.samples, np.int16))
         elif t == EventType.STATION_NAME:
             log.info("Station name: %s", ev.name)
         elif t == EventType.STATION_SLOGAN:
@@ -223,6 +262,8 @@ def main(argv=None):
                    help="enable bias-T power")
     p.add_argument("-D", dest="direct_sampling", type=int, default=0,
                    help="direct sampling mode")
+    p.add_argument("--no-audio", action="store_true",
+                   help="disable live playback (no -o given)")
     p.add_argument("--dump-hdc", help="dump HDC packets (ADTS)")
     p.add_argument("--dump-aas-files", help="directory for AAS LOT files")
     args = p.parse_args(argv)

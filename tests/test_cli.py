@@ -67,3 +67,47 @@ def test_cli_wav_output(capture, tmp_path):
         assert w.getframerate() == 44100
         frames = np.frombuffer(w.readframes(w.getnframes()), np.int16)
     assert frames.size > 0 and np.abs(frames).max() > 3000
+
+
+def test_cli_live_playback(capture, monkeypatch):
+    """No -o → the CLI opens a playback backend and streams PCM to it
+    through the playback thread (reference: src/main.c:644-681)."""
+    from nrsc5_tpu.audio import playback
+    from nrsc5_tpu.cli import main
+
+    class FakePlayer:
+        def __init__(self):
+            self.frames = []
+            self.closed = False
+
+        def write(self, samples):
+            self.frames.append(np.asarray(samples, np.int16))
+
+        def close(self):
+            self.closed = True
+
+    player = FakePlayer()
+    opened = {}
+
+    def fake_open(rate, channels):
+        opened["rate"], opened["channels"] = rate, channels
+        return player
+
+    monkeypatch.setattr(playback, "open_player", fake_open)
+    main(["-r", str(capture), "0", "0", "-q"])
+
+    assert opened == {"rate": 44100, "channels": 2}
+    assert player.closed
+    pcm = np.concatenate(player.frames)
+    assert pcm.size >= 2 * 2048 * 32, f"only {pcm.size} live samples"
+    assert np.abs(pcm).max() > 3000, "live audio is silent"
+
+
+def test_playback_backend_probe():
+    """open_player degrades cleanly: in a backend-less container it
+    returns None instead of raising."""
+    from nrsc5_tpu.audio import playback
+
+    player = playback.open_player(44100, 2)
+    if player is not None:  # a real audio device exists here
+        player.close()
