@@ -173,10 +173,29 @@ def run_bench_am(args) -> dict:
     out = step(samples, carries)
     np.asarray(out["p1_margin"])
     log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    n_threads = args.threads if args.threads is not None else (
+        1 if os.environ.get("NRSC5_BENCH_CPU") else 4)
+
+    def _am_stream(n_reps):
+        prev = None
+        for _ in range(n_reps):
+            o = step(samples, carries)
+            if prev is not None:
+                np.asarray(prev["p1_margin"])
+            prev = o
+        np.asarray(prev["p1_margin"])
+        return prev
+
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out = step(samples, carries)
-        np.asarray(out["p1_margin"])
+    if n_threads > 1:
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(n_threads) as pool:
+            outs = list(pool.map(lambda _: _am_stream(args.reps),
+                                 range(n_threads)))
+        out = outs[-1]
+    else:
+        out = _am_stream(args.reps)
     dt = time.perf_counter() - t0
 
     from nrsc5_tpu.ops.bits import unpack_bits
@@ -189,8 +208,11 @@ def run_bench_am(args) -> dict:
             assert np.array_equal(got3[s, f], p3[f]), f"P3 gate s{s} f{f}"
     log("# decode gate: PASSED (AM MA1 P1+P3 from I/Q bit-exact)")
 
-    n_samples = args.reps * args.stations * n * 8 * C.BLKSZ * C.FFTCP_AM
+    n_samples = (args.reps * n_threads * args.stations
+                 * n * 8 * C.BLKSZ * C.FFTCP_AM)
     realtime = n_samples / dt / C.SAMPLE_RATE_CS16_AM
+    log(f"# am stations={args.stations} reps={args.reps} "
+        f"threads={n_threads} wall={dt:.3f}s")
     return {"metric": "am_ma1_iq_chain_realtime_multiple_per_chip",
             "value": round(realtime, 2), "unit": "x_realtime",
             "vs_baseline": round(realtime, 2)}
