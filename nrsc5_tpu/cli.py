@@ -29,6 +29,14 @@ from nrsc5_tpu.api.session import MODE_AM, MODE_FM, NRSC5
 log = logging.getLogger("nrsc5-tpu")
 
 
+def _version() -> str:
+    try:
+        from importlib.metadata import version
+        return version("nrsc5-tpu")
+    except Exception:
+        return "0.1.0"
+
+
 def build_adts(packet: bytes) -> bytes:
     """ADTS header for an HDC packet dump (reference: src/main.c:182-205)."""
     length = len(packet) + 7
@@ -60,7 +68,9 @@ class CLI:
         a = self.args
         mode = MODE_AM if a.am else MODE_FM
         kw = {}
-        if a.output and a.output.endswith(".wav"):
+        is_wav = (a.audio_type == "wav" if a.audio_type
+                  else bool(a.output) and a.output.endswith(".wav"))
+        if a.output and is_wav:
             self.wav = wave.open(a.output, "wb")
             self.wav.setnchannels(2)
             self.wav.setsampwidth(2)
@@ -252,6 +262,11 @@ def main(argv=None):
                    default="cu8")
     p.add_argument("-w", dest="iq_output", help="IQ output file (rtl_tcp)")
     p.add_argument("-o", dest="output", help="audio output (.wav or raw)")
+    p.add_argument("-t", dest="audio_type", choices=("wav", "raw"),
+                   help="audio output type (default: from -o extension; "
+                        "reference: src/main.c:858-865)")
+    p.add_argument("-v", "--version", action="version",
+                   version=f"nrsc5-tpu {_version()}")
     p.add_argument("-H", dest="rtltcp", help="rtl_tcp host[:port]")
     p.add_argument("-g", dest="gain", type=float, help="tuner gain dB")
     p.add_argument("-p", dest="ppm", type=int, default=0, help="ppm error")
