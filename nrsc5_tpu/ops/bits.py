@@ -32,7 +32,7 @@ def unpack_bits(packed: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.asarray(packed), axis=-1, bitorder="little")
 
 
-PACKED_KEYS = ("p1", "px1", "px2", "p3")
+PACKED_KEYS = ("p1", "px1", "px2", "p3", "pids")
 
 
 def pack_out(out: dict) -> dict:
