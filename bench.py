@@ -470,6 +470,8 @@ def main():
             "--stations", str(args.stations), "--frames", str(args.frames),
             "--reps", str(args.reps), "--mode", args.mode,
             "--pipeline", str(args.pipeline)]
+    if args.threads is not None:
+        base += ["--threads", str(args.threads)]
     if args.verbose:
         base.append("--verbose")
     for attempt in range(RETRIES):

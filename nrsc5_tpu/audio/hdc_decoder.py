@@ -356,7 +356,10 @@ def _apply_tns(ics: IcsInfo, spec: np.ndarray, decode: bool = True):
     nbands = min(ics.max_sfb, A.tns_max_bands(ics.short))
     size = A.SHORT_LEN if ics.short else A.FRAME_LEN
     for w in range(ics.num_windows):
-        bottom = ics.max_sfb
+        # band regions count down from the TOTAL band count (num_swb),
+        # then clamp to max_sfb/tns_max_bands — NOT from max_sfb
+        # (faad tns_decode_frame: bottom starts at ics->num_swb)
+        bottom = A.num_swb(ics.short)
         for (length, order, direction, compress, coefs) in ics.tns.filt[w]:
             top = bottom
             bottom = max(top - length, 0)

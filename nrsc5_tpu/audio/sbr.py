@@ -390,9 +390,14 @@ def _ceil_log2(x: int) -> int:
 def parse_sbr_grid(br, d: SbrData):
     d.frame_class = br.read(2)
     nts = NUM_TIME_SLOTS
+    ptr = 0
     if d.frame_class == FIXFIX:
         tmp = br.read(2)
-        d.n_env = min(1 << tmp, 4)
+        d.n_env = 1 << tmp
+        if d.n_env > 4:
+            # reference decoders reject >4 envelopes outright (truncating
+            # would desynchronize every following bitstream field)
+            raise ValueError("FIXFIX bs_num_env > 4")
         fr = br.read1()
         d.freq_res = [fr] * d.n_env
         d.t_e = [int(round(i * nts / d.n_env)) for i in range(d.n_env + 1)]
@@ -408,7 +413,7 @@ def parse_sbr_grid(br, d: SbrData):
             borders.append(borders[-1] - r)
         d.t_e = [0] + borders[::-1]
         d.freq_res = [br.read1() for _ in range(d.n_env)][::-1]
-        d.la = d.n_env + 1 - ptr if ptr > 1 else -1
+        d.la = d.n_env + 1 - ptr if ptr > 0 else -1
     elif d.frame_class == VARFIX:
         var_bord = br.read(2)
         n_rel = br.read(2)
@@ -439,16 +444,21 @@ def parse_sbr_grid(br, d: SbrData):
         d.t_e = sorted(set(left + right[::-1]))
         d.n_env = len(d.t_e) - 1
         d.freq_res = [br.read1() for _ in range(d.n_env)]
-        d.la = d.n_env + 1 - ptr if ptr > 1 else -1
+        d.la = d.n_env + 1 - ptr if ptr > 0 else -1
     if d.n_env < 1 or len(d.t_e) != d.n_env + 1 or \
             any(b < 0 or b > nts + 3 for b in d.t_e) or \
             any(d.t_e[i] >= d.t_e[i + 1] for i in range(d.n_env)):
         raise ValueError("bad SBR grid")
-    # noise borders: start, (middle = t_e[la or n/2]), end
+    # noise borders: start, middle, end — middle per faad middleBorder()
     if d.n_env == 1:
         d.t_q = [d.t_e[0], d.t_e[-1]]
     else:
-        mid = d.la if d.la not in (-1, 0) else d.n_env // 2
+        if d.frame_class == FIXFIX:
+            mid = d.n_env // 2
+        elif d.frame_class == VARFIX:
+            mid = 1 if ptr == 0 else (d.n_env - 1 if ptr == 1 else ptr - 1)
+        else:  # FIXVAR / VARVAR
+            mid = d.n_env + 1 - ptr if ptr > 1 else d.n_env - 1
         mid = max(1, min(mid, d.n_env - 1))
         d.t_q = [d.t_e[0], d.t_e[mid], d.t_e[-1]]
 
@@ -729,7 +739,8 @@ class SBRDecoder:
         hdr, ft = self.header, self.tables
         x_low = self.analysis.run(core.astype(np.float64))  # [32, 32]
         X = np.zeros((NUM_SLOTS, 64), np.complex128)
-        X[:, :ft.kx] = x_low[:, :min(ft.kx, 32)]
+        n_low = min(ft.kx, 32)  # kx can legally exceed the 32 analysis bands
+        X[:, :n_low] = x_low[:, :n_low]
 
         x_hist = np.concatenate([self.x_low_tail, x_low])  # [34, 32]
         self.x_low_tail = x_low[-2:].copy()

@@ -158,17 +158,21 @@ class CLI:
 
     def _playback_main(self):
         """Playback thread: pop PCM buffers and write them to the audio
-        backend (reference: src/main.c:644-681 audio_main)."""
+        backend (reference: src/main.c:644-681 audio_main).  If the
+        backend dies mid-play, keep draining the bounded queue (a
+        producer may be blocked in put()) and discard frames."""
+        dead = False
         while True:
             samples = self.audio_queue.get()
             if samples is None:
                 return
+            if dead:
+                continue
             try:
                 self.player.write(samples)
             except Exception as e:  # noqa: BLE001 — device died mid-play
                 log.error("audio playback failed: %s", e)
-                self.player = None
-                return
+                dead = True
 
     def _start_keyboard_thread(self):
         """Program switching from the terminal: keys 0-7 select the audio

@@ -112,25 +112,11 @@ def demod_rc(window, phase, samperr, angle, cfo):
 
 
 def costas_track_cfo_rc(refs, phase0, freq0, cfo_freq):
-    """Lockstep Costas with a per-track static frequency offset term
-    (rc twin of ops/sync_fm.py costas_track with cfo_freq)."""
-    from nrsc5_tpu.ops.sync_fm import ALPHA, BETA
-
-    def _wrap_pi(x):
-        return x - 2 * jnp.pi * jnp.round(x / (2 * jnp.pi))
-
-    def step(carry, v):
-        ph, fr = carry
-        v2 = rc.mul(v, v)
-        err = 0.5 * _wrap_pi(rc.angle(v2) - 2 * ph)
-        derot = rc.mul(v, rc.exp_i(-ph))
-        fr = jnp.clip(fr + BETA * err, -0.5, 0.5)
-        ph_next = _wrap_pi(ph + fr + cfo_freq + ALPHA * err)
-        return (ph_next, fr), (derot, ph)
-
-    (ph_out, fr_out), (derot, phases) = jax.lax.scan(
-        step, (phase0, freq0), refs)
-    return derot, phases, ph_out, fr_out
+    """Lockstep Costas with a per-track static frequency offset term —
+    delegates to the single PLL implementation in scan_chain_rc (same
+    recurrence, same unroll treatment)."""
+    from nrsc5_tpu.pipeline.scan_chain_rc import costas_track_rc
+    return costas_track_rc(refs, phase0, freq0, cfo_freq)
 
 
 @jax.jit

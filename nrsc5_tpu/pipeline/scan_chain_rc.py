@@ -24,7 +24,12 @@ from nrsc5_tpu.ops import rcplx as rc
 from nrsc5_tpu.ops import sync_fm as SF
 from nrsc5_tpu.ops.acquire import WINDOW_FM
 from nrsc5_tpu.ops.decode_fm import p1_decode, pids_decode
-from nrsc5_tpu.pipeline.scan_chain import SLACK, buffer_len  # noqa: F401
+from nrsc5_tpu.pipeline.scan_chain import (  # noqa: F401
+    SLACK,
+    buffer_len,
+    iv_state_len as _iv_state_len,
+    px_frame_lens as _px_frame_lens,
+)
 
 W = C.PARTITION_WIDTH_FM
 
@@ -44,21 +49,6 @@ class ChainCarryRC(NamedTuple):
     px2_phase: jax.Array  # int32
 
 
-def _px_frame_lens(psmi: int) -> tuple[int, int]:
-    """(px1 frame_len, px2 frame_len) in bits; 0 = channel absent."""
-    cm = C.COMPATIBILITY_MODE[psmi]
-    px1 = {2: C.P3_FRAME_LEN_MP2, 3: C.P3_FRAME_LEN_MP3_MP11,
-           11: C.P3_FRAME_LEN_MP3_MP11}.get(cm, 0)
-    px2 = C.P3_FRAME_LEN_MP3_MP11 if cm == 11 else 0
-    return px1, px2
-
-
-def _iv_state_len(frame_len: int) -> int:
-    if frame_len == 0:
-        return 0
-    from nrsc5_tpu.ops import interleavers as IL
-    _, n, _ = IL.p3_iv_tables(frame_len)
-    return n
 
 
 def chain_rc_init_carry(offset: int = 0, psmi: int = 1,
@@ -114,15 +104,17 @@ def _phase_diff(a, b):
     return d - jnp.pi * jnp.round(d / jnp.pi)
 
 
-def costas_track_rc(refs, phase0, freq0):
-    """refs: [32, R, 2]; returns (derot [32,R,2], phases [32,R], ph, fr)."""
+def costas_track_rc(refs, phase0, freq0, cfo_freq=0.0):
+    """refs: [32, R, 2]; returns (derot [32,R,2], phases [32,R], ph, fr).
+    ``cfo_freq`` adds a static per-track frequency term (used by the
+    cold-start integer-CFO scan, ops/acquire_rc.py)."""
     def step(carry, v):
         ph, fr = carry
         v2 = rc.mul(v, v)
         err = 0.5 * _wrap_pi(rc.angle(v2) - 2 * ph)
         derot = rc.mul(v, rc.exp_i(-ph))
         fr = jnp.clip(fr + SF.BETA * err, -0.5, 0.5)
-        ph_next = _wrap_pi(ph + fr + SF.ALPHA * err)
+        ph_next = _wrap_pi(ph + fr + cfo_freq + SF.ALPHA * err)
         return (ph_next, fr), (derot, ph)
 
     # the PLL recurrence is inherently sequential (32 steps/block); the

@@ -219,6 +219,7 @@ class HDCEncoder:
         quants = []
         frame_peak = np.abs(spec).max()
         T = self.target_maxq
+        prev_sf = None
         for b in range(max_sfb):
             band = spec[offs[b]:offs[b + 1]]
             peak = np.abs(band).max()
@@ -231,6 +232,11 @@ class HDCEncoder:
             sf = int(np.ceil(100 + 4.0 * np.log2(peak)
                              - (16.0 / 3.0) * np.log2(T + 0.4)))
             sf = int(np.clip(sf, 0, 255))
+            # clamp to the ±60 dpcm range BEFORE quantizing, so the
+            # written scalefactor is always the one the band was
+            # quantized with
+            if prev_sf is not None:
+                sf = int(np.clip(sf, prev_sf - 60, prev_sf + 60))
             q = A.quant(band, sf)
             maxq = int(np.abs(q).max())
             if maxq == 0:
@@ -242,16 +248,8 @@ class HDCEncoder:
                     cb = book
                     break
             sfs[b], cbs[b] = sf, cb
+            prev_sf = sf
             quants.append(q)
-
-        # clamp dpcm steps to the ±60 range of the scalefactor codebook
-        prev = None
-        for b in range(max_sfb):
-            if cbs[b] == 0:
-                continue
-            if prev is not None:
-                sfs[b] = int(np.clip(sfs[b], prev - 60, prev + 60))
-            prev = int(sfs[b])
 
         first = next((b for b in range(max_sfb) if cbs[b]), None)
         global_gain = int(sfs[first]) if first is not None else 100

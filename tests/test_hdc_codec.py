@@ -242,3 +242,39 @@ def test_sbr_mono(rng):
     ref = np.roll(x, enc._CODEC_DELAY)
     d = _band_db(y, 7000, 12000) - _band_db(ref, 7000, 12000)
     assert abs(d) < 5.0, f"mono SBR band off by {d:.1f} dB"
+
+
+def test_roundtrip_deep_floor(rng):
+    """floor_db=-100 keeps bands spanning >2^15 peak ratios; the encoder
+    must clamp scalefactors to the ±60 dpcm range BEFORE quantizing so
+    the written sf always matches the quantization sf (round-2 review
+    finding)."""
+    n = 12 * 2048
+    t = np.arange(n) / SR
+    # loud low tone + very quiet high tone: extreme inter-band dynamics
+    x = (0.8 * np.sin(2 * np.pi * 400 * t)
+         + 1e-5 * np.sin(2 * np.pi * 6000 * t)).astype(np.float64)
+    enc = HDCEncoder(1, floor_db=-100.0, sbr=False)
+    dec = HDCDecoder()
+    outs = []
+    for f in range(n // 2048):
+        pkt = enc.encode_frame(x[f * 2048:(f + 1) * 2048, None])
+        out = dec.decode(pkt)
+        assert out is not None, f"frame {f} failed to decode"
+        outs.append(out)
+    y = np.concatenate(outs).reshape(-1, 2).astype(np.float64)[:, 0] / 32768.0
+    _, snr = _align_snr(y, x)
+    assert snr > 30.0, f"deep-floor SNR {snr:.1f} dB"
+
+
+def test_sbr_fixfix_eight_envelopes_rejected():
+    """A FIXFIX grid advertising 8 envelopes must raise (truncating
+    desynchronizes the remaining bitstream) — reference decoders error."""
+    import pytest
+    from nrsc5_tpu.audio.bitio import BitReader
+    from nrsc5_tpu.audio.sbr import SbrData, parse_sbr_grid
+
+    # frame_class=FIXFIX(00), tmp=11 -> 8 envelopes
+    br = BitReader(bytes([0b00_11_0000, 0]))
+    with pytest.raises(ValueError):
+        parse_sbr_grid(br, SbrData())
