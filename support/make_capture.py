@@ -54,6 +54,13 @@ def sig_table() -> bytes:
 def lot_fragment() -> bytes:
     """Single complete-file LOT fragment (reference: src/output.c:627-760)."""
     meta = bytearray(16)
+    meta[0:4] = (1).to_bytes(4, "little")  # LOT header version 1
+    # expiry 2027-06-15 12:30 UTC, packed per reference src/output.c:764-768
+    year, mon, mday, hour, minute = 2027, 6, 15, 12, 30
+    meta[4] = ((hour & 0x3) << 6) | minute
+    meta[5] = (mday << 3) | (hour >> 2)
+    meta[6] = ((year & 0xF) << 4) | mon
+    meta[7] = year >> 4
     meta[8:12] = len(LOT_DATA).to_bytes(4, "little")
     meta[12:16] = (0x4F328CA0).to_bytes(4, "little")
     meta += LOT_NAME.encode()

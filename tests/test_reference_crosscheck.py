@@ -1,0 +1,129 @@
+"""Golden cross-check against the ACTUAL reference receiver binary.
+
+Builds /root/reference's libnrsc5.so out-of-tree (support/refbuild — stub
+fftw3f/librtlsdr, FAAD2 off so HDC packets are the output boundary), drives
+it through the reference's own ctypes binding on a capture produced by this
+framework's truth harness, and asserts the reference and this framework
+decode IDENTICAL transport output (ID3 title, LOT file, bit-exact HDC
+packet set).
+
+This closes the loop left by the missing support/sample.xz blob: our
+decoder is tested against our encoder everywhere else; here the reference
+decoder independently validates that encoder (and, transitively, the whole
+bit-exact chain).  Reference CI analog: .github/workflows/ci.yml:30-42.
+
+Skips cleanly when /root/reference or a C toolchain is absent.
+"""
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("NRSC5_REFERENCE_DIR", "/root/reference")
+
+
+def _build_reference_lib():
+    sys.path.insert(0, REPO)
+    from support.refbuild.build import build
+
+    return build()
+
+
+@pytest.fixture(scope="module")
+def reference_nrsc5():
+    """The reference's ctypes binding bound to the freshly built library."""
+    lib = _build_reference_lib()
+    if lib is None:
+        pytest.skip("reference tree or toolchain unavailable")
+    binding_path = os.path.join(REFERENCE, "support", "nrsc5.py")
+    if not os.path.exists(binding_path):
+        pytest.skip("reference ctypes binding unavailable")
+    spec = importlib.util.spec_from_file_location("reference_nrsc5_binding",
+                                                  binding_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import ctypes
+
+    mod.NRSC5.libnrsc5 = ctypes.cdll.LoadLibrary(lib)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def golden_capture(tmp_path_factory):
+    out = tmp_path_factory.mktemp("xcheck") / "sample.cu8"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "support", "make_capture.py"),
+                    str(out)], check=True, env=env, timeout=600)
+    return np.fromfile(out, np.uint8)
+
+
+def _decode_with_reference(mod, cu8: np.ndarray):
+    events = []
+    radio = mod.NRSC5(lambda evt_type, evt: events.append((evt_type, evt)))
+    radio.open_pipe()
+    data = cu8.tobytes()
+    for i in range(0, len(data), 131072):
+        radio.pipe_samples_cu8(data[i:i + 131072])
+    radio.close()
+    return events
+
+
+def _decode_with_framework(cu8: np.ndarray):
+    from nrsc5_tpu.api.session import MODE_FM, NRSC5
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    for i in range(0, len(cu8), 131072):
+        radio.pipe_samples_cu8(cu8[i:i + 131072])
+    return events
+
+
+def test_reference_and_framework_agree(reference_nrsc5, golden_capture):
+    mod = reference_nrsc5
+    ref_events = _decode_with_reference(mod, golden_capture)
+
+    ET = mod.EventType
+    ref_kinds = {t for t, _ in ref_events}
+    assert ET.SYNC in ref_kinds, "reference build failed to sync on our capture"
+
+    ref_titles = {e.title for t, e in ref_events if t == ET.ID3 and e.title}
+    assert "You're Listening to TPU" in ref_titles, ref_titles
+
+    ref_lots = {(e.name, bytes(e.data)) for t, e in ref_events if t == ET.LOT}
+    assert ("tpu.png", bytes(range(100))) in ref_lots
+
+    ref_hdc = {bytes(e.data) for t, e in ref_events
+               if t == ET.HDC and e.program == 0
+               and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    assert len(ref_hdc) >= 64, f"reference decoded only {len(ref_hdc)} packets"
+
+    from nrsc5_tpu.api.events import EventType as OurET
+
+    our_events = _decode_with_framework(golden_capture)
+    our_titles = {e.title for e in our_events if e.type == OurET.ID3}
+    assert "You're Listening to TPU" in our_titles
+
+    our_hdc = {e.data for e in our_events
+               if e.type == OurET.HDC and not e.crc_error and e.program == 0}
+
+    # The two receivers sync at slightly different points, so compare the
+    # intersection-coverage both ways: every packet the reference decoded
+    # must be bit-identical to one of ours, and vice versa (minus edge
+    # frames where one chain locked a frame earlier than the other).
+    only_ref = ref_hdc - our_hdc
+    only_ours = our_hdc - ref_hdc
+    both = ref_hdc & our_hdc
+    assert len(both) >= 64, (len(both), len(only_ref), len(only_ours))
+    # Edge tolerance: at most one frame (32 packets) of one-sided decode.
+    assert len(only_ref) <= 32, f"{len(only_ref)} packets only in reference"
+    assert len(only_ours) <= 32, f"{len(only_ours)} packets only in framework"
+
+    our_lots = {(e.name, bytes(e.data)) for e in our_events
+                if e.type == OurET.LOT}
+    assert ("tpu.png", bytes(range(100))) in our_lots
