@@ -127,3 +127,35 @@ def test_reference_and_framework_agree(reference_nrsc5, golden_capture):
     our_lots = {(e.name, bytes(e.data)) for e in our_events
                 if e.type == OurET.LOT}
     assert ("tpu.png", bytes(range(100))) in our_lots
+
+
+def test_reference_agrees_am(reference_nrsc5):
+    """AM (MA1) cross-check: the reference binary must decode the AM HDC
+    packets our truth harness modulated, bit-exactly (cs16 @ 46.5 kS/s,
+    reference path: src/input.c:119 -> sync_process_am -> decode ->
+    frame_push P1_FRAME_LEN_AM)."""
+    mod = reference_nrsc5
+    from .capture_helpers import build_am_capture, complex_to_cs16
+
+    rng = np.random.default_rng(0x5EED)
+    sig, packets = build_am_capture(rng, n_frames=7, ma3=False)
+    data = complex_to_cs16(sig)
+
+    events = []
+    radio = mod.NRSC5(lambda t, e: events.append((t, e)))
+    radio.open_pipe()
+    radio.set_mode(mod.Mode.AM)
+    for i in range(0, len(data), 131072):
+        radio.pipe_samples_cs16(data[i:i + 131072])
+    radio.close()
+
+    ET = mod.EventType
+    assert ET.SYNC in {t for t, _ in events}, "reference failed AM sync"
+    ref_hdc = {bytes(e.data) for t, e in events
+               if t == ET.HDC and e.program == 0
+               and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    # frame 4 decodes fully (0-3 are diversity warm-up; the capture tail
+    # after frame 5 is cut off by stream end — the reference has no flush)
+    want = {p for f, pk in packets if f == 4 for p in pk}
+    got = sum(p in ref_hdc for p in want)
+    assert got == len(want), f"{got}/{len(want)} AM packets in reference"

@@ -108,32 +108,10 @@ def test_am_session_transport(rng, ma3):
     the control-driven service-mode switch (psmi from the reference
     subcarrier, reference: src/sync.c:649-666) end to end."""
     from nrsc5_tpu.api.session import MODE_AM
-    from nrsc5_tpu.tx import encoder_am as EAM
-    from nrsc5_tpu.tx.modulator_am import modulate_am
-    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
 
-    n_frames = 7
-    packets = []
-    p1_bits = np.zeros((n_frames, 8, C.P1_FRAME_LEN_AM), np.uint8)
-    for f in range(n_frames):
-        for sub in range(8):
-            pk = [rng.integers(0, 256, 90).astype(np.uint8).tobytes()
-                  for _ in range(4)]
-            packets.append((f, pk))
-            g = f * 8 + sub
-            p1_bits[f, sub] = build_p1_am_frame(
-                pk, 0, pdu_seq=sub, seq=(g * 4) % 64)
-    p3_len = C.P3_FRAME_LEN_MA3 if ma3 else C.P3_FRAME_LEN_MA1
-    p3 = rng.integers(0, 2, (n_frames, p3_len)).astype(np.uint8)
-    mats = EAM.interleave_frames(
-        [EAM.encode_p1_am(p1_bits[f]) for f in range(n_frames)],
-        [EAM.encode_p3_am(p3[f], ma3) for f in range(n_frames)], ma3)
-    pids = np.stack([EAM.encode_pids_am(
-        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n_frames * 8)])
-    psmi = C.SERVICE_MODE_MA3 if ma3 else C.SERVICE_MODE_MA1
-    ref = np.stack([EAM.am_ref_bits(b % 8, psmi)
-                    for b in range(n_frames * 8)])
-    sig = modulate_am(mats, pids, ref, ma3)
+    from .capture_helpers import build_am_capture
+
+    sig, packets = build_am_capture(rng, n_frames=7, ma3=ma3)
 
     events = []
     radio = NRSC5.open_pipe(events.append, MODE_AM)
