@@ -74,6 +74,14 @@ def get_lib():
         lib.nrsc5_hdlc_split.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.nrsc5_gather_pack.restype = None
+        lib.nrsc5_gather_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.nrsc5_rs_decode_pdu.restype = None
+        lib.nrsc5_rs_decode_pdu.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return lib
 
@@ -84,6 +92,48 @@ def crc8(data: bytes) -> int:
         from nrsc5_tpu.utils import crc as pycrc
         return pycrc.crc8(data)
     return lib.nrsc5_crc8(bytes(data), len(data))
+
+
+def gather_pack(bits, idx):
+    """np.packbits(bits[idx]) through the native kernel; returns None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    n = idx.shape[0]
+    out = np.empty((n + 7) // 8, np.uint8)
+    lib.nrsc5_gather_pack(
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def rs_decode_pdu(buf96):
+    """Native shortened-RS(255,247) decode of [..., 96] uint8 codewords;
+    returns (corrected, ok, n_corrected) like ops.rs.rs_decode_pdu, or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(buf96, dtype=np.uint8))
+    shape = arr.shape
+    flat = arr.reshape(-1, 96).copy()
+    n = flat.shape[0]
+    ok = np.zeros(n, np.uint8)
+    ncorr = np.zeros(n, np.int32)
+    lib.nrsc5_rs_decode_pdu(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ncorr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return (flat.reshape(shape), ok.astype(bool).reshape(shape[:-1]),
+            ncorr.astype(np.int64).reshape(shape[:-1]))
 
 
 def aas_frame(data: bytes) -> bytes | None:

@@ -126,4 +126,163 @@ size_t nrsc5_aas_frame(const uint8_t* data, size_t len, uint8_t* out) {
     return n - 2;                     // strip FCS
 }
 
+// ---------------------------------------------------------------------------
+// Gather-and-pack: out[k/8] accumulates bits[idx[k]] MSB-first.  This is
+// frame_unpack's bit-order swap + payload packbits fused into one pass
+// (reference bit reorder: src/frame.c:645-711).  n need not be a multiple
+// of 8; the final partial byte is zero-padded (numpy packbits semantics).
+// ---------------------------------------------------------------------------
+void nrsc5_gather_pack(const uint8_t* bits, const int32_t* idx, int n,
+                       uint8_t* out) {
+    int nbytes = (n + 7) / 8;
+    memset(out, 0, (size_t)nbytes);
+    for (int k = 0; k < n; k++)
+        out[k >> 3] |= (uint8_t)((bits[idx[k]] & 1) << (7 - (k & 7)));
+}
+
+// ---------------------------------------------------------------------------
+// Shortened RS(255,247) PDU-header decoder (8 parity, gfpoly 0x11d, fcr=1).
+// Textbook syndrome -> Berlekamp-Massey -> Chien -> Forney, same algorithm
+// as the batched numpy implementation in ops/rs.py (which is the tested
+// spec); this native path exists because the per-PDU codewords arrive one
+// at a time on the host transport thread.  Layout: buf[j] = coefficient of
+// x^j for j = 0..95 (parity first), the remaining 159 coefficients zero
+// (reference framing: src/frame.c:158-179, src/frame.h:5-8).
+// ---------------------------------------------------------------------------
+static uint8_t gf_exp[512];
+static int16_t gf_log[256];
+static int gf_init_done = 0;
+
+static void gf_init() {
+    int x = 1;
+    for (int i = 0; i < 255; i++) {
+        gf_exp[i] = (uint8_t)x;
+        gf_log[x] = (int16_t)i;
+        x <<= 1;
+        if (x & 0x100) x ^= 0x11d;
+    }
+    for (int i = 255; i < 510; i++) gf_exp[i] = gf_exp[i - 255];
+    gf_log[0] = -1;
+    gf_init_done = 1;
+}
+
+static inline uint8_t gf_mul(uint8_t a, uint8_t b) {
+    if (a == 0 || b == 0) return 0;
+    return gf_exp[gf_log[a] + gf_log[b]];
+}
+
+static inline uint8_t gf_div(uint8_t a, uint8_t b) {
+    if (a == 0) return 0;
+    return gf_exp[gf_log[a] + 255 - gf_log[b]];
+}
+
+#define RS_NROOTS 8
+#define RS_DATA 96
+
+// Decode one codeword in place.  Returns -1 on failure (buf unchanged),
+// else the number of corrected bytes.
+static int rs_decode_one(uint8_t* buf) {
+    if (!gf_init_done) gf_init();
+
+    uint8_t syn[RS_NROOTS];
+    int any = 0;
+    for (int i = 0; i < RS_NROOTS; i++) {
+        uint8_t s = 0;
+        for (int j = 0; j < RS_DATA; j++) {
+            if (buf[j])
+                s ^= gf_exp[(gf_log[buf[j]] + (i + 1) * j) % 255];
+        }
+        syn[i] = s;
+        any |= s;
+    }
+    if (!any) return 0;
+
+    // Berlekamp-Massey (classic form with inversion).
+    uint8_t C[RS_NROOTS + 1] = {1}, B[RS_NROOTS + 1] = {1}, T[RS_NROOTS + 1];
+    int L = 0, m = 1;
+    uint8_t b = 1;
+    for (int n = 0; n < RS_NROOTS; n++) {
+        uint8_t d = syn[n];
+        for (int i = 1; i <= L && i <= RS_NROOTS; i++)
+            d ^= gf_mul(C[i], syn[n - i]);
+        if (d == 0) {
+            m++;
+        } else if (2 * L <= n) {
+            memcpy(T, C, sizeof(C));
+            uint8_t coef = gf_div(d, b);
+            for (int i = 0; i + m <= RS_NROOTS; i++)
+                C[i + m] ^= gf_mul(coef, B[i]);
+            L = n + 1 - L;
+            memcpy(B, T, sizeof(B));
+            b = d;
+            m = 1;
+        } else {
+            uint8_t coef = gf_div(d, b);
+            for (int i = 0; i + m <= RS_NROOTS; i++)
+                C[i + m] ^= gf_mul(coef, B[i]);
+            m++;
+        }
+    }
+    if (L > RS_NROOTS / 2) return -1;
+
+    // Chien search over the full field; errors must land in 0..95.
+    int pos[RS_NROOTS / 2];
+    int nroots = 0;
+    for (int p = 0; p < 255; p++) {
+        uint8_t v = 0;
+        for (int i = 0; i <= L; i++) {
+            if (C[i])
+                v ^= gf_exp[(gf_log[C[i]] + ((255 - p) % 255) * i) % 255];
+        }
+        if (v == 0) {
+            if (p >= RS_DATA || nroots >= RS_NROOTS / 2) return -1;
+            pos[nroots++] = p;
+        }
+    }
+    if (nroots != L) return -1;
+
+    // Forney (fcr = 1): omega(x) = S(x) C(x) mod x^8;
+    // err[p] = omega(X^-1) / C'(X^-1), X = alpha^p.
+    uint8_t omega[RS_NROOTS];
+    for (int i = 0; i < RS_NROOTS; i++) {
+        uint8_t acc = 0;
+        for (int j = 0; j <= i && j <= RS_NROOTS; j++)
+            acc ^= gf_mul(C[j], syn[i - j]);
+        omega[i] = acc;
+    }
+    for (int k = 0; k < nroots; k++) {
+        int p = pos[k];
+        int ip = (255 - p) % 255; // log of X^-1
+        uint8_t num = 0, den = 0;
+        for (int i = 0; i < RS_NROOTS; i++)
+            if (omega[i])
+                num ^= gf_exp[(gf_log[omega[i]] + ip * i) % 255];
+        for (int i = 1; i <= RS_NROOTS; i += 2)
+            if (C[i])
+                den ^= gf_exp[(gf_log[C[i]] + ip * (i - 1)) % 255];
+        if (den == 0) return -1;
+        buf[p] ^= gf_div(num, den);
+    }
+    return nroots;
+}
+
+// Batched in-place decode: bufs = n x 96 bytes.  ok[i] in {0,1};
+// ncorr[i] = corrected byte count (0 when ok[i] == 0; data restored).
+void nrsc5_rs_decode_pdu(uint8_t* bufs, int n, uint8_t* ok, int32_t* ncorr) {
+    for (int i = 0; i < n; i++) {
+        uint8_t* cw = bufs + (size_t)i * RS_DATA;
+        uint8_t save[RS_DATA];
+        memcpy(save, cw, RS_DATA);
+        int r = rs_decode_one(cw);
+        if (r < 0) {
+            memcpy(cw, save, RS_DATA);
+            ok[i] = 0;
+            ncorr[i] = 0;
+        } else {
+            ok[i] = 1;
+            ncorr[i] = r;
+        }
+    }
+}
+
 }  // extern "C"

@@ -96,7 +96,22 @@ def rs_decode_pdu(buf96: np.ndarray):
     buf96: [..., 96] uint8 PDU prefixes (parity first, as received).
     Returns (corrected [..., 96] uint8, ok [...] bool, n_corrected [...] int).
     Failure (>4 errors) leaves the data unchanged with ok=False.
+
+    Dispatches to the native C++ decoder when available (the transport
+    thread decodes one PDU at a time, where per-call numpy overhead
+    dominates); the batched numpy path below is the tested spec and the
+    fallback.
     """
+    from nrsc5_tpu import native
+
+    res = native.rs_decode_pdu(buf96)
+    if res is not None:
+        return res
+    return rs_decode_pdu_numpy(buf96)
+
+
+def rs_decode_pdu_numpy(buf96: np.ndarray):
+    """Batched numpy reference implementation (see rs_decode_pdu)."""
     exp, log = _gf_tables()
     orig_shape = buf96.shape
     buf = np.asarray(buf96, dtype=np.uint8).reshape(-1, 96)

@@ -14,8 +14,15 @@ from typing import Callable
 import numpy as np
 
 from nrsc5_tpu import constants as C
+from nrsc5_tpu import native
 from nrsc5_tpu.ops.rs import rs_decode_pdu
-from nrsc5_tpu.utils.crc import VALIDFCS16, crc8, fcs16
+from nrsc5_tpu.utils.crc import VALIDFCS16, fcs16
+
+
+def _crc8(data) -> int:
+    """Per-packet CRC through the native kernel when available (one call
+    per audio packet on the transport hot path)."""
+    return native.crc8(bytes(data))
 
 # logical channels
 P1, P3, P4 = 0, 1, 2
@@ -59,16 +66,25 @@ def _frame_tables(length: int):
     return swap_idx.astype(np.int32), pci_pos.astype(np.int32), data_pos.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=8)
+def _frame_tables_fused(length: int):
+    """Source index in the ORIGINAL bit array for each pci/payload output
+    position, so frame_unpack's swap + split are one gather each."""
+    swap_idx, pci_pos, data_pos = _frame_tables(length)
+    return (swap_idx[pci_pos].astype(np.int32),
+            swap_idx[data_pos].astype(np.int32))
+
+
 def frame_unpack(bits: np.ndarray):
     """bits: [L] uint8 decoded frame -> (pci int, payload bytes ndarray)."""
-    swap_idx, pci_pos, data_pos = _frame_tables(len(bits))
-    swapped = bits[swap_idx]
-    pci_bits = swapped[pci_pos]
+    fused_pci, fused_data = _frame_tables_fused(len(bits))
     pci = 0
-    for b in pci_bits:
+    for b in bits[fused_pci]:
         pci = (pci << 1) | int(b)
-    pci <<= 24 - len(pci_bits)
-    data = np.packbits(swapped[data_pos])
+    pci <<= 24 - len(fused_pci)
+    data = native.gather_pack(bits, fused_data)
+    if data is None:
+        data = np.packbits(bits[fused_data])
     return pci, data
 
 
@@ -339,7 +355,7 @@ class FrameDecoder:
             for j in range(hdr["nop"]):
                 cnt = start + locations[j] - offset
                 pkt = bytes(buf[offset:offset + cnt])
-                crc_err = crc8(buf[offset:offset + cnt + 1]) != 0
+                crc_err = _crc8(buf[offset:offset + cnt + 1]) != 0
                 if j == 0 and hdr["pfirst"]:
                     shape = PACKET_HALF_BACK
                 elif j == hdr["nop"] - 1 and hdr["plast"]:

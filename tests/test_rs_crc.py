@@ -88,3 +88,32 @@ def test_crc12_embed_roundtrip(rng):
     for i in range(68, 80):
         field = (field << 1) | int(frame[i])
     assert field == crc.crc12(frame)
+
+
+def test_rs_native_matches_numpy(rng):
+    """The C++ transport-path RS decoder must agree with the batched numpy
+    spec on clean, correctable, and uncorrectable codewords."""
+    from nrsc5_tpu import native
+    from nrsc5_tpu.ops.rs import rs_decode_pdu_numpy
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    cases = []
+    for nerr in range(0, 7):
+        for _ in range(25):
+            cw = rs_encode_pdu(rng.integers(0, 256, 88).astype(np.uint8))
+            if nerr:
+                pos = rng.choice(96, size=nerr, replace=False)
+                cw[pos] ^= rng.integers(1, 256, nerr).astype(np.uint8)
+            cases.append(cw)
+    batch = np.stack(cases)
+    out_n, ok_n, nc_n = rs_decode_pdu_numpy(batch)
+    out_c, ok_c, nc_c = native.rs_decode_pdu(batch)
+    assert np.array_equal(ok_n, ok_c)
+    # where both decode, the corrections and counts must match exactly
+    assert np.array_equal(out_n[ok_n], out_c[ok_n])
+    assert np.array_equal(nc_n[ok_n], nc_c[ok_n])
+    # failures must leave data unchanged
+    assert np.array_equal(out_c[~ok_c], batch[~ok_c])
