@@ -159,3 +159,24 @@ def test_reference_agrees_am(reference_nrsc5):
     want = {p for f, pk in packets if f == 4 for p in pk}
     got = sum(p in ref_hdc for p in want)
     assert got == len(want), f"{got}/{len(want)} AM packets in reference"
+
+
+def test_sensitivity_parity_with_reference(reference_nrsc5):
+    """At the decode cliff (-4 dB) and in the clear (12 dB), the framework
+    must recover at least as many ground-truth packets as the reference
+    binary from the IDENTICAL impaired cu8 capture (measured sweep in
+    support/ref_sensitivity.py: both plateau at 70/96 down to -4 dB and
+    collapse together at -6 dB)."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    from support.ref_sensitivity import (build_capture, decode_framework,
+                                         decode_reference)
+
+    for snr, floor in ((12.0, 69), (-4.0, 60)):
+        rng = np.random.default_rng(0xBE12)
+        cu8, packets = build_capture(rng, 3, snr)
+        want = set(packets)
+        ours = decode_framework(cu8) & want
+        ref = decode_reference(mod, cu8) & want
+        assert len(ours) >= len(ref), (snr, len(ours), len(ref))
+        assert len(ours) >= floor, (snr, len(ours))
