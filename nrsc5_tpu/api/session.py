@@ -150,10 +150,22 @@ class NRSC5:
         self.radio.reset()
         self.output.reset()
 
+    def get_frequency(self) -> float:
+        """Tuned frequency in Hz, or NaN without a tunable source
+        (reference: nrsc5_get_frequency, src/nrsc5.c:521-532)."""
+        f = getattr(self._source, "frequency", None)
+        return float("nan") if f is None else float(f)
+
     def set_gain(self, gain_db: float):
         self._want_auto_gain = False
         if hasattr(self._source, "set_gain"):
             self._source.set_gain(gain_db)
+
+    def get_gain(self) -> float:
+        """Last tuner gain in dB, or NaN (reference: nrsc5_get_gain,
+        src/nrsc5.c:550-563)."""
+        g = getattr(self._source, "gain", None)
+        return float("nan") if g is None else float(g)
 
     def set_auto_gain(self, enabled: bool):
         self._want_auto_gain = enabled
@@ -169,6 +181,29 @@ class NRSC5:
     def set_direct_sampling(self, mode: int):
         if hasattr(self._source, "set_direct_sampling"):
             self._source.set_direct_sampling(mode)
+
+    def set_mode(self, mode: int):
+        """Switch FM/AM after open (reference: nrsc5_set_mode,
+        src/nrsc5.c:464-473 — resets the whole receive chain)."""
+        if mode == self.mode:
+            return
+        with self._lock:
+            self.mode = mode
+            self._cs16_leftover = b""
+            self._wire()
+
+    def set_callback(self, callback: Callable[[Event], None]):
+        """Replace the event callback (reference: nrsc5_set_callback,
+        src/nrsc5.c:585-593 — takes the worker lock)."""
+        with self._lock:
+            self.callback = callback
+
+    @staticmethod
+    def get_version() -> str:
+        """Library version string (reference: nrsc5_get_version)."""
+        from nrsc5_tpu import __version__
+
+        return __version__
 
     # ------------------------------------------------------------------
     # worker (reference: nrsc5_start/stop, src/nrsc5.c:434-462)

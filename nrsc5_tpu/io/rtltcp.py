@@ -56,6 +56,8 @@ class RtlTcpClient:
         self.tuner_type, self.tuner_gain_count = struct.unpack(
             ">II", self._read_exact(8))
         self.gains = GAIN_TABLES.get(self.tuner_type, [0])
+        self.frequency = None
+        self.gain = None
 
     # ------------------------------------------------------------------
     def _cmd(self, op: int, arg: int):
@@ -72,6 +74,7 @@ class RtlTcpClient:
 
     # ------------------------------------------------------------------
     def set_frequency(self, freq_hz: int):
+        self.frequency = freq_hz
         self._cmd(CMD_SET_FREQUENCY, freq_hz)
 
     def set_sample_rate(self, rate: int):
@@ -83,6 +86,7 @@ class RtlTcpClient:
     def set_gain(self, gain_db: float):
         tenths = int(round(gain_db * 10))
         best = min(self.gains, key=lambda g: abs(g - tenths))
+        self.gain = best / 10.0
         self.set_gain_mode(True)
         self._cmd(CMD_SET_GAIN, best)
 

@@ -394,3 +394,32 @@ def test_fm_session_real_audio(rng):
     err = seg - r
     snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
     assert snr > 25.0, f"audio SNR {snr:.1f} dB (lag {lag}, corr {corr:.3f})"
+
+
+def test_set_mode_switch_and_version(rng):
+    """nrsc5_set_mode analog: an FM session switched to AM must rewire the
+    chain and decode an AM capture (reference: src/nrsc5.c:464-473)."""
+    from nrsc5_tpu.api.session import MODE_AM
+
+    from .capture_helpers import build_am_capture
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    radio.set_mode(MODE_AM)
+    sig, packets = build_am_capture(rng, n_frames=7, ma3=False)
+    for i in range(0, len(sig), 32768):
+        radio.pipe_samples_cs16(sig[i:i + 32768])
+    radio.flush()
+    kinds = {e.type for e in events}
+    assert EventType.SYNC in kinds
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    want = {p for f, pk in packets if f == 5 for p in pk}
+    assert want <= hdc
+
+    # set_callback swaps the sink (reference: nrsc5_set_callback)
+    late = []
+    radio.set_callback(late.append)
+    radio.flush()
+    assert NRSC5.get_version()
+    assert radio.get_frequency() != radio.get_frequency()  # NaN: no tuner
