@@ -180,3 +180,72 @@ def test_sensitivity_parity_with_reference(reference_nrsc5):
         ref = decode_reference(mod, cu8) & want
         assert len(ours) >= len(ref), (snr, len(ours), len(ref))
         assert len(ours) >= floor, (snr, len(ours))
+
+
+def test_reference_decodes_our_sis(reference_nrsc5):
+    """The reference binary must decode the full SIS schedule produced by
+    tx/sis_encoder from a modulated capture: station id, short name,
+    slogan, location, message, audio service, local time
+    (reference decoder: src/pids.c:394-754)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx import sis_encoder as SE
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+
+    rng = np.random.default_rng(7)
+    schedule = ([SE.station_id("US", 12345), SE.short_name("KTPU-FM")]
+                + SE.long_name("TPU Public Radio")
+                + SE.location(37.4042, -122.0756, 32)
+                + SE.message("Hello from the TPU framework")
+                + [SE.audio_service(0, access=0, type_=1, sound_exp=2),
+                   SE.local_time(-480, dst_sched=1, dst_local=True)])
+    n_frames = 3
+    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+               for _ in range(32)]
+    mats, k = [], 0
+
+    def pids16():
+        nonlocal k
+        rows = np.stack([schedule[(k + i) % len(schedule)] for i in range(16)])
+        k += 16
+        return rows
+
+    for f in range(n_frames):
+        mats.append(build_pm_matrix(
+            build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64), pids16()))
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids16())
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames), np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
+    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
+                    rng=rng)
+    cu8 = ch.to_cu8(ch.upsample2(sig))
+
+    events = _decode_with_reference(mod, cu8)
+    by_type = {}
+    for t, e in events:
+        by_type.setdefault(t, []).append(e)
+    ET = mod.EventType
+
+    ids = {(e.country_code, e.fcc_facility_id)
+           for e in by_type.get(ET.STATION_ID, [])}
+    assert ("US", 12345) in ids, by_type.keys()
+    assert "KTPU-FM" in {e.name for e in by_type.get(ET.STATION_NAME, [])}
+    assert "TPU Public Radio" in \
+        {e.slogan for e in by_type.get(ET.STATION_SLOGAN, [])}
+    locs = by_type.get(ET.STATION_LOCATION, [])
+    assert any(abs(e.latitude - 37.4042) < 1e-3
+               and abs(e.longitude + 122.0756) < 1e-3
+               and e.altitude == 32 for e in locs), locs
+    assert "Hello from the TPU framework" in \
+        {e.message for e in by_type.get(ET.STATION_MESSAGE, [])}
+    aud = by_type.get(ET.AUDIO_SERVICE_DESCRIPTOR, [])
+    assert any(e.program == 0 and e.type.value == 1 and e.sound_exp == 2
+               for e in aud), aud
+    lt = by_type.get(ET.LOCAL_TIME, [])
+    assert any(e.utc_offset == -480 and e.dst_local for e in lt), lt
