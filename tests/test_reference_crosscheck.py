@@ -249,3 +249,40 @@ def test_reference_decodes_our_sis(reference_nrsc5):
                for e in aud), aud
     lt = by_type.get(ET.LOCAL_TIME, [])
     assert any(e.utc_offset == -480 and e.dst_local for e in lt), lt
+
+
+def test_reference_agrees_mp3_px1(reference_nrsc5):
+    """MP3 service mode cross-check: the reference binary must decode the
+    program-1 (SPS) audio packets our harness carried over the PX1
+    interleaver-IV channel — this pins the interleaver-IV two-frame delay
+    semantics against the real implementation (reference:
+    src/decode.c:344-437, src/sync.c:537-595)."""
+    mod = reference_nrsc5
+    from .capture_helpers import build_fm_mp3_capture, complex_to_cs16
+
+    rng = np.random.default_rng(0x5EED)
+    sig, p3_packets = build_fm_mp3_capture(rng, n_cycles=2)
+    data = complex_to_cs16(sig)
+
+    events = []
+    radio = mod.NRSC5(lambda t, e: events.append((t, e)))
+    radio.open_pipe()
+    for i in range(0, len(data), 131072):
+        radio.pipe_samples_cs16(data[i:i + 131072])
+    radio.close()
+
+    ET = mod.EventType
+    syncs = [e for t, e in events if t == ET.SYNC]
+    assert syncs and any(s.psmi == 3 for s in syncs), \
+        f"reference did not report MP3 (psmi) sync: {syncs}"
+    ref_p1 = {bytes(e.data) for t, e in events
+              if t == ET.HDC and e.program == 0
+              and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    assert len(ref_p1) >= 64, "reference lost the P1 program"
+    ref_p3 = {bytes(e.data) for t, e in events
+              if t == ET.HDC and e.program == 1
+              and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    cyc1 = {p for cyc, pkts in p3_packets if cyc == 1 for p in pkts}
+    matches = len(ref_p3 & cyc1)
+    assert matches > 0, \
+        f"reference decoded no cycle-1 P3 packet ({len(ref_p3)} p3 events)"

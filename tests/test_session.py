@@ -218,49 +218,9 @@ def test_fm_session_p3_audio(rng):
     program (SPS) carried in P3 audio PDUs through the interleaver-IV
     channel must surface as program-1 AUDIO_SERVICE + bit-exact HDC events
     (reference: the P3 path of src/frame.c:645-714 + src/output.c)."""
-    from nrsc5_tpu.tx.encoder import build_px_stream
-    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+    from .capture_helpers import build_fm_mp3_capture
 
-    psmi, n_cycles, fl = 3, 2, C.P3_FRAME_LEN_MP3_MP11
-    p3_bytes = (fl - 24) // 8  # 573
-
-    p3_packets = []
-    p3_bits = np.zeros((n_cycles, 16, fl), np.uint8)
-    for cyc in range(n_cycles):
-        for f in range(16):
-            pkts = [rng.integers(0, 256, 150).astype(np.uint8).tobytes()
-                    for _ in range(3)]
-            p3_packets.append((cyc, pkts))
-            g = cyc * 16 + f
-            pdu = build_audio_pdu(pkts, program=1, pdu_seq=g % 8,
-                                  seq=(g * 3) % 64, total_len=p3_bytes)
-            p3_bits[cyc, f] = pack_frame(pdu, fl, C.PCI_AUDIO)
-    stream = build_px_stream(p3_bits, fl)
-    sview = stream.reshape(n_cycles * 32 * C.BLKSZ, -1)
-    width = sview.shape[1]
-
-    # P1 must carry valid audio PDUs too (garbage would hard-resync)
-    mats = []
-    pids = np.zeros((16, 80), np.uint8)
-    for f in range(2 * n_cycles):
-        pkts = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
-                for _ in range(32)]
-        p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=f % 8,
-                               seq=(f * 32) % 64)
-        mats.append(build_pm_matrix(p1, pids))
-
-    lead = 2
-    dummy = mats[0]
-    matrix = np.concatenate([dummy[(16 - lead) * 32:]] + mats
-                            + [dummy[:2 * 32]])
-    junk = rng.choice(np.array([-1, 1], np.int8), (lead * 32, width))
-    trail = rng.choice(np.array([-1, 1], np.int8), (2 * 32, width))
-    px_all = np.concatenate([junk, sview, trail])
-    bc_seq = np.concatenate([np.arange(16 - lead, 16),
-                             np.tile(np.arange(16), 2 * n_cycles),
-                             np.arange(2)])
-    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
-    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+    sig, p3_packets = build_fm_mp3_capture(rng, n_cycles=2)
 
     events = []
     radio = NRSC5.open_pipe(events.append, MODE_FM)
