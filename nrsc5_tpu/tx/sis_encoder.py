@@ -12,8 +12,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from nrsc5_tpu.transport.pids import (CHAR5, MSG_PARAMETER_MESSAGE,
-                                      MSG_STATION_ID, MSG_STATION_LOCATION,
+from nrsc5_tpu.transport.pids import (CHAR5, MSG_EMERGENCY_ALERTS,
+                                      MSG_PARAMETER_MESSAGE, MSG_STATION_ID,
+                                      MSG_STATION_LOCATION,
                                       MSG_STATION_MESSAGE,
                                       MSG_STATION_NAME_LONG,
                                       MSG_STATION_NAME_SHORT,
@@ -163,3 +164,82 @@ def local_time(utc_offset_min: int, dst_sched: int = 0, dst_local: bool = False,
     value = ((utc_offset_min & 0x7FF) << 5) | ((dst_sched & 0x7) << 2) \
         | (int(dst_local) << 1) | int(dst_regional)
     return parameter(3, value)
+
+
+def _alert_cnt(category1: int, category2: int, location_format: int,
+               locations: list[int]) -> bytes:
+    """Control-data (CNT) block: categories + location list with the
+    embedded CNT CRC-12 (decoder: transport/pids.py decode_control_data;
+    reference: src/pids.c:119-153,247-267).  Locations are encoded in
+    full form (no delta compression)."""
+    from nrsc5_tpu.utils.crc import alert_cnt_crc
+
+    full_len = 20 if location_format == 0 else 17  # SAME : FIPS/ZIP
+    bits = []
+
+    def put_rev(value, n):
+        bits.extend((value >> i) & 1 for i in range(n))
+
+    put_rev(0, 8)        # unknown
+    put_rev(0, 12)       # CNT CRC placeholder
+    put_rev(0, 8)        # unknown
+    put_rev(category1, 5)
+    put_rev(category2, 5)
+    put_rev(0, 9)
+    put_rev(location_format, 3)
+    put_rev(len(locations), 5)
+    put_rev(0, 1)
+    for i, loc in enumerate(locations):
+        if i > 0:
+            put_rev(1, 1)  # full form
+        put_rev(loc, full_len)
+    # pad to an odd byte count >= 7 (cnt_len = 1 + 2*k)
+    nbytes = (len(bits) + 7) // 8
+    if nbytes < 7:
+        nbytes = 7
+    if nbytes % 2 == 0:
+        nbytes += 1
+    bits.extend([0] * (nbytes * 8 - len(bits)))
+    cnt = bytearray(np.packbits(np.array(bits, np.uint8),
+                                bitorder="little").tobytes())
+    crc = alert_cnt_crc(bytes(cnt))
+    cnt[1] = crc & 0xFF
+    cnt[2] |= (crc >> 8) & 0x0F
+    return bytes(cnt)
+
+
+def emergency_alert(message: str, category1: int = 1, category2: int = 0,
+                    location_format: int = 0,
+                    locations: list[int] | None = None,
+                    seq: int = 1) -> list[np.ndarray]:
+    """Multi-frame emergency alert (decoder: transport/pids.py _alerts;
+    reference: src/pids.c:853-933)."""
+    from nrsc5_tpu.utils.crc import alert_crc7
+
+    cnt = _alert_cnt(category1, category2, location_format, locations or [])
+    payload = cnt + message.encode("latin-1")
+    crc7 = alert_crc7(payload)
+    frames = []
+    w = _frame(MSG_EMERGENCY_ALERTS)
+    w.u(0, 6)   # frame 0
+    w.u(seq, 2)
+    w.u(0, 2)
+    w.u(0, 3)   # encoding: ISO-8859-1
+    w.u(len(payload), 9)
+    w.u(crc7, 7)
+    w.u((len(cnt) - 1) // 2, 5)
+    for b in payload[:3].ljust(3, b"\0"):
+        w.u(b, 8)
+    frames.append(_finish(w))
+    pos, current = 3, 1
+    while pos < len(payload):
+        w = _frame(MSG_EMERGENCY_ALERTS)
+        w.u(current, 6)
+        w.u(seq, 2)
+        w.u(0, 2)
+        for b in payload[pos:pos + 6].ljust(6, b"\0"):
+            w.u(b, 8)
+        frames.append(_finish(w))
+        pos += 6
+        current += 1
+    return frames

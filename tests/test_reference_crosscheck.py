@@ -201,7 +201,11 @@ def test_reference_decodes_our_sis(reference_nrsc5):
                 + SE.location(37.4042, -122.0756, 32)
                 + SE.message("Hello from the TPU framework")
                 + [SE.audio_service(0, access=0, type_=1, sound_exp=2),
-                   SE.local_time(-480, dst_sched=1, dst_local=True)])
+                   SE.local_time(-480, dst_sched=1, dst_local=True)]
+                + SE.emergency_alert("TORNADO WARNING THIS IS A TEST",
+                                     category1=2, category2=3,
+                                     location_format=0,
+                                     locations=[29037, 29095]))
     n_frames = 3
     packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
                for _ in range(32)]
@@ -249,6 +253,13 @@ def test_reference_decodes_our_sis(reference_nrsc5):
                for e in aud), aud
     lt = by_type.get(ET.LOCAL_TIME, [])
     assert any(e.utc_offset == -480 and e.dst_local for e in lt), lt
+    alerts = by_type.get(ET.EMERGENCY_ALERT, [])
+    assert any(e.message == "TORNADO WARNING THIS IS A TEST"
+               and [c.value for c in e.categories] == [2, 3]
+               and e.location_format is not None
+               and e.location_format.value == 0
+               and list(e.locations) == [29037, 29095]
+               for e in alerts), alerts
 
 
 def test_reference_agrees_mp3_px1(reference_nrsc5):
