@@ -4,8 +4,9 @@ from __future__ import annotations
 
 from nrsc5_tpu.api.events import EventType, make
 
-HERE_IMAGE_TRAFFIC = 1
-HERE_IMAGE_WEATHER = 2
+# wire values of the type nibble (reference: include/nrsc5.h:270-274)
+HERE_IMAGE_TRAFFIC = 8
+HERE_IMAGE_WEATHER = 13
 HERE_TRAFFIC_TILES = 9
 
 

@@ -90,6 +90,34 @@ def build_fm_mp3_capture(rng, n_cycles: int = 2):
     return sig, p3_packets
 
 
+def here_packet(image_type, tile, timestamp, name, data, lat1=37.5,
+                lon1=-122.5):
+    """One 0xFFF7FFF7-framed HERE image packet (reference:
+    src/here_images.c:22-99; traffic type nibble = 8, weather = 13)."""
+    body = bytearray(28)
+    body[0] = (image_type << 4) | 5  # seq 5
+    body[2:4] = tile.to_bytes(2, "big")
+    body[4:6] = (0).to_bytes(2, "big")
+    body[9:13] = timestamp.to_bytes(4, "big")
+    la1 = abs(int(lat1 * 100000))
+    lo1 = abs(int(lon1 * 100000))
+    body[14] = ((la1 >> 18) & 0x7F) | (0x80 if lat1 < 0 else 0)
+    body[15] = (la1 >> 10) & 0xFF
+    body[16] = (la1 >> 2) & 0xFF
+    body[17] = ((la1 & 0x3) << 6) | (0x20 if lon1 < 0 else 0) \
+        | ((lo1 >> 20) & 0x1F)
+    body[18] = (lo1 >> 12) & 0xFF
+    body[19] = (lo1 >> 4) & 0xFF
+    body[20] = (lo1 & 0xF) << 4
+    body[27] = len(name)
+    body += name.encode()
+    body += bytes(4)  # buffer[28+len .. 32+len)
+    body += len(data).to_bytes(2, "big")
+    body += data
+    return b"\xff\xf7\xff\xf7" + len(body).to_bytes(2, "big") \
+        + bytes(body) + b"\x00\x00"
+
+
 def complex_to_cs16(sig: np.ndarray) -> bytes:
     """Complex baseband -> interleaved int16 Q15 bytes (reference cs16
     ingest format, src/input.c:119-124)."""

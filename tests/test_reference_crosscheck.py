@@ -297,3 +297,67 @@ def test_reference_agrees_mp3_px1(reference_nrsc5):
     matches = len(ref_p3 & cyc1)
     assert matches > 0, \
         f"reference decoded no cycle-1 P3 packet ({len(ref_p3)} p3 events)"
+
+
+def test_reference_agrees_here_image(reference_nrsc5):
+    """HERE image cross-check: a SIG stream component (MIME HERE_IMAGE) +
+    0xFFF7FFF7-framed tile packets on its port; the reference binary and
+    this framework must both reassemble the identical image (reference:
+    src/here_images.c, src/output.c:701-709)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    from .capture_helpers import here_packet
+
+    PORT = 0x1002
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, 120).astype(np.uint8).tobytes()
+
+    sig_table = bytearray()
+    sig_table += bytes([0x41, 0x01, 0x00, 0x00])  # data service #1
+    name = b"\x00HERE"
+    sig_table += bytes([0x69, 1 + len(name)]) + name
+    comp = bytes([0x00, PORT & 0xFF, PORT >> 8, 0x00, 0x00,
+                  0,  # AASType.STREAM
+                  0, 0]) + (0xB7F03DFC).to_bytes(4, "little")
+    sig_table += bytes([0x67, 1 + len(comp)]) + comp
+
+    pkt = here_packet(8, 3, 777001, "t3.png", img)
+    psd = [aas_frame(0x20, 0, bytes(sig_table)),
+           aas_frame(PORT, 1, pkt[:100]),
+           aas_frame(PORT, 2, pkt[100:])]
+
+    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+               for _ in range(32)]
+    pids = np.zeros((16, 80), np.uint8)
+    mats = [build_pm_matrix(
+        build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64, psd=psd[f]),
+        pids) for f in range(3)]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), 3),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
+    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
+                    rng=rng)
+    cu8 = ch.to_cu8(ch.upsample2(sig))
+
+    ET = mod.EventType
+    ref_events = _decode_with_reference(mod, cu8)
+    ref_imgs = [e for t, e in ref_events if t == ET.HERE_IMAGE]
+    assert any(e.image_type.value == 8 and e.n1 == 3
+               and e.name == "t3.png"
+               and bytes(e.data) == img for e in ref_imgs), ref_imgs
+
+    from nrsc5_tpu.api.events import EventType as OurET
+
+    our_events = _decode_with_framework(cu8)
+    our_imgs = [e for e in our_events if e.type == OurET.HERE_IMAGE]
+    assert any(e.image_type == 8 and e.n1 == 3 and e.timestamp == 777001
+               and e.name == "t3.png" and e.data == img
+               for e in our_imgs), our_imgs

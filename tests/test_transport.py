@@ -165,7 +165,7 @@ def test_here_images(rng):
     sink = Sink()
     hi = HereImages(sink)
     data = rng.integers(0, 256, 500).astype(np.uint8).tobytes()
-    pkt = _here_packet(1, 3, 12345, "tile3.png", data)
+    pkt = _here_packet(8, 3, 12345, "tile3.png", data)
     stream = b"\xab" * 7 + pkt  # resync over garbage
     # split across two sequential AAS packets
     hi.push(10, stream[:40])
@@ -173,7 +173,7 @@ def test_here_images(rng):
     ev = sink.of(EventType.HERE_IMAGE)
     assert len(ev) == 1
     e = ev[0]
-    assert e.image_type == 1 and e.n1 == 3 and e.timestamp == 12345
+    assert e.image_type == 8 and e.n1 == 3 and e.timestamp == 12345
     assert e.name == "tile3.png" and e.data == data
     assert abs(e.latitude1 - 37.5) < 1e-4
     assert abs(e.longitude1 + 122.5) < 1e-4
@@ -184,7 +184,7 @@ def test_here_images(rng):
     hi.push(50, pkt[:30])
     hi.push(99, pkt)
     assert len(sink.of(EventType.HERE_IMAGE)) == 1  # same timestamp anyway
-    hi.push(100, _here_packet(1, 3, 99999, "tile3.png", data))
+    hi.push(100, _here_packet(8, 3, 99999, "tile3.png", data))
     assert len(sink.of(EventType.HERE_IMAGE)) == 2
 
 
