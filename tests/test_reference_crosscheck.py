@@ -129,18 +129,10 @@ def test_reference_and_framework_agree(reference_nrsc5, golden_capture):
     assert ("tpu.png", bytes(range(100))) in our_lots
 
 
-def test_reference_agrees_am(reference_nrsc5):
-    """AM (MA1) cross-check: the reference binary must decode the AM HDC
-    packets our truth harness modulated, bit-exactly (cs16 @ 46.5 kS/s,
-    reference path: src/input.c:119 -> sync_process_am -> decode ->
-    frame_push P1_FRAME_LEN_AM)."""
-    mod = reference_nrsc5
-    from .capture_helpers import build_am_capture, complex_to_cs16
+def _reference_decode_am(mod, sig):
+    from .capture_helpers import complex_to_cs16
 
-    rng = np.random.default_rng(0x5EED)
-    sig, packets = build_am_capture(rng, n_frames=7, ma3=False)
     data = complex_to_cs16(sig)
-
     events = []
     radio = mod.NRSC5(lambda t, e: events.append((t, e)))
     radio.open_pipe()
@@ -148,6 +140,20 @@ def test_reference_agrees_am(reference_nrsc5):
     for i in range(0, len(data), 131072):
         radio.pipe_samples_cs16(data[i:i + 131072])
     radio.close()
+    return events
+
+
+def test_reference_agrees_am(reference_nrsc5):
+    """AM (MA1) cross-check: the reference binary must decode the AM HDC
+    packets our truth harness modulated, bit-exactly (cs16 @ 46.5 kS/s,
+    reference path: src/input.c:119 -> sync_process_am -> decode ->
+    frame_push P1_FRAME_LEN_AM)."""
+    mod = reference_nrsc5
+    from .capture_helpers import build_am_capture
+
+    rng = np.random.default_rng(0x5EED)
+    sig, packets = build_am_capture(rng, n_frames=7, ma3=False)
+    events = _reference_decode_am(mod, sig)
 
     ET = mod.EventType
     assert ET.SYNC in {t for t, _ in events}, "reference failed AM sync"
@@ -159,6 +165,28 @@ def test_reference_agrees_am(reference_nrsc5):
     want = {p for f, pk in packets if f == 4 for p in pk}
     got = sum(p in ref_hdc for p in want)
     assert got == len(want), f"{got}/{len(want)} AM packets in reference"
+
+
+def test_reference_cannot_coldstart_ma3(reference_nrsc5):
+    """Documented capability asymmetry: the reference CANNOT cold-start
+    acquire an MA3 (all-digital AM) signal.  Its pre-sync band filter
+    (src/acquire.c:63-96, applied at src/acquire.c:125 before the CP
+    correlation) passes only ~bins 53-90 — the MA1 outer primary
+    partitions — rejecting the rest of the band by >60 dB.  MA3 puts its
+    primaries at the inner bins (2-26) and nothing above bin 53, so the
+    correlator sees no signal and sync never occurs.  This framework's
+    full-band acquisition cold-starts the same capture and decodes it
+    bit-exactly (tests/test_session.py::test_am_session_transport[True]).
+    If the upstream filter is ever fixed, this test flips and the MA1
+    assertions above should be extended to MA3."""
+    mod = reference_nrsc5
+    from .capture_helpers import build_am_capture
+
+    rng = np.random.default_rng(0x5EED)
+    sig, _ = build_am_capture(rng, n_frames=7, ma3=True)
+    events = _reference_decode_am(mod, sig)
+    assert mod.EventType.SYNC not in {t for t, _ in events}, \
+        "upstream MA3 cold-start now works — extend the MA1 cross-check"
 
 
 def test_sensitivity_parity_with_reference(reference_nrsc5):
