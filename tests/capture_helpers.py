@@ -125,3 +125,30 @@ def complex_to_cs16(sig: np.ndarray) -> bytes:
     out[0::2] = np.clip(np.round(np.real(sig) * 32767), -32768, 32767)
     out[1::2] = np.clip(np.round(np.imag(sig) * 32767), -32768, 32767)
     return out.tobytes()
+
+
+def id3_tag(title=None, artist=None, album=None, genre=None,
+            ufid=None, xhdr=None) -> bytes:
+    """ID3v2.3 tag with text frames, UFID, and XHDR (decoder:
+    transport/id3.py; reference: src/output.c:248-491).  ufid =
+    (owner, id) strings; xhdr = (mime_u32, param, ext_bytes)."""
+    frames = b""
+
+    def frame(fid: bytes, data: bytes) -> bytes:
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    for fid, text in ((b"TIT2", title), (b"TPE1", artist),
+                      (b"TALB", album), (b"TCON", genre)):
+        if text is not None:
+            frames += frame(fid, b"\x00" + text.encode("latin-1"))
+    if ufid is not None:
+        owner, uid = ufid
+        frames += frame(b"UFID", owner.encode() + b"\x00" + uid.encode())
+    if xhdr is not None:
+        mime, param, ext = xhdr
+        frames += frame(b"XHDR", mime.to_bytes(4, "little")
+                        + bytes([param, len(ext)]) + ext)
+    size = len(frames)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x03\x00\x00" + ss + frames

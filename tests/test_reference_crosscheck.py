@@ -389,3 +389,56 @@ def test_reference_agrees_here_image(reference_nrsc5):
     assert any(e.image_type == 8 and e.n1 == 3 and e.timestamp == 777001
                and e.name == "t3.png" and e.data == img
                for e in our_imgs), our_imgs
+
+
+def test_reference_agrees_id3_fields(reference_nrsc5):
+    """Rich-PSD cross-check: TIT2/TPE1/TALB/TCON/UFID/XHDR must decode
+    identically in the reference binary and this framework (reference
+    ID3 parse: src/output.c:248-491)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    from .capture_helpers import id3_tag
+
+    rng = np.random.default_rng(23)
+    tag = id3_tag(title="Song Of The TPU", artist="The Systolics",
+                  album="Matrix Unit", genre="Electronic",
+                  ufid=("tpu.example", "trk-42"),
+                  xhdr=(0x4F328CA0, 0, (1234).to_bytes(2, "little")))
+    psd = aas_frame(0x5100, 0, tag)
+    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+               for _ in range(32)]
+    pids = np.zeros((16, 80), np.uint8)
+    mats = [build_pm_matrix(
+        build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64, psd=psd),
+        pids) for f in range(3)]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), 3),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
+    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
+                    rng=rng)
+    cu8 = ch.to_cu8(ch.upsample2(sig))
+
+    ET = mod.EventType
+    ref = [e for t, e in _decode_with_reference(mod, cu8) if t == ET.ID3]
+    assert any(e.title == "Song Of The TPU" and e.artist == "The Systolics"
+               and e.album == "Matrix Unit" and e.genre == "Electronic"
+               and e.ufid == mod.UFID("tpu.example", "trk-42")
+               and e.xhdr is not None and e.xhdr.param == 0
+               and e.xhdr.lot == 1234 for e in ref), ref
+
+    from nrsc5_tpu.api.events import EventType as OurET
+
+    ours = [e for e in _decode_with_framework(cu8) if e.type == OurET.ID3]
+    assert any(e.title == "Song Of The TPU" and e.artist == "The Systolics"
+               and e.album == "Matrix Unit" and e.genre == "Electronic"
+               and e.ufid_owner == "tpu.example" and e.ufid_id == "trk-42"
+               and e.xhdr_param == 0 and e.xhdr_lot == 1234
+               for e in ours), ours
