@@ -442,3 +442,90 @@ def test_reference_agrees_id3_fields(reference_nrsc5):
                and e.ufid_owner == "tpu.example" and e.ufid_id == "trk-42"
                and e.xhdr_param == 0 and e.xhdr_lot == 1234
                for e in ours), ours
+
+
+def test_reference_agrees_multifragment_lot(reference_nrsc5):
+    """LOT reassembly cross-check over 3 fragments (256+256+88 bytes,
+    metadata on fragment 0, fragments delivered out of order): both
+    receivers must emit the identical complete file (reference:
+    src/output.c:627-872)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    PORT = 0x1003
+    LOT_ID = 21
+    rng = np.random.default_rng(31)
+    blob = rng.integers(0, 256, 600).astype(np.uint8).tobytes()
+
+    sig_table = bytearray()
+    sig_table += bytes([0x41, 0x01, 0x00, 0x00])
+    name = b"\x00Files"
+    sig_table += bytes([0x69, 1 + len(name)]) + name
+    comp = bytes([0x00, PORT & 0xFF, PORT >> 8, 0x00, 0x00,
+                  3,  # AASType.LOT
+                  0, 0]) + (0x4F328CA0).to_bytes(4, "little")
+    sig_table += bytes([0x67, 1 + len(comp)]) + comp
+
+    meta = bytearray(16)
+    meta[0:4] = (1).to_bytes(4, "little")
+    year, mon, mday, hour, minute = 2027, 1, 2, 3, 4
+    meta[4] = ((hour & 0x3) << 6) | minute
+    meta[5] = (mday << 3) | (hour >> 2)
+    meta[6] = ((year & 0xF) << 4) | mon
+    meta[7] = year >> 4
+    meta[8:12] = len(blob).to_bytes(4, "little")
+    meta[12:16] = (0x4F328CA0).to_bytes(4, "little")
+    meta += b"big.png"
+
+    def fragment(seq: int, payload: bytes, with_meta: bool) -> bytes:
+        hdr = bytearray([8 + (len(meta) if with_meta else 0), 0,
+                         LOT_ID & 0xFF, LOT_ID >> 8])
+        hdr += seq.to_bytes(4, "little")
+        return bytes(hdr) + (bytes(meta) if with_meta else b"") + payload
+
+    frags = [fragment(0, blob[:256], True),
+             fragment(1, blob[256:512], False),
+             fragment(2, blob[512:], False)]
+    # out of order (1, 0, 2) and streamed as one HDLC byte stream sliced
+    # across 4 consecutive PDUs' PSD regions — HDLC frames legitimately
+    # span PDU boundaries (stateful parse, reference: src/frame.c:328-391)
+    stream = (aas_frame(0x20, 0, bytes(sig_table))
+              + aas_frame(PORT, 1, frags[1]) + aas_frame(PORT, 2, frags[0])
+              + aas_frame(PORT, 3, frags[2]))
+    step = 170  # la_location budget: 15-byte header + 32x16-bit locations
+    n_frames = (len(stream) + step - 1) // step
+    psd = [stream[i * step:(i + 1) * step] for i in range(n_frames)]
+
+    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+               for _ in range(32)]
+    pids = np.zeros((16, 80), np.uint8)
+    mats = [build_pm_matrix(
+        build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64, psd=psd[f]),
+        pids) for f in range(n_frames)]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
+    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
+                    rng=rng)
+    cu8 = ch.to_cu8(ch.upsample2(sig))
+
+    ET = mod.EventType
+    ref_lots = [(e.name, bytes(e.data), e.lot)
+                for t, e in _decode_with_reference(mod, cu8) if t == ET.LOT]
+    assert ("big.png", blob, LOT_ID) in ref_lots, \
+        [(n, len(d), l) for n, d, l in ref_lots]
+
+    from nrsc5_tpu.api.events import EventType as OurET
+
+    our_lots = [(e.name, e.data, e.lot)
+                for e in _decode_with_framework(cu8) if e.type == OurET.LOT]
+    assert ("big.png", blob, LOT_ID) in our_lots, \
+        [(n, len(d), l) for n, d, l in our_lots]
