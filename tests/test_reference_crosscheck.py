@@ -529,3 +529,75 @@ def test_reference_agrees_multifragment_lot(reference_nrsc5):
                 for e in _decode_with_framework(cu8) if e.type == OurET.LOT]
     assert ("big.png", blob, LOT_ID) in our_lots, \
         [(n, len(d), l) for n, d, l in our_lots]
+
+
+def test_reference_agrees_fixed_subchannel(reference_nrsc5):
+    """Fixed data subchannel cross-check: P1 frames with the AUDIO+FIXED
+    PCI carry a CCC-configured subchannel whose BBM blocks convey an AAS
+    ID3 frame; the reference binary must detect the sync width, parse the
+    CCC, reassemble the BBM block, and report the same ID3 (reference:
+    src/frame.c:393-514)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.transport.frame import BBM_MAGIC
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import (aas_frame, build_audio_pdu,
+                                                hdlc_escape, pack_frame)
+    from nrsc5_tpu.utils.crc import fcs16_append
+
+    SYNC_BYTE, SYNC_WIDTH, SUB_LEN = 0xFF, 30, 64
+    rng = np.random.default_rng(41)
+
+    payload = bytearray([0x00])
+    for i in range(4):
+        length = SUB_LEN if i == 0 else 0
+        payload += bytes([0, 0, length & 0xFF, length >> 8])
+    ccc = b"\x7e" + hdlc_escape(fcs16_append(bytes(payload))) + b"\x7e"
+
+    def fixed_tail(sub_chunk: bytes) -> bytes:
+        return sub_chunk + ccc.ljust(SYNC_WIDTH, b"\x7e") + bytes([SYNC_BYTE])
+
+    tit2 = b"TIT2" + (9).to_bytes(4, "big") + b"\x00\x00" + b"\x00FixedSub"
+    inner = aas_frame(0x5100, 1, b"ID3\x03\x00\x00"
+                      + bytes([0, 0, 0, len(tit2)]) + tit2)
+    block = BBM_MAGIC + inner.ljust(255, b"\x7e")
+    stream = block + bytes([0x7E]) * (5 * SUB_LEN - len(block))
+    sub_chunks = [stream[i * SUB_LEN:(i + 1) * SUB_LEN] for i in range(5)]
+
+    pkts = [rng.integers(0, 256, 200).astype(np.uint8).tobytes()
+            for _ in range(2)]
+    total = C.MAX_PDU_LEN - len(fixed_tail(sub_chunks[0]))
+
+    n_frames = 8
+    mats = []
+    pids = np.zeros((16, 80), np.uint8)
+    for f in range(n_frames):
+        sub = sub_chunks[min(max(f - 3, 0), 4)] if f >= 3 else b"\x7e" * SUB_LEN
+        pdu = build_audio_pdu(pkts, pdu_seq=f % 8, seq=(f * 32) % 64,
+                              total_len=total)
+        buf = pdu.tobytes() + fixed_tail(sub)
+        bits = pack_frame(np.frombuffer(buf, np.uint8), C.P1_FRAME_LEN_FM,
+                          C.PCI_AUDIO_FIXED)
+        mats.append(build_pm_matrix(bits, pids))
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames), np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
+    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
+                    rng=rng)
+    cu8 = ch.to_cu8(ch.upsample2(sig))
+
+    ET = mod.EventType
+    ref_titles = {e.title for t, e in _decode_with_reference(mod, cu8)
+                  if t == ET.ID3 and e.title}
+    assert "FixedSub" in ref_titles, ref_titles
+
+    from nrsc5_tpu.api.events import EventType as OurET
+
+    our_titles = {e.title for e in _decode_with_framework(cu8)
+                  if e.type == OurET.ID3}
+    assert "FixedSub" in our_titles, our_titles
