@@ -128,10 +128,11 @@ def complex_to_cs16(sig: np.ndarray) -> bytes:
 
 
 def id3_tag(title=None, artist=None, album=None, genre=None,
-            ufid=None, xhdr=None) -> bytes:
-    """ID3v2.3 tag with text frames, UFID, and XHDR (decoder:
+            ufid=None, xhdr=None, comment=None) -> bytes:
+    """ID3v2.3 tag with text frames, UFID, COMM, and XHDR (decoder:
     transport/id3.py; reference: src/output.c:248-491).  ufid =
-    (owner, id) strings; xhdr = (mime_u32, param, ext_bytes)."""
+    (owner, id) strings; comment = (lang, short_desc, text);
+    xhdr = (mime_u32, param, ext_bytes)."""
     frames = b""
 
     def frame(fid: bytes, data: bytes) -> bytes:
@@ -144,6 +145,11 @@ def id3_tag(title=None, artist=None, album=None, genre=None,
     if ufid is not None:
         owner, uid = ufid
         frames += frame(b"UFID", owner.encode() + b"\x00" + uid.encode())
+    if comment is not None:
+        lang, short, text = comment
+        frames += frame(b"COMM", b"\x00" + lang.encode()
+                        + short.encode("latin-1") + b"\x00"
+                        + text.encode("latin-1"))
     if xhdr is not None:
         mime, param, ext = xhdr
         frames += frame(b"XHDR", mime.to_bytes(4, "little")

@@ -408,10 +408,13 @@ def test_reference_agrees_id3_fields(reference_nrsc5):
     tag = id3_tag(title="Song Of The TPU", artist="The Systolics",
                   album="Matrix Unit", genre="Electronic",
                   ufid=("tpu.example", "trk-42"),
-                  xhdr=(0x4F328CA0, 0, (1234).to_bytes(2, "little")))
+                  xhdr=(0x4F328CA0, 0, (1234).to_bytes(2, "little")),
+                  comment=("eng", "n", "live set"))
     psd = aas_frame(0x5100, 0, tag)
-    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
-               for _ in range(32)]
+    # 16 packets: shrinks the location table so the rich tag fits the
+    # la_location byte budget
+    packets = [rng.integers(0, 256, 600).astype(np.uint8).tobytes()
+               for _ in range(16)]
     pids = np.zeros((16, 80), np.uint8)
     mats = [build_pm_matrix(
         build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64, psd=psd),
@@ -432,7 +435,11 @@ def test_reference_agrees_id3_fields(reference_nrsc5):
                and e.album == "Matrix Unit" and e.genre == "Electronic"
                and e.ufid == mod.UFID("tpu.example", "trk-42")
                and e.xhdr is not None and e.xhdr.param == 0
-               and e.xhdr.lot == 1234 for e in ref), ref
+               and e.xhdr.lot == 1234
+               and any(c.lang == "eng" and c.short_content_desc == "n"
+                       and c.full_text == "live set"
+                       for c in e.comments)
+               for e in ref), ref
 
     from nrsc5_tpu.api.events import EventType as OurET
 
@@ -441,6 +448,9 @@ def test_reference_agrees_id3_fields(reference_nrsc5):
                and e.album == "Matrix Unit" and e.genre == "Electronic"
                and e.ufid_owner == "tpu.example" and e.ufid_id == "trk-42"
                and e.xhdr_param == 0 and e.xhdr_lot == 1234
+               and any(c["lang"] == "eng" and c["short_content_desc"] == "n"
+                       and c["full_text"] == "live set"
+                       for c in e.comments)
                for e in ours), ours
 
 
