@@ -111,3 +111,13 @@ def test_playback_backend_probe():
     player = playback.open_player(44100, 2)
     if player is not None:  # a real audio device exists here
         player.close()
+
+
+def test_cli_iq_dump_file_mode(capture, tmp_path):
+    """-w tees the raw IQ input in file mode (reference dumps on every IQ
+    event regardless of input mode, src/main.c:336-339)."""
+    from nrsc5_tpu.cli import main
+
+    out = tmp_path / "tee.cu8"
+    main(["-r", str(capture), "0", "0", "-q", "-w", str(out)])
+    assert out.read_bytes() == capture.read_bytes()
