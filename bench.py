@@ -286,6 +286,133 @@ def run_bench_coldstart(args) -> dict:
             "vs_baseline": round(realtime, 2)}
 
 
+def run_bench_e2e(args) -> dict:
+    """Full pipeline sustained rate: device chain dispatches PLUS the host
+    transport layer consuming every decoded frame (unpack -> PDU parse ->
+    RS -> packet CRC -> elastic -> HDC/ID3 events).  Gated on real
+    transport events, not just decoded bits."""
+    jax = _bench_setup()
+    import concurrent.futures as cf
+
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.ops.bits import unpack_bits
+    from nrsc5_tpu.pipeline import scan_chain as sc
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.transport.frame import P1, FrameDecoder
+    from nrsc5_tpu.transport.output import Output
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind}")
+    rng = np.random.default_rng(7)
+    n_blocks = args.frames * C.P1_FM_BLOCKS
+
+    title = "Bench E2E Title"
+    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+               for _ in range(32)]
+    fr = (b"TIT2" + (len(title) + 1).to_bytes(4, "big") + b"\x00\x00"
+          + b"\x00" + title.encode())
+    size = len(fr)
+    psd = aas_frame(0x5100, 0, b"ID3\x03\x00\x00"
+                    + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F]) + fr)
+    frame_bits = build_p1_fm_frame(packets, 0, 0, 0, psd=psd)
+    pids = np.zeros((16, C.PIDS_FRAME_LEN), np.uint8)
+    mat = build_pm_matrix(frame_bits, pids)
+    sig = modulate_fm(np.concatenate([mat] * args.frames),
+                      np.tile(np.arange(16), args.frames), 1)
+    buf = np.zeros(sc.buffer_len(n_blocks), np.complex64)
+    start = C.FFTCP_FM // 2
+    buf[start:start + len(sig)] = sig
+    use_rc = jax.default_backend() != "cpu"
+    if not use_rc:
+        raise RuntimeError("e2e row is accelerator-only")
+    buf_rc = np.stack([buf.real, -buf.imag], axis=-1).astype(np.float32)
+    samples = jnp.asarray(
+        np.broadcast_to(buf_rc, (args.stations,) + buf_rc.shape))
+    carries = jax.jit(lambda: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+        rcc.chain_rc_init_carry()))()
+    step = jax.jit(lambda s, c: rcc.fm_chain_batch_rc(
+        s, c, n_blocks, 1, 0, packed=True)[0])
+
+    t_c0 = time.perf_counter()
+    np.asarray(step(samples, carries)["p1_margin"])
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
+
+    n_threads = args.threads or 4
+
+    class _Stream:
+        """One dispatch stream with its own per-station transport."""
+
+        def __init__(self):
+            self.hdc = 0
+            self.titles = set()
+            self.decoders = []
+            for _ in range(args.stations):
+                out = Output(self._on_event)
+                self.decoders.append((FrameDecoder(out), out))
+
+        def _on_event(self, ev):
+            if ev.type == EventType.HDC and not ev.crc_error:
+                self.hdc += 1
+            elif ev.type == EventType.ID3:
+                self.titles.add(ev.title)
+
+        def consume(self, out):
+            p1 = unpack_bits(out["p1"])  # [stations, frames, bits]
+            for s in range(args.stations):
+                dec, outp = self.decoders[s]
+                for f in range(args.frames):
+                    dec.push_frame(p1[s, f], P1)
+                    for _ in range(C.P1_FM_BLOCKS):
+                        outp.advance()
+
+        def run(self, n_reps):
+            inflight: list = []
+            for _ in range(n_reps):
+                inflight.append(step(samples, carries))
+                if len(inflight) > max(args.pipeline, 1):
+                    self.consume(inflight.pop(0))
+            for o in inflight:
+                self.consume(o)
+
+    streams = [_Stream() for _ in range(n_threads)]
+    t0 = time.perf_counter()
+    if n_threads > 1:
+        with cf.ThreadPoolExecutor(n_threads) as pool:
+            list(pool.map(lambda st: st.run(args.reps), streams))
+    else:
+        streams[0].run(args.reps)
+    dt = time.perf_counter() - t0
+
+    want_hdc = args.reps * args.stations * args.frames * 32
+    for st in streams:
+        assert title in st.titles, f"e2e gate: ID3 titles {st.titles}"
+        # elastic warm-up swallows <1 frame per station at stream start
+        assert st.hdc >= want_hdc - args.stations * 32, \
+            f"e2e gate: {st.hdc}/{want_hdc} HDC packets"
+    log(f"# e2e gate: PASSED ({sum(s.hdc for s in streams)} HDC packet "
+        f"events, ID3 title on every stream)")
+
+    n_samples = (args.reps * n_threads * args.stations
+                 * n_blocks * C.BLKSZ * C.FFTCP_FM)
+    realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
+    log(f"# stations={args.stations} frames={args.frames} reps={args.reps} "
+        f"threads={n_threads} wall={dt:.3f}s")
+    return {
+        "metric": "fm_e2e_session_realtime_multiple_per_chip",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench(args) -> dict:
     if args.mode == "am":
         return run_bench_am(args)
@@ -293,6 +420,8 @@ def run_bench(args) -> dict:
         return run_bench_mp3(args)
     if args.mode == "coldstart":
         return run_bench_coldstart(args)
+    if args.mode == "e2e":
+        return run_bench_e2e(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -446,10 +575,11 @@ def main():
     ap.add_argument("--threads", type=int, default=None,
                     help="concurrent dispatch streams (default: 4 on "
                          "accelerators, 1 on the CPU fallback)")
-    ap.add_argument("--mode", choices=("fm", "am", "mp3", "coldstart"),
+    ap.add_argument("--mode", choices=("fm", "am", "mp3", "coldstart", "e2e"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
-                         "additional gated rows")
+                         "additional gated rows; e2e = device chain + host "
+                         "transport, gated on HDC/ID3 events")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-fallback", action="store_true")
     ap.add_argument("--single", action="store_true",
