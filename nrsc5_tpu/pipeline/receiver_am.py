@@ -178,7 +178,7 @@ class AMReceiver:
                 self.dec_state, ma3)
             if self.diversity_wait > 0:
                 self.diversity_wait -= 1
-            else:
+            if self.diversity_wait == 0:
                 # deliver one subframe per subsequent block — the reference
                 # decodes subframe bc during block bc of the next frame
                 # (src/decode.c:507-517), which paces the elastic buffer

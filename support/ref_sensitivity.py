@@ -102,12 +102,68 @@ def decode_framework(cu8):
     return got
 
 
+def build_am(rng, snr_db):
+    """Impaired MA1 cs16 capture + ground-truth packet set (frames 4-5,
+    the fully-decodable window for both receivers)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from capture_helpers import build_am_capture, complex_to_cs16
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx import channel as ch
+
+    sig, packets = build_am_capture(rng, n_frames=7, ma3=False)
+    sig = ch.impair(sig, snr_db=snr_db,
+                    sample_rate=C.SAMPLE_RATE_CS16_AM, rng=rng)
+    # both receivers fully decode ~one frame in the 4-5 window (diversity
+    # warm-up covers 0-3; the capture tail cuts the last frame): compare
+    # recovery within that window
+    want = {p for f, pk in packets if f in (4, 5) for p in pk}
+    return complex_to_cs16(sig), want
+
+
+def decode_reference_am(mod, data):
+    got = set()
+
+    def cb(t, e):
+        if t == mod.EventType.HDC and e.program == 0 \
+                and not (e.flags & mod.PacketFlags.CRC_ERROR):
+            got.add(bytes(e.data))
+
+    radio = mod.NRSC5(cb)
+    radio.open_pipe()
+    radio.set_mode(mod.Mode.AM)
+    for i in range(0, len(data), 131072):
+        radio.pipe_samples_cs16(data[i:i + 131072])
+    radio.close()
+    return got
+
+
+def decode_framework_am(data):
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.api.session import MODE_AM, NRSC5
+
+    got = set()
+
+    def cb(e):
+        if e.type == EventType.HDC and e.program == 0 and not e.crc_error:
+            got.add(e.data)
+
+    radio = NRSC5.open_pipe(cb, MODE_AM)
+    buf = np.frombuffer(data, np.int16)
+    for i in range(0, len(buf), 65536):
+        radio.pipe_samples_cs16(buf[i:i + 65536])
+    radio.flush()
+    return got
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--snrs", type=float, nargs="+",
                     default=[-6, -4, -2, 0, 2, 6, 12])
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0xBE12)
+    ap.add_argument("--am", action="store_true",
+                    help="sweep the AM (MA1) chain instead of FM")
     args = ap.parse_args()
 
     import jax
@@ -122,10 +178,15 @@ def main():
     rows = []
     for snr in args.snrs:
         rng = np.random.default_rng(args.seed)
-        cu8, packets = build_capture(rng, args.frames, snr)
-        want = set(packets)
-        ours = decode_framework(cu8) & want
-        ref = decode_reference(mod, cu8) & want if mod else set()
+        if args.am:
+            data, want = build_am(rng, snr)
+            ours = decode_framework_am(data) & want
+            ref = decode_reference_am(mod, data) & want if mod else set()
+        else:
+            cu8, packets = build_capture(rng, args.frames, snr)
+            want = set(packets)
+            ours = decode_framework(cu8) & want
+            ref = decode_reference(mod, cu8) & want if mod else set()
         rows.append((snr, len(ours), len(ref), len(want)))
         print(f"{snr:>7.1f} | {len(ours):>9} | {len(ref):>9} | {len(want)}")
     return rows
