@@ -123,8 +123,9 @@ def test_am_session_transport(rng, ma3):
     assert EventType.SYNC in kinds
     hdc = {e.data for e in events if e.type == EventType.HDC
            and not e.crc_error}
-    # frame 5 decodes (warm-up covers 0-4); its packets must appear
-    want = {p for f, pk in packets if f == 5 for p in pk}
+    # frames 4 and 5 decode (diversity warm-up covers 0-3, matching the
+    # reference's acquisition latency); their packets must appear
+    want = {p for f, pk in packets if f in (4, 5) for p in pk}
     got = sum(p in hdc for p in want)
     assert got == len(want), f"{got}/{len(want)} AM HDC packets"
 
