@@ -57,7 +57,10 @@ class NRSC5:
         self._source = None
         self._worker = None
         self._stop = threading.Event()
-        self._lock = threading.Lock()
+        # RLock: decode events are emitted while the lock is held, and a
+        # user callback may legally call back into set_mode/set_callback
+        # (the reference allows nrsc5_set_callback at any time)
+        self._lock = threading.RLock()
         self._iq_dump = None
         self._cs16_leftover = b""
         self._wire()
@@ -260,6 +263,9 @@ class NRSC5:
                 hi = mid - 1
         if best is not None:
             src._cmd(4, gains[best])
+            # record the chosen gain so get_gain reports it (reference:
+            # do_auto_gain stores the result, src/nrsc5.c:106)
+            src.gain = gains[best] / 10.0
 
     def _run(self):
         if getattr(self, "_want_auto_gain", False):
@@ -299,17 +305,19 @@ class NRSC5:
         end mid-I/Q-pair; the trailing partial 4-byte pair is carried to the
         next call (reference: src/nrsc5.c:627-650 leftover handling).
         """
-        if isinstance(data, (bytes, bytearray, memoryview)):
-            buf = self._cs16_leftover + bytes(data)
-            n = len(buf) - (len(buf) % 4)
-            self._cs16_leftover = buf[n:]
-            arr = np.frombuffer(buf[:n], np.int16)
-        else:
-            arr = np.asarray(data)
-        if arr.dtype == np.int16:
-            arr = (arr[0::2].astype(np.float32)
-                   + 1j * arr[1::2].astype(np.float32)) / 32768.0
         with self._lock:
+            # leftover carry under the lock: set_mode clears it and must
+            # not race a concurrent push
+            if isinstance(data, (bytes, bytearray, memoryview)):
+                buf = self._cs16_leftover + bytes(data)
+                n = len(buf) - (len(buf) % 4)
+                self._cs16_leftover = buf[n:]
+                arr = np.frombuffer(buf[:n], np.int16)
+            else:
+                arr = np.asarray(data)
+            if arr.dtype == np.int16:
+                arr = (arr[0::2].astype(np.float32)
+                       + 1j * arr[1::2].astype(np.float32)) / 32768.0
             self.radio.push_cs16(arr.astype(np.complex64))
 
 

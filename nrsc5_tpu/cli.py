@@ -138,18 +138,20 @@ class CLI:
             iq_dump = open(a.iq_output, "wb") if a.iq_output else None
             fmt = a.iq_input_format
             chunk = 32768
-            while True:
-                data = fobj.read(chunk)
-                if not data:
-                    break
+            try:
+                while True:
+                    data = fobj.read(chunk)
+                    if not data:
+                        break
+                    if iq_dump is not None:
+                        iq_dump.write(data)
+                    if fmt == "cu8":
+                        radio.pipe_samples_cu8(np.frombuffer(data, np.uint8))
+                    else:
+                        radio.pipe_samples_cs16(data)
+            finally:
                 if iq_dump is not None:
-                    iq_dump.write(data)
-                if fmt == "cu8":
-                    radio.pipe_samples_cu8(np.frombuffer(data, np.uint8))
-                else:
-                    radio.pipe_samples_cs16(np.frombuffer(data, np.int16))
-            if iq_dump is not None:
-                iq_dump.close()
+                    iq_dump.close()
         if self.wav is not None:
             self.wav.close()
         if self.audio_stream is not None and self.audio_stream is not \

@@ -48,6 +48,8 @@ def build(force: bool = False) -> str | None:
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib
+    if _lib is not False:  # write-once: lock-free fast path for hot calls
+        return _lib
     with _lock:
         if _lib is not False:
             return _lib

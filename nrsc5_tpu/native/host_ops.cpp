@@ -32,7 +32,7 @@ static void crc8_init() {
 }
 
 uint8_t nrsc5_crc8(const uint8_t* data, size_t len) {
-    if (!crc8_init_done) crc8_init();
+    if (!crc8_init_done) crc8_init();  // also run at load, see _init_all
     uint8_t c = 0xFF;
     for (size_t i = 0; i < len; i++)
         c = crc8_table[c ^ data[i]];
@@ -286,3 +286,17 @@ void nrsc5_rs_decode_pdu(uint8_t* bufs, int n, uint8_t* ok, int32_t* ncorr) {
 }
 
 }  // extern "C"
+
+// Initialize every lookup table at library load: the transport runs these
+// kernels from multiple Python threads with the GIL released, so lazy
+// first-call init would be a data race on the *_init_done flags.
+namespace {
+struct _InitAll {
+    _InitAll() {
+        crc8_init();
+        fcs_init();
+        gf_init();
+    }
+};
+static _InitAll _init_all;
+}  // namespace

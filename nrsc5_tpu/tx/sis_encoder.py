@@ -28,6 +28,8 @@ class BitWriter:
         self.off = 0
 
     def u(self, value: int, n: int):
+        assert 0 <= value < (1 << n), \
+            f"value {value} does not fit in {n} bits"
         for i in range(n - 1, -1, -1):
             self.bits[self.off] = (value >> i) & 1
             self.off += 1

@@ -48,10 +48,13 @@ def build(out_dir: str | None = None) -> str | None:
     lib = os.path.join(out_dir, "libnrsc5.so")
     sources = [os.path.join(src, f) for f in LIBRARY_FILES]
     sources += [os.path.join(HERE, "fftw_shim.c"), os.path.join(HERE, "rtlsdr_shim.c")]
-    newest_dep = max(
-        os.path.getmtime(p)
-        for p in sources + [os.path.join(HERE, f) for f in ("fftw3.h", "rtl-sdr.h", "config.h")]
-    )
+    import glob
+
+    headers = (glob.glob(os.path.join(src, "*.h"))
+               + glob.glob(os.path.join(include, "*.h"))
+               + [os.path.join(HERE, f)
+                  for f in ("fftw3.h", "rtl-sdr.h", "config.h")])
+    newest_dep = max(os.path.getmtime(p) for p in sources + headers)
     if os.path.exists(lib) and os.path.getmtime(lib) >= newest_dep:
         return lib
     cmd = [
@@ -74,7 +77,17 @@ def build(out_dir: str | None = None) -> str | None:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=300)
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError):
+    except subprocess.CalledProcessError as e:
+        # surface the compile error: a silently-skipped cross-check would
+        # make a broken gate look green
+        import sys
+
+        print(f"refbuild: cc failed:\n{e.stderr[-3000:]}", file=sys.stderr)
+        return None
+    except (subprocess.TimeoutExpired, FileNotFoundError) as e:
+        import sys
+
+        print(f"refbuild: {e!r}", file=sys.stderr)
         return None
     return lib
 

@@ -158,3 +158,20 @@ def id3_tag(title=None, artist=None, album=None, genre=None,
     ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
                 (size >> 7) & 0x7F, size & 0x7F])
     return b"ID3\x03\x00\x00" + ss + frames
+
+
+def fm_capture_cu8(mats, dummy, rng, sample_offset=1000, cfo_hz=100.0,
+                   snr_db=25.0):
+    """Standard FM cu8 capture scaffold: 2-block dummy lead + frames +
+    4-block dummy trail, modulate, impair, upsample to 1.488 MS/s cu8."""
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.modulator import modulate_fm
+
+    n_frames = len(mats)
+    matrix = np.concatenate([dummy[14 * 32:]] + list(mats) + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames), np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
+    sig = ch.impair(sig, sample_offset=sample_offset, cfo_hz=cfo_hz,
+                    snr_db=snr_db, rng=rng)
+    return ch.to_cu8(ch.upsample2(sig))

@@ -217,11 +217,11 @@ def test_reference_decodes_our_sis(reference_nrsc5):
     (reference decoder: src/pids.c:394-754)."""
     mod = reference_nrsc5
     from nrsc5_tpu import constants as C
-    from nrsc5_tpu.tx import channel as ch
     from nrsc5_tpu.tx import sis_encoder as SE
     from nrsc5_tpu.tx.encoder import build_pm_matrix
-    from nrsc5_tpu.tx.modulator import modulate_fm
     from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+
+    from .capture_helpers import fm_capture_cu8
 
     rng = np.random.default_rng(7)
     schedule = ([SE.station_id("US", 12345), SE.short_name("KTPU-FM")]
@@ -250,13 +250,7 @@ def test_reference_decodes_our_sis(reference_nrsc5):
             build_p1_fm_frame(packets, 0, f % 8, (f * 32) % 64), pids16()))
     dummy = build_pm_matrix(
         rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids16())
-    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
-    bc_seq = np.concatenate([np.arange(14, 16),
-                             np.tile(np.arange(16), n_frames), np.arange(4)])
-    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
-    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
-                    rng=rng)
-    cu8 = ch.to_cu8(ch.upsample2(sig))
+    cu8 = fm_capture_cu8(mats, dummy, rng)
 
     events = _decode_with_reference(mod, cu8)
     by_type = {}
@@ -334,12 +328,10 @@ def test_reference_agrees_here_image(reference_nrsc5):
     src/here_images.c, src/output.c:701-709)."""
     mod = reference_nrsc5
     from nrsc5_tpu import constants as C
-    from nrsc5_tpu.tx import channel as ch
     from nrsc5_tpu.tx.encoder import build_pm_matrix
-    from nrsc5_tpu.tx.modulator import modulate_fm
     from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
 
-    from .capture_helpers import here_packet
+    from .capture_helpers import fm_capture_cu8, here_packet
 
     PORT = 0x1002
     rng = np.random.default_rng(11)
@@ -367,13 +359,7 @@ def test_reference_agrees_here_image(reference_nrsc5):
         pids) for f in range(3)]
     dummy = build_pm_matrix(
         rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
-    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
-    bc_seq = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), 3),
-                             np.arange(4)])
-    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
-    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
-                    rng=rng)
-    cu8 = ch.to_cu8(ch.upsample2(sig))
+    cu8 = fm_capture_cu8(mats, dummy, rng)
 
     ET = mod.EventType
     ref_events = _decode_with_reference(mod, cu8)
@@ -397,12 +383,10 @@ def test_reference_agrees_id3_fields(reference_nrsc5):
     ID3 parse: src/output.c:248-491)."""
     mod = reference_nrsc5
     from nrsc5_tpu import constants as C
-    from nrsc5_tpu.tx import channel as ch
     from nrsc5_tpu.tx.encoder import build_pm_matrix
-    from nrsc5_tpu.tx.modulator import modulate_fm
     from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
 
-    from .capture_helpers import id3_tag
+    from .capture_helpers import fm_capture_cu8, id3_tag
 
     rng = np.random.default_rng(23)
     tag = id3_tag(title="Song Of The TPU", artist="The Systolics",
@@ -421,13 +405,7 @@ def test_reference_agrees_id3_fields(reference_nrsc5):
         pids) for f in range(3)]
     dummy = build_pm_matrix(
         rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
-    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
-    bc_seq = np.concatenate([np.arange(14, 16), np.tile(np.arange(16), 3),
-                             np.arange(4)])
-    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
-    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
-                    rng=rng)
-    cu8 = ch.to_cu8(ch.upsample2(sig))
+    cu8 = fm_capture_cu8(mats, dummy, rng)
 
     ET = mod.EventType
     ref = [e for t, e in _decode_with_reference(mod, cu8) if t == ET.ID3]
@@ -461,10 +439,10 @@ def test_reference_agrees_multifragment_lot(reference_nrsc5):
     src/output.c:627-872)."""
     mod = reference_nrsc5
     from nrsc5_tpu import constants as C
-    from nrsc5_tpu.tx import channel as ch
     from nrsc5_tpu.tx.encoder import build_pm_matrix
-    from nrsc5_tpu.tx.modulator import modulate_fm
     from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    from .capture_helpers import fm_capture_cu8
 
     PORT = 0x1003
     LOT_ID = 21
@@ -518,14 +496,7 @@ def test_reference_agrees_multifragment_lot(reference_nrsc5):
         pids) for f in range(n_frames)]
     dummy = build_pm_matrix(
         rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
-    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
-    bc_seq = np.concatenate([np.arange(14, 16),
-                             np.tile(np.arange(16), n_frames),
-                             np.arange(4)])
-    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
-    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
-                    rng=rng)
-    cu8 = ch.to_cu8(ch.upsample2(sig))
+    cu8 = fm_capture_cu8(mats, dummy, rng)
 
     ET = mod.EventType
     ref_lots = [(e.name, bytes(e.data), e.lot)
@@ -550,12 +521,12 @@ def test_reference_agrees_fixed_subchannel(reference_nrsc5):
     mod = reference_nrsc5
     from nrsc5_tpu import constants as C
     from nrsc5_tpu.transport.frame import BBM_MAGIC
-    from nrsc5_tpu.tx import channel as ch
     from nrsc5_tpu.tx.encoder import build_pm_matrix
-    from nrsc5_tpu.tx.modulator import modulate_fm
     from nrsc5_tpu.tx.transport_encoder import (aas_frame, build_audio_pdu,
                                                 hdlc_escape, pack_frame)
     from nrsc5_tpu.utils.crc import fcs16_append
+
+    from .capture_helpers import fm_capture_cu8
 
     SYNC_BYTE, SYNC_WIDTH, SUB_LEN = 0xFF, 30, 64
     rng = np.random.default_rng(41)
@@ -593,13 +564,7 @@ def test_reference_agrees_fixed_subchannel(reference_nrsc5):
         mats.append(build_pm_matrix(bits, pids))
     dummy = build_pm_matrix(
         rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
-    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
-    bc_seq = np.concatenate([np.arange(14, 16),
-                             np.tile(np.arange(16), n_frames), np.arange(4)])
-    sig = modulate_fm(matrix, bc_seq, 1, amplitude=0.15)
-    sig = ch.impair(sig, sample_offset=1000, cfo_hz=100.0, snr_db=25.0,
-                    rng=rng)
-    cu8 = ch.to_cu8(ch.upsample2(sig))
+    cu8 = fm_capture_cu8(mats, dummy, rng)
 
     ET = mod.EventType
     ref_titles = {e.title for t, e in _decode_with_reference(mod, cu8)

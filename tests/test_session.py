@@ -384,3 +384,24 @@ def test_set_mode_switch_and_version(rng):
     radio.flush()
     assert NRSC5.get_version()
     assert radio.get_frequency() != radio.get_frequency()  # NaN: no tuner
+
+
+def test_set_mode_reentrant_from_callback(rng):
+    """Calling set_mode/set_callback from inside the event callback must
+    not deadlock (events are emitted under the session lock; the
+    reference allows nrsc5_set_callback at any time, src/nrsc5.c:585)."""
+    from .capture_helpers import build_am_capture
+
+    done = []
+
+    def cb(ev):
+        if ev.type == EventType.SYNC and not done:
+            done.append(True)
+            radio.set_callback(lambda e: None)
+
+    from nrsc5_tpu.api.session import MODE_AM
+    radio = NRSC5.open_pipe(cb, MODE_AM)
+    sig, _ = build_am_capture(rng, n_frames=5, ma3=False)
+    for i in range(0, len(sig), 32768):
+        radio.pipe_samples_cs16(sig[i:i + 32768])
+    assert done, "never synced"
