@@ -6,9 +6,12 @@ import numpy as np
 from nrsc5_tpu import constants as C
 
 
-def build_am_capture(rng, n_frames: int = 7, ma3: bool = False):
+def build_am_capture(rng, n_frames: int = 7, ma3: bool = False,
+                     sis_frames=None):
     """MA1/MA3 AM capture with 466-byte audio PDUs; returns
-    (complex64 signal @ 46.5 kS/s, [(frame, [packet bytes])...])."""
+    (complex64 signal @ 46.5 kS/s, [(frame, [packet bytes])...]).
+    sis_frames: optional list of 80-bit PIDS frames (device bit order,
+    e.g. from tx.sis_encoder) cycled across blocks; default random."""
     from nrsc5_tpu.tx import encoder_am as EAM
     from nrsc5_tpu.tx.modulator_am import modulate_am
     from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
@@ -28,8 +31,14 @@ def build_am_capture(rng, n_frames: int = 7, ma3: bool = False):
     mats = EAM.interleave_frames(
         [EAM.encode_p1_am(p1_bits[f]) for f in range(n_frames)],
         [EAM.encode_p3_am(p3[f], ma3) for f in range(n_frames)], ma3)
-    pids = np.stack([EAM.encode_pids_am(
-        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n_frames * 8)])
+    if sis_frames is None:
+        pids = np.stack([EAM.encode_pids_am(
+            rng.integers(0, 2, 80).astype(np.uint8))
+            for _ in range(n_frames * 8)])
+    else:
+        pids = np.stack([EAM.encode_pids_am(
+            np.asarray(sis_frames[b % len(sis_frames)], np.uint8))
+            for b in range(n_frames * 8)])
     psmi = C.SERVICE_MODE_MA3 if ma3 else C.SERVICE_MODE_MA1
     ref = np.stack([EAM.am_ref_bits(b % 8, psmi)
                     for b in range(n_frames * 8)])

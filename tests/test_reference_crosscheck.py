@@ -147,16 +147,26 @@ def test_reference_agrees_am(reference_nrsc5):
     """AM (MA1) cross-check: the reference binary must decode the AM HDC
     packets our truth harness modulated, bit-exactly (cs16 @ 46.5 kS/s,
     reference path: src/input.c:119 -> sync_process_am -> decode ->
-    frame_push P1_FRAME_LEN_AM)."""
+    frame_push P1_FRAME_LEN_AM), plus the SIS station name carried on the
+    AM PIDS subcarriers (QAM16 -> K=9 unpunctured -> src/pids.c)."""
     mod = reference_nrsc5
+    from nrsc5_tpu.tx import sis_encoder as SE
+
     from .capture_helpers import build_am_capture
 
     rng = np.random.default_rng(0x5EED)
-    sig, packets = build_am_capture(rng, n_frames=7, ma3=False)
+    sig, packets = build_am_capture(
+        rng, n_frames=7, ma3=False,
+        sis_frames=[SE.short_name("KAMX-FM"), SE.station_id("US", 777)])
     events = _reference_decode_am(mod, sig)
 
     ET = mod.EventType
     assert ET.SYNC in {t for t, _ in events}, "reference failed AM sync"
+    names = {e.name for t, e in events if t == ET.STATION_NAME}
+    assert "KAMX-FM" in names, names
+    ids = {(e.country_code, e.fcc_facility_id)
+           for t, e in events if t == ET.STATION_ID}
+    assert ("US", 777) in ids, ids
     ref_hdc = {bytes(e.data) for t, e in events
                if t == ET.HDC and e.program == 0
                and not (e.flags & mod.PacketFlags.CRC_ERROR)}
