@@ -586,3 +586,34 @@ def test_reference_agrees_fixed_subchannel(reference_nrsc5):
     our_titles = {e.title for e in _decode_with_framework(cu8)
                   if e.type == OurET.ID3}
     assert "FixedSub" in our_titles, our_titles
+
+
+@pytest.mark.parametrize("cfo_hz", [3000.0, -5000.0])
+def test_cfo_tolerance_parity(reference_nrsc5, cfo_hz):
+    """Integer-CFO acquisition parity: at multi-bin carrier offsets both
+    receivers recover the same packet count from the identical capture
+    (our ops/detect_cfo.py vs the reference's +-38-bin search,
+    src/sync.c:292-337; measured identical at +-1/3/5/8 kHz)."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    from support.ref_sensitivity import (build_capture, decode_framework,
+                                         decode_reference)
+
+    rng = np.random.default_rng(0xBE12)
+    import nrsc5_tpu.tx.channel as ch
+
+    orig = ch.impair
+
+    def impair_cfo(sig, sample_offset=0, **kw):
+        kw["cfo_hz"] = cfo_hz
+        return orig(sig, sample_offset=sample_offset, **kw)
+
+    ch.impair, saved = impair_cfo, orig
+    try:
+        cu8, packets = build_capture(rng, 3, 25.0)
+    finally:
+        ch.impair = saved
+    want = set(packets)
+    ours = decode_framework(cu8) & want
+    ref = decode_reference(mod, cu8) & want
+    assert len(ours) >= len(ref) >= 64, (cfo_hz, len(ours), len(ref))
