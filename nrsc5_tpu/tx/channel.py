@@ -33,6 +33,19 @@ def impair(
     return out.astype(np.complex64)
 
 
+def clock_drift(sig: np.ndarray, ppm: float) -> np.ndarray:
+    """Resample by a constant sample-clock error of ``ppm`` parts-per-million
+    (linear interpolation; exercises the receiver's samperr feedback loop,
+    reference: src/sync.c:426-463 -> src/acquire.c:110-119)."""
+    if not ppm:
+        return sig
+    n_out = int(len(sig) / (1.0 + ppm * 1e-6))
+    t = np.arange(n_out, dtype=np.float64) * (1.0 + ppm * 1e-6)
+    re = np.interp(t, np.arange(len(sig)), sig.real)
+    im = np.interp(t, np.arange(len(sig)), sig.imag)
+    return (re + 1j * im).astype(np.complex64)
+
+
 def upsample2(sig: np.ndarray) -> np.ndarray:
     """Naive 2x zero-stuff + lowpass for generating 1.488 MS/s cu8 captures
     from 744 kS/s FM baseband."""

@@ -617,3 +617,46 @@ def test_cfo_tolerance_parity(reference_nrsc5, cfo_hz):
     ours = decode_framework(cu8) & want
     ref = decode_reference(mod, cu8) & want
     assert len(ours) >= len(ref) >= 64, (cfo_hz, len(ours), len(ref))
+
+
+def test_clock_drift_parity(reference_nrsc5):
+    """Sample-clock drift tracking parity: both receivers fully track
+    +-50 ppm and degrade identically at +100 ppm (the samperr feedback
+    loop; reference: src/sync.c:426-463 -> src/acquire.c:110-119)."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    import nrsc5_tpu.tx.channel as ch
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+    from support.ref_sensitivity import decode_framework, decode_reference
+
+    from .capture_helpers import fm_capture_cu8
+
+    for ppm, floor in ((50.0, 100), (100.0, 60)):
+        rng = np.random.default_rng(0xBE12)
+        all_packets, mats = [], []
+        pids = np.zeros((16, 80), np.uint8)
+        for f in range(4):
+            pk = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                  for _ in range(32)]
+            all_packets.extend(pk)
+            mats.append(build_pm_matrix(
+                build_p1_fm_frame(pk, 0, f % 8, (f * 32) % 64), pids))
+        dummy = build_pm_matrix(
+            rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+
+        orig = ch.impair
+
+        def impair_drift(sig, **kw):
+            return orig(ch.clock_drift(sig, ppm), **kw)
+
+        ch.impair = impair_drift
+        try:
+            cu8 = fm_capture_cu8(mats, dummy, rng)
+        finally:
+            ch.impair = orig
+        want = set(all_packets)
+        ours = decode_framework(cu8) & want
+        ref = decode_reference(mod, cu8) & want
+        assert len(ours) >= len(ref) >= floor, (ppm, len(ours), len(ref))
