@@ -33,6 +33,16 @@ def impair(
     return out.astype(np.complex64)
 
 
+def multipath(sig: np.ndarray, delay: int, amp: float,
+              phase: float = 0.7) -> np.ndarray:
+    """Static 2-ray channel: add an echo at ``delay`` samples with relative
+    amplitude ``amp`` (exercises the per-subcarrier equalizers,
+    reference: src/sync.c:254-282 FM / 673-724 AM)."""
+    echo = np.zeros_like(sig)
+    echo[delay:] = sig[:-delay] * amp * np.exp(1j * phase)
+    return (sig + echo).astype(np.complex64)
+
+
 def clock_drift(sig: np.ndarray, ppm: float) -> np.ndarray:
     """Resample by a constant sample-clock error of ``ppm`` parts-per-million
     (linear interpolation; exercises the receiver's samperr feedback loop,

@@ -660,3 +660,47 @@ def test_clock_drift_parity(reference_nrsc5):
         ours = decode_framework(cu8) & want
         ref = decode_reference(mod, cu8) & want
         assert len(ours) >= len(ref) >= floor, (ppm, len(ours), len(ref))
+
+
+def test_multipath_parity(reference_nrsc5):
+    """Static 2-ray multipath (echo 7 samples @ 0.8, 30 @ 0.5): both
+    equalizers fully recover the same packets (ours interpolates the
+    adjacent reference subcarriers like the reference's
+    src/sync.c:254-282; measured identical across delay/amp grid)."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    import nrsc5_tpu.tx.channel as ch
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+    from support.ref_sensitivity import decode_framework, decode_reference
+
+    from .capture_helpers import fm_capture_cu8
+
+    for delay, amp in ((7, 0.8), (30, 0.5)):
+        rng = np.random.default_rng(0xBE12)
+        all_packets, mats = [], []
+        pids = np.zeros((16, 80), np.uint8)
+        for f in range(3):
+            pk = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                  for _ in range(32)]
+            all_packets.extend(pk)
+            mats.append(build_pm_matrix(
+                build_p1_fm_frame(pk, 0, f % 8, (f * 32) % 64), pids))
+        dummy = build_pm_matrix(
+            rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+
+        orig = ch.impair
+
+        def impair_mp(sig, **kw):
+            return orig(ch.multipath(sig, delay, amp), **kw)
+
+        ch.impair = impair_mp
+        try:
+            cu8 = fm_capture_cu8(mats, dummy, rng)
+        finally:
+            ch.impair = orig
+        want = set(all_packets)
+        ours = decode_framework(cu8) & want
+        ref = decode_reference(mod, cu8) & want
+        assert len(ours) >= len(ref) >= 64, (delay, amp, len(ours), len(ref))
