@@ -49,6 +49,35 @@ def _bench_setup():
     return jax
 
 
+def _run_dispatch_streams(step_once, n_reps: int, depth: int, syncs):
+    """Shared dispatch scaffolding for every bench row: ``len(syncs)``
+    concurrent dispatch streams, each keeping up to ``depth`` results in
+    flight so device compute overlaps the tunnel round-trip + output
+    transfer; ``syncs[i](out)`` is stream i's synchronization/consumption
+    of one finished dispatch (a small-output fetch, or the host transport
+    in e2e mode — block_until_ready does not wait on the axon backend).
+    Returns each stream's final output."""
+
+    def stream(sync):
+        inflight: list = []
+        last = None
+        for _ in range(n_reps):
+            inflight.append(step_once())
+            if len(inflight) > max(depth, 1):
+                last = inflight.pop(0)
+                sync(last)
+        for o in inflight:
+            sync(o)
+            last = o
+        return last
+
+    if len(syncs) > 1:
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(len(syncs)) as pool:
+            return list(pool.map(stream, syncs))
+    return [stream(syncs[0])]
+
+
 def run_bench_mp3(args) -> dict:
     """Extended-mode row: MP3 (cm=3) P1 + PX1 from I/Q on device, decode
     gate bit-exact on P1 frames and cycle-1 P3 frames."""
@@ -177,25 +206,11 @@ def run_bench_am(args) -> dict:
     n_threads = args.threads if args.threads is not None else (
         1 if os.environ.get("NRSC5_BENCH_CPU") else 4)
 
-    def _am_stream(n_reps):
-        prev = None
-        for _ in range(n_reps):
-            o = step(samples, carries)
-            if prev is not None:
-                np.asarray(prev["p1_margin"])
-            prev = o
-        np.asarray(prev["p1_margin"])
-        return prev
-
     t0 = time.perf_counter()
-    if n_threads > 1:
-        import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(n_threads) as pool:
-            outs = list(pool.map(lambda _: _am_stream(args.reps),
-                                 range(n_threads)))
-        out = outs[-1]
-    else:
-        out = _am_stream(args.reps)
+    outs = _run_dispatch_streams(
+        lambda: step(samples, carries), args.reps, 1,
+        [lambda o: np.asarray(o["p1_margin"])] * n_threads)
+    out = outs[-1]
     dt = time.perf_counter() - t0
 
     from nrsc5_tpu.ops.bits import unpack_bits
@@ -292,7 +307,6 @@ def run_bench_e2e(args) -> dict:
     RS -> packet CRC -> elastic -> HDC/ID3 events).  Gated on real
     transport events, not just decoded bits."""
     jax = _bench_setup()
-    import concurrent.futures as cf
 
     import jax.numpy as jnp
 
@@ -373,22 +387,10 @@ def run_bench_e2e(args) -> dict:
                     for _ in range(C.P1_FM_BLOCKS):
                         outp.advance()
 
-        def run(self, n_reps):
-            inflight: list = []
-            for _ in range(n_reps):
-                inflight.append(step(samples, carries))
-                if len(inflight) > max(args.pipeline, 1):
-                    self.consume(inflight.pop(0))
-            for o in inflight:
-                self.consume(o)
-
     streams = [_Stream() for _ in range(n_threads)]
     t0 = time.perf_counter()
-    if n_threads > 1:
-        with cf.ThreadPoolExecutor(n_threads) as pool:
-            list(pool.map(lambda st: st.run(args.reps), streams))
-    else:
-        streams[0].run(args.reps)
+    _run_dispatch_streams(lambda: step(samples, carries), args.reps,
+                          args.pipeline, [st.consume for st in streams])
     dt = time.perf_counter() - t0
 
     want_hdc = args.reps * args.stations * args.frames * 32
@@ -500,35 +502,16 @@ def run_bench(args) -> dict:
         # host cores ARE the compute there)
         n_threads = 4 if use_rc else 1
 
-    def _dispatch_loop(n_reps):
-        """One dispatch stream: keep `pipeline` results in flight so
-        device compute overlaps the tunnel round-trip + output transfer
-        (each dispatch is an independent batch; a deployment would
-        rotate input buffers the same way)."""
-        inflight: list = []
-        for _ in range(n_reps):
-            inflight.append(step(samples, carries))
-            if len(inflight) > max(args.pipeline, 1):
-                np.asarray(inflight.pop(0)["p1_margin"])
-        for o in inflight[:-1]:
-            np.asarray(o["p1_margin"])
-        np.asarray(inflight[-1]["p1_margin"])
-        return inflight[-1]
-
+    # concurrent dispatch streams: each synchronous execute RPC spends
+    # most of its wall time in the tunnel round-trip, which independent
+    # host threads overlap (measured: 16 stations x 1 frame goes 753x ->
+    # 842x real time at 4 threads); each stream keeps `pipeline` results
+    # in flight (a deployment would rotate input buffers the same way)
     t0 = time.perf_counter()
-    if n_threads > 1:
-        # concurrent dispatch streams: each synchronous execute RPC
-        # spends most of its wall time in the tunnel round-trip, which
-        # independent host threads overlap (measured: 16 stations x 1
-        # frame goes 753x -> 842x real time at 4 threads)
-        import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(n_threads) as pool:
-            outs = list(pool.map(lambda _: _dispatch_loop(args.reps),
-                                 range(n_threads)))
-        out = outs[-1]
-    else:
-        outs = [_dispatch_loop(args.reps)]
-        out = outs[0]
+    outs = _run_dispatch_streams(
+        lambda: step(samples, carries), args.reps, args.pipeline,
+        [lambda o: np.asarray(o["p1_margin"])] * n_threads)
+    out = outs[-1]
     dt = time.perf_counter() - t0
 
     # correctness gate after timing: every station and every frame of

@@ -104,11 +104,19 @@ class _AlsaPlayer:
     def write(self, samples: np.ndarray):
         buf = np.ascontiguousarray(samples, np.int16)
         frames = buf.size // self._channels
-        ptr = buf.ctypes.data_as(ctypes.c_void_p)
-        n = self._lib.snd_pcm_writei(self._pcm, ptr, frames)
-        if n < 0:  # underrun (-EPIPE) → recover and retry once
-            self._lib.snd_pcm_prepare(self._pcm)
-            self._lib.snd_pcm_writei(self._pcm, ptr, frames)
+        done = 0
+        recovered = False
+        while done < frames:
+            ptr = ctypes.c_void_p(
+                buf.ctypes.data + done * self._channels * 2)
+            n = self._lib.snd_pcm_writei(self._pcm, ptr, frames - done)
+            if n <= 0:  # underrun (-EPIPE) → recover and retry once
+                if recovered:
+                    return  # second failure: drop the rest of the buffer
+                recovered = True
+                self._lib.snd_pcm_prepare(self._pcm)
+                continue
+            done += n  # short writes resume at the unwritten frame
 
     def close(self):
         self._lib.snd_pcm_drain(self._pcm)

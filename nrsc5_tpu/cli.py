@@ -34,7 +34,8 @@ def _version() -> str:
         from importlib.metadata import version
         return version("nrsc5-tpu")
     except Exception:
-        return "0.1.0"
+        from nrsc5_tpu import __version__
+        return __version__
 
 
 def build_adts(packet: bytes) -> bytes:
@@ -71,10 +72,15 @@ class CLI:
         is_wav = (a.audio_type == "wav" if a.audio_type
                   else bool(a.output) and a.output.endswith(".wav"))
         if a.output and is_wav:
-            self.wav = wave.open(a.output, "wb")
+            self.wav = wave.open(sys.stdout.buffer if a.output == "-"
+                                 else a.output, "wb")
             self.wav.setnchannels(2)
             self.wav.setsampwidth(2)
             self.wav.setframerate(C.SAMPLE_RATE_AUDIO)
+            if a.output == "-":
+                # unseekable stream: pre-declare a frame count so the
+                # header never needs patching (reference: support/cli.py:112)
+                self.wav.setnframes((1 << 30) - 64)
         elif a.output:
             # raw interleaved int16 stereo (reference: src/main.c open_ao_file)
             self.audio_stream = (sys.stdout.buffer if a.output == "-"
@@ -153,7 +159,10 @@ class CLI:
                 if iq_dump is not None:
                     iq_dump.close()
         if self.wav is not None:
-            self.wav.close()
+            try:
+                self.wav.close()
+            except OSError:
+                pass  # unseekable stdout: header was pre-declared
         if self.audio_stream is not None and self.audio_stream is not \
                 sys.stdout.buffer:
             self.audio_stream.close()

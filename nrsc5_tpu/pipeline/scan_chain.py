@@ -78,6 +78,41 @@ def px_frame_lens(psmi: int) -> tuple[int, int]:
     return px1, px2
 
 
+def px_scan_pairs(px_scanned, n_blocks: int, first_bc: int,
+                  fl1: int, fl2: int, states: dict):
+    """Shared PX interleaver-IV decode over pair-aligned block LLRs —
+    used by both the complex and the real-valued fused chains (they must
+    stay bit-identical twins).
+
+    ``states`` maps ``"px1"``/``"px2"`` (active channels only) to their
+    ``(iv_internal, call_phase)`` carry.  Returns ``(outputs, new_states)``
+    where outputs holds ``pxN`` bits and ``pxN_margin`` per pair.
+    """
+    assert first_bc % 2 == 0 and n_blocks % 2 == 0, \
+        "PX decode needs pair-aligned blocks"
+    from nrsc5_tpu.ops import interleavers as IL
+    from nrsc5_tpu.ops.decode_fm import px_decode
+    out, new_states = {}, {}
+    idx = 0
+    for key, fl in (("px1", fl1), ("px2", fl2)):
+        if not fl:
+            continue
+        llrs = px_scanned[idx].reshape(n_blocks // 2, 2 * fl)
+        idx += 1
+        _, _, calls = IL.p3_iv_tables(fl)
+
+        def px_step(c, llr, fl=fl, calls=calls):
+            internal, ph = c
+            bits, margin, internal = px_decode(internal, llr, ph, fl)
+            return (internal, (ph + 1) % calls), (bits, margin)
+
+        new_states[key], (bits, margins) = jax.lax.scan(
+            px_step, states[key], llrs)
+        out[key] = bits
+        out[key + "_margin"] = margins
+    return out, new_states
+
+
 def iv_state_len(frame_len: int) -> int:
     if frame_len == 0:
         return 0
@@ -171,32 +206,15 @@ def fm_chain_scan(samples: jax.Array, carry: ChainCarry,
     if px_state is not None:
         fl1, fl2 = px_frame_lens(psmi)
         assert fl1 or fl2, "px_state passed but psmi has no PX channels"
-        assert first_bc % 2 == 0 and n_blocks % 2 == 0, \
-            "PX decode needs pair-aligned blocks"
-        from nrsc5_tpu.ops.decode_fm import px_decode
-        from nrsc5_tpu.ops import interleavers as IL
+        states = {k: (getattr(px_state, f"{k}_internal"),
+                      getattr(px_state, f"{k}_phase"))
+                  for k, fl in (("px1", fl1), ("px2", fl2)) if fl}
+        px_out, new_states = px_scan_pairs(
+            px_scanned, n_blocks, first_bc, fl1, fl2, states)
+        out.update(px_out)
         new_px = dict(px_state._asdict())
-        idx = 0
-        for key, fl, st_i, st_p in (
-                ("px1", fl1, "px1_internal", "px1_phase"),
-                ("px2", fl2, "px2_internal", "px2_phase")):
-            if not fl:
-                continue
-            llrs = px_scanned[idx].reshape(n_blocks // 2, 2 * fl)
-            idx += 1
-            _, _, calls = IL.p3_iv_tables(fl)
-
-            def px_step(c, llr, fl=fl, calls=calls):
-                internal, ph = c
-                bits, margin, internal = px_decode(internal, llr, ph, fl)
-                return (internal, (ph + 1) % calls), (bits, margin)
-
-            (internal, phase_), (bits, margins) = jax.lax.scan(
-                px_step, (getattr(px_state, st_i),
-                          getattr(px_state, st_p)), llrs)
-            new_px[st_i], new_px[st_p] = internal, phase_
-            out[key] = bits
-            out[key + "_margin"] = margins
+        for k, (internal, ph) in new_states.items():
+            new_px[f"{k}_internal"], new_px[f"{k}_phase"] = internal, ph
         out["px_state"] = PxState(**new_px)
     if packed:
         from nrsc5_tpu.ops.bits import pack_out

@@ -312,34 +312,19 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
         out["p1_bit_errors"] = errors
 
     # PX channels: interleaver-IV call per block pair, state carried
-    # across dispatches (rc analog of pipeline/receiver.py _fine_step)
+    # across dispatches (rc analog of pipeline/receiver.py _fine_step);
+    # the decode itself is shared with the complex chain (px_scan_pairs)
     if fl1 or fl2:
-        assert first_bc % 2 == 0 and n_blocks % 2 == 0, \
-            "PX decode needs pair-aligned blocks"
-        from nrsc5_tpu.ops import interleavers as IL
-        from nrsc5_tpu.ops.decode_fm import px_decode
-        idx = 0
-        for key, fl, st_i, st_p in (("px1", fl1, "px1_internal",
-                                     "px1_phase"),
-                                    ("px2", fl2, "px2_internal",
-                                     "px2_phase")):
-            if not fl:
-                continue
-            llrs = px_scanned[idx].reshape(n_blocks // 2, 2 * fl)
-            idx += 1
-            _, _, calls = IL.p3_iv_tables(fl)
-
-            def px_step(c, llr, fl=fl, calls=calls):
-                internal, ph = c
-                bits, margin, internal = px_decode(internal, llr, ph, fl)
-                return (internal, (ph + 1) % calls), (bits, margin)
-
-            (internal, phase_), (bits, margins) = jax.lax.scan(
-                px_step, (getattr(carry, st_i), getattr(carry, st_p)),
-                llrs)
-            carry = carry._replace(**{st_i: internal, st_p: phase_})
-            out[key] = bits
-            out[key + "_margin"] = margins
+        from nrsc5_tpu.pipeline.scan_chain import px_scan_pairs
+        states = {k: (getattr(carry, f"{k}_internal"),
+                      getattr(carry, f"{k}_phase"))
+                  for k, fl in (("px1", fl1), ("px2", fl2)) if fl}
+        px_out, new_states = px_scan_pairs(
+            px_scanned, n_blocks, first_bc, fl1, fl2, states)
+        out.update(px_out)
+        for k, (internal, ph) in new_states.items():
+            carry = carry._replace(**{f"{k}_internal": internal,
+                                      f"{k}_phase": ph})
     if packed:
         from nrsc5_tpu.ops.bits import pack_out
         out = pack_out(out)

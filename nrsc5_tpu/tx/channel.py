@@ -38,6 +38,10 @@ def multipath(sig: np.ndarray, delay: int, amp: float,
     """Static 2-ray channel: add an echo at ``delay`` samples with relative
     amplitude ``amp`` (exercises the per-subcarrier equalizers,
     reference: src/sync.c:254-282 FM / 673-724 AM)."""
+    if delay < 0:
+        raise ValueError(f"echo delay must be >= 0, got {delay}")
+    if delay == 0:  # zero-delay echo = a complex gain on the direct ray
+        return (sig * (1.0 + amp * np.exp(1j * phase))).astype(np.complex64)
     echo = np.zeros_like(sig)
     echo[delay:] = sig[:-delay] * amp * np.exp(1j * phase)
     return (sig + echo).astype(np.complex64)
