@@ -69,6 +69,29 @@ def test_cli_wav_output(capture, tmp_path):
     assert frames.size > 0 and np.abs(frames).max() > 3000
 
 
+def test_cli_wav_to_stdout(capture, monkeypatch, tmp_path):
+    """-o - -t wav streams a RIFF/WAVE file to stdout with a pre-declared
+    frame count (unseekable stream; reference: support/cli.py:108-112)."""
+    import io
+
+    from nrsc5_tpu.cli import main
+
+    sink = io.BytesIO()
+    sink.seekable = lambda: False
+
+    class FakeStdout:
+        buffer = sink
+
+    monkeypatch.setattr(sys, "stdout", FakeStdout())
+    main(["-r", str(capture), "0", "0", "-o", "-", "-t", "wav", "-q"])
+
+    data = sink.getvalue()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pcm = np.frombuffer(data[44:len(data) - (len(data) - 44) % 2], np.int16)
+    assert pcm.size >= 2 * 2048 * 32, f"only {pcm.size} streamed samples"
+    assert np.abs(pcm).max() > 3000, "streamed audio is silent"
+
+
 def test_cli_live_playback(capture, monkeypatch):
     """No -o → the CLI opens a playback backend and streams PCM to it
     through the playback thread (reference: src/main.c:644-681)."""
