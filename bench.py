@@ -133,27 +133,36 @@ def run_bench_mp3(args) -> dict:
     out = step(samples, carries)
     np.asarray(out["p1_margin"])
     log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    n_threads = args.threads if args.threads is not None else (
+        1 if os.environ.get("NRSC5_BENCH_CPU") else 4)
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out = step(samples, carries)
-        np.asarray(out["p1_margin"])
+    outs = _run_dispatch_streams(
+        lambda: step(samples, carries), args.reps, args.pipeline,
+        [lambda o: np.asarray(o["p1_margin"])] * n_threads)
+    out = outs[-1]
     dt = time.perf_counter() - t0
 
     from nrsc5_tpu.ops.bits import unpack_bits
-    got_p1 = unpack_bits(out["p1"])
-    for s in range(args.stations):
-        for i in range(1, 4):
-            assert np.array_equal(got_p1[s, i], p1s[i]), \
-                f"P1 gate failed (station {s} frame {i})"
-    got_px = unpack_bits(out["px1"])
-    for s in range(args.stations):
-        have = {got_px[s, i].tobytes() for i in range(got_px.shape[1])}
-        hits = sum(p3[1][i].tobytes() in have for i in range(16))
-        assert hits >= 12, f"PX1 gate: {hits}/16 (station {s})"
-    log("# decode gate: PASSED (P1 + cycle-1 PX1 bit-exact)")
+    for out in outs:  # every stream's final output must gate
+        got_p1 = unpack_bits(out["p1"])
+        for s in range(args.stations):
+            for i in range(1, 4):
+                assert np.array_equal(got_p1[s, i], p1s[i]), \
+                    f"P1 gate failed (station {s} frame {i})"
+        got_px = unpack_bits(out["px1"])
+        for s in range(args.stations):
+            have = {got_px[s, i].tobytes() for i in range(got_px.shape[1])}
+            hits = sum(p3[1][i].tobytes() in have for i in range(16))
+            assert hits >= 12, f"PX1 gate: {hits}/16 (station {s})"
+    log(f"# decode gate: PASSED (P1 + cycle-1 PX1 bit-exact, "
+        f"{len(outs)} streams)")
 
-    n_samples = args.reps * args.stations * n_blocks * C.BLKSZ * C.FFTCP_FM
+    n_samples = (args.reps * n_threads * args.stations
+                 * n_blocks * C.BLKSZ * C.FFTCP_FM)
     realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
+    log(f"# mp3 stations={args.stations} reps={args.reps} "
+        f"threads={n_threads} wall={dt:.3f}s")
     return {"metric": "fm_mp3_px1_chain_realtime_multiple_per_chip",
             "value": round(realtime, 2), "unit": "x_realtime",
             "vs_baseline": round(realtime, 2)}
@@ -287,14 +296,19 @@ def run_bench_coldstart(args) -> dict:
     assert got & {p1[i].tobytes() for i in range(n_frames)}, \
         "cold-start decode gate failed"
 
+    n_threads = args.threads if args.threads is not None else (
+        1 if os.environ.get("NRSC5_BENCH_CPU") else 4)
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out, blocks = flow()
-        np.asarray(out["p1_margin"])
+    # the cold-start flow is host-synchronous inside (the lock decision
+    # gates the chain dispatch), so depth-1 streams; concurrent streams
+    # still overlap the probe + chain round-trips
+    _run_dispatch_streams(
+        flow, args.reps, 1,
+        [lambda r: np.asarray(r[0]["p1_margin"])] * n_threads)
     dt = time.perf_counter() - t0
     log("# decode gate: PASSED (cold start -> bit-exact P1)")
 
-    n_samples = args.reps * blocks * C.BLKSZ * C.FFTCP_FM
+    n_samples = args.reps * n_threads * blocks * C.BLKSZ * C.FFTCP_FM
     realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
     return {"metric": "fm_coldstart_lock_decode_realtime_multiple",
             "value": round(realtime, 2), "unit": "x_realtime",
