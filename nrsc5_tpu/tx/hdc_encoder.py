@@ -8,10 +8,16 @@ encoder — broadcast HDC packets are produced by commercial exciters — so,
 as with the L1/L2 modulator in tx/, this encoder exists to generate
 self-consistent test vectors: decode(encode(pcm)) ≈ pcm.
 
-Tool subset emitted: long windows (ONLY_LONG, sine shape), per-sfb
-scalefactors, spectral codebooks {0,2,6,8,10,11}, no TNS/MS/IS/PNS, no
-SBR fill element (the decoder upsamples through the QMF pair).  All of
-these are legal HDC streams; the decoder accepts the full syntax.
+Tool subset emitted: all four window sequences (EIGHT_SHORT on detected
+transients with the proper LONG_START/LONG_STOP transitions, one group of
+8 short windows; sine shape), per-sfb scalefactors, spectral codebooks
+{0,2,6,8,10,11}, no TNS/MS/IS/PNS.  All of these are legal HDC streams;
+the decoder accepts the full syntax.
+
+Window-sequence decisions need one frame of lookahead (a transient in
+frame n requires frame n-1 to end with a short slope, i.e. LONG_START),
+so the encoder carries one pending frame: packet k carries input frame
+k-1, with a silent frame seeding the pipeline.
 """
 
 from __future__ import annotations
@@ -52,6 +58,9 @@ class HDCEncoder:
     # decoder QMF-bin energies are 1/4 of the encoder's 64-band analysis
     _QMF_SCALE = 0.25
     _CODEC_DELAY = 2673  # samples@44.1k: aligns envelopes with the output
+    # external end-to-end latency: the above plus the one-frame window
+    # lookahead (2048 input samples)
+    CODEC_LATENCY = 2673 + 2048
 
     def __init__(self, channels: int = 2, target_maxq: int = TARGET_MAXQ,
                  floor_db: float = -65.0, sbr: bool = True):
@@ -63,6 +72,16 @@ class HDCEncoder:
         self.h = _halfband()
         self._dec_state = [np.zeros(len(self.h) - 1) for _ in range(channels)]
         self._prev_core = [np.zeros(A.FRAME_LEN) for _ in range(channels)]
+        # one-frame lookahead for window-sequence decisions (see module
+        # docstring); seeded with silence so packet k carries frame k-1
+        self._pending = {"core": [np.zeros(A.FRAME_LEN)
+                                  for _ in range(channels)],
+                         "pcm": np.zeros((2 * A.FRAME_LEN, channels)),
+                         "transient": False}
+        self._prev_seq = A.ONLY_LONG
+        self._e_last = 0.0  # transient detector carry (last block energy)
+        self.seq_counts = {s: 0 for s in (A.ONLY_LONG, A.LONG_START,
+                                          A.EIGHT_SHORT, A.LONG_STOP)}
         if sbr:
             from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
                                              derive_tables)
@@ -82,11 +101,34 @@ class HDCEncoder:
         else:
             self._max_sfb = A.num_swb(False)
             self._core_bins = A.FRAME_LEN
+        # short-window analogs (per-window bins = long bins / 8)
+        offs_s = A.swb_offsets(True)
+        cap_s = self._core_bins // 8
+        self._max_sfb_short = max(b for b in range(1, A.num_swb(True) + 1)
+                                  if offs_s[b] <= cap_s)
+        self._core_bins_short = int(offs_s[self._max_sfb_short])
 
     # ------------------------------------------------------------------
+    def _detect_transient(self, core_mix: np.ndarray) -> bool:
+        """Attack detector on the 22050 Hz core: a 128-sample block much
+        louder than the (decayed) running level before it."""
+        e = (core_mix.reshape(8, A.FRAME_LEN // 8) ** 2).mean(axis=1)
+        prev = self._e_last
+        # only attacks over an established level count (a stream fading in
+        # from silence takes the long-window path; ≈ −54 dBFS RMS gate)
+        floor = (0.002 * 32768.0) ** 2
+        hit = False
+        for v in e:
+            if prev > floor and v > 12.0 * prev:
+                hit = True
+            prev = max(float(v), prev * 0.7)
+        self._e_last = prev
+        return hit
+
     def encode_frame(self, pcm: np.ndarray) -> bytes:
         """pcm: [2048] mono or [2048, 2] stereo float in [-1, 1] at
-        44100 Hz → one HDC packet."""
+        44100 Hz -> one HDC packet (carrying the *previous* call's frame;
+        a silent frame seeds the pipeline — see the module docstring)."""
         pcm = np.asarray(pcm, np.float64)
         if pcm.ndim == 1:
             pcm = pcm[:, None]
@@ -95,34 +137,73 @@ class HDCEncoder:
         # envelope values inside their non-negative quantized range)
         pcm = pcm * 32768.0
 
+        # intake: decimate to the 22050 Hz core + transient lookahead
+        cores = []
+        for ch in range(self.channels):
+            x = np.concatenate([self._dec_state[ch], pcm[:, ch]])
+            self._dec_state[ch] = x[-(len(self.h) - 1):]
+            cores.append(np.convolve(x, self.h, mode="valid")[::2])
+        transient = self._detect_transient(sum(cores) / self.channels)
+
+        packet = self._encode_pending(next_transient=transient)
+        self._pending = {"core": cores, "pcm": pcm, "transient": transient}
+        return packet
+
+    def _encode_pending(self, next_transient: bool) -> bytes:
+        """Encode the pending (lookahead-delayed) frame; the window
+        sequence must splice onto prev's right slope and, if the NEXT
+        frame is short, end with a short right slope (ISO 14496-3
+        §4.6.11 — the reason LONG_START/LONG_STOP exist)."""
+        pend = self._pending
+        left_short = self._prev_seq in (A.LONG_START, A.EIGHT_SHORT)
+        if pend["transient"] or (left_short and next_transient):
+            seq = A.EIGHT_SHORT
+        elif next_transient:
+            seq = A.LONG_START
+        elif left_short:
+            seq = A.LONG_STOP
+        else:
+            seq = A.ONLY_LONG
+        self.seq_counts[seq] += 1
+        short = seq == A.EIGHT_SHORT
+
         bw = BitWriter()
         bw.write(2 if self.channels == 2 else 0, LEN_SE_ID)  # block type
         specs = []
         for ch in range(self.channels):
-            x = np.concatenate([self._dec_state[ch], pcm[:, ch]])
-            self._dec_state[ch] = x[-(len(self.h) - 1):]
-            core = np.convolve(x, self.h, mode="valid")[::2]  # 1024 @22050
+            core = pend["core"][ch]
             frame2x = np.concatenate([self._prev_core[ch], core])
             self._prev_core[ch] = core
-            spec = A.filterbank_analysis(frame2x, A.ONLY_LONG, 0, 0)
-            spec[self._core_bins:] = 0.0  # band-limit at the SBR crossover
+            spec = A.filterbank_analysis(frame2x, seq, 0, 0)
+            # band-limit at the SBR crossover
+            if short:
+                spec = spec.reshape(8, A.SHORT_LEN).copy()
+                spec[:, self._core_bins_short:] = 0.0
+                spec = spec.reshape(-1)
+            else:
+                spec[self._core_bins:] = 0.0
             specs.append(spec)
+        self._prev_seq = seq
 
         # shared compact ics header (hdc_data_frame)
-        max_sfb = self._max_sfb
+        max_sfb = self._max_sfb_short if short else self._max_sfb
         bw.write(0, 1)              # ics_reserved_bit
         bw.write(0, 1)              # window_shape: sine
-        bw.write(A.ONLY_LONG, 2)    # window_sequence
-        bw.write(max_sfb, 6)
+        bw.write(seq, 2)            # window_sequence
+        if short:
+            bw.write(max_sfb, 4)
+            bw.write(0x7F, 7)       # grouping: one group of 8 windows
+        else:
+            bw.write(max_sfb, 6)
         if self.channels == 2:
             bw.write(0, 2)          # ms_mask_present: none
 
         for _ in range(self.channels):
             bw.write(0, 1)          # tns_data_present
         for ch in range(self.channels):
-            self._encode_channel(bw, specs[ch], max_sfb)
+            self._encode_channel(bw, specs[ch], max_sfb, short)
         if self.sbr:
-            self._encode_sbr(bw, pcm)
+            self._encode_sbr(bw, pend["pcm"])
         return bw.getvalue()
 
     # ------------------------------------------------------------------
@@ -212,8 +293,13 @@ class HDCEncoder:
             HUFF_NOISE_F.encode(bw, 0 + 31)  # delta 0
 
     # ------------------------------------------------------------------
-    def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int):
-        offs = A.swb_offsets(False)
+    def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int,
+                        short: bool = False):
+        offs = A.swb_offsets(short)
+        # EIGHT_SHORT uses one group of all 8 windows: each sfb's band is
+        # the window-major concatenation (decoder scatter:
+        # hdc_decoder._parse_spectral vals.reshape(glen, width))
+        windows = spec.reshape(8, A.SHORT_LEN) if short else None
         sfs = np.zeros(max_sfb, np.int32)
         cbs = np.zeros(max_sfb, np.int32)
         quants = []
@@ -221,7 +307,8 @@ class HDCEncoder:
         T = self.target_maxq
         prev_sf = None
         for b in range(max_sfb):
-            band = spec[offs[b]:offs[b + 1]]
+            band = (windows[:, offs[b]:offs[b + 1]].ravel() if short
+                    else spec[offs[b]:offs[b + 1]])
             peak = np.abs(band).max()
             if peak < 1e-6 or peak < frame_peak * self.floor:
                 quants.append(np.zeros(len(band), np.int64))
@@ -255,7 +342,9 @@ class HDCEncoder:
         global_gain = int(sfs[first]) if first is not None else 100
         bw.write(global_gain, 8)
 
-        # section data: runs of equal codebook (5-bit lengths, esc 31)
+        # section data: runs of equal codebook (3/5-bit lengths with esc)
+        sect_bits = 3 if short else 5
+        esc = (1 << sect_bits) - 1
         b = 0
         while b < max_sfb:
             run = 1
@@ -263,10 +352,10 @@ class HDCEncoder:
                 run += 1
             bw.write(int(cbs[b]), 4)
             r = run
-            while r >= 31:
-                bw.write(31, 5)
-                r -= 31
-            bw.write(r, 5)
+            while r >= esc:
+                bw.write(esc, sect_bits)
+                r -= esc
+            bw.write(r, sect_bits)
             b += run
 
         # scalefactors: huffman dpcm from global_gain

@@ -27,7 +27,7 @@ def _music_like(n, rng, lp_hz=4000.0):
     return 0.4 * x / np.abs(x).max()
 
 
-def _align_snr(y, x, search=4000, skip=6000, n=16000):
+def _align_snr(y, x, search=6000, skip=8000, n=14000):
     """Find the codec latency by correlation, return (lag, SNR dB)."""
     best = (0, -1.0)
     for lag in range(search):
@@ -200,7 +200,7 @@ def test_sbr_roundtrip_band_energies(rng):
 
     ft = enc._sbr_ft
     kx_hz, k2_hz = ft.kx * SR / 128.0, ft.k2 * SR / 128.0
-    ref = np.roll(x, enc._CODEC_DELAY)
+    ref = np.roll(x, enc.CODEC_LATENCY)
 
     # core band: waveform SNR (lowpass both to below the crossover)
     n = 16384
@@ -239,7 +239,7 @@ def test_sbr_mono(rng):
         outs.append(out)
     assert dec._had_sbr
     y = np.concatenate(outs).reshape(-1, 2)[:, 0].astype(np.float64) / 32768
-    ref = np.roll(x, enc._CODEC_DELAY)
+    ref = np.roll(x, enc.CODEC_LATENCY)
     d = _band_db(y, 7000, 12000) - _band_db(ref, 7000, 12000)
     assert abs(d) < 5.0, f"mono SBR band off by {d:.1f} dB"
 
@@ -278,3 +278,53 @@ def test_sbr_fixfix_eight_envelopes_rejected():
     br = BitReader(bytes([0b00_11_0000, 0]))
     with pytest.raises(ValueError):
         parse_sbr_grid(br, SbrData())
+
+
+def test_roundtrip_transient_short_windows(rng):
+    """Transient content must drive the encoder through the full window
+    state machine (ONLY_LONG -> LONG_START -> EIGHT_SHORT -> LONG_STOP)
+    and still decode to aligned PCM — this is the decoder path every
+    real broadcast exercises on percussive audio."""
+    n_frames = 16
+    x = _music_like(n_frames * 2048, rng) * 0.15
+    # sharp core-band bursts every ~3 frames (band-limited below the SBR
+    # crossover: the high band is parametric, so a broadband click would
+    # not be waveform-comparable)
+    for k in range(2, n_frames - 2, 3):
+        pos = k * 2048 + 700
+        t = np.arange(256)
+        burst = (np.sin(2 * np.pi * 2400 * t / SR)
+                 + 0.5 * np.sin(2 * np.pi * 3500 * t / SR + 1.0)) \
+            * np.hanning(256)
+        x[pos:pos + 256] += 0.7 * burst / np.abs(burst).max()
+    np.clip(x, -1, 1, out=x)
+
+    enc = HDCEncoder(2)
+    dec = HDCDecoder()
+    outs = []
+    stereo = np.stack([x, x], axis=-1)
+    for f in range(n_frames):
+        out = dec.decode(enc.encode_frame(stereo[f * 2048:(f + 1) * 2048]))
+        assert out is not None, f"frame {f} failed to decode"
+        outs.append(out)
+
+    # the state machine actually ran: shorts framed by start/stop
+    assert enc.seq_counts[A.EIGHT_SHORT] >= 3, enc.seq_counts
+    assert enc.seq_counts[A.LONG_START] >= 1, enc.seq_counts
+    assert enc.seq_counts[A.LONG_STOP] >= 1, enc.seq_counts
+
+    y = np.concatenate(outs).reshape(-1, 2)[:, 0].astype(np.float64) / 32768
+    lag, snr = _align_snr(y, x)
+    assert snr > 14.0, f"transient SNR {snr:.1f} dB (lag {lag})"
+
+
+def test_long_only_content_stays_long(rng):
+    """Steady content must not trip the transient detector."""
+    x = _music_like(8 * 2048, rng)
+    enc = HDCEncoder(1)
+    dec = HDCDecoder()
+    for f in range(8):
+        assert dec.decode(enc.encode_frame(x[f * 2048:(f + 1) * 2048,
+                                             None])) is not None
+    assert enc.seq_counts[A.EIGHT_SHORT] == 0, enc.seq_counts
+    assert enc.seq_counts[A.LONG_START] == 0, enc.seq_counts
