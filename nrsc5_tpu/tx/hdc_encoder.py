@@ -82,6 +82,7 @@ class HDCEncoder:
         self._e_last = 0.0  # transient detector carry (last block energy)
         self.seq_counts = {s: 0 for s in (A.ONLY_LONG, A.LONG_START,
                                           A.EIGHT_SHORT, A.LONG_STOP)}
+        self.ms_frames = 0  # frames coded mid/side (test observability)
         if sbr:
             from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
                                              derive_tables)
@@ -196,7 +197,18 @@ class HDCEncoder:
         else:
             bw.write(max_sfb, 6)
         if self.channels == 2:
-            bw.write(0, 2)          # ms_mask_present: none
+            # mid/side when the side residual is small (MDCT is linear,
+            # so the decision happens in the spectral domain); whole-frame
+            # mask (ms_mask_present = 2), exact inverse in the decoder
+            # (hdc_decoder._apply_ms_is: l = m + s, r = m - s)
+            mid = 0.5 * (specs[0] + specs[1])
+            side = 0.5 * (specs[0] - specs[1])
+            use_ms = float((side * side).sum()) < \
+                0.25 * float((mid * mid).sum())
+            if use_ms:
+                specs = [mid, side]
+                self.ms_frames += 1
+            bw.write(2 if use_ms else 0, 2)  # ms_mask_present
 
         for _ in range(self.channels):
             bw.write(0, 1)          # tns_data_present

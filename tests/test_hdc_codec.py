@@ -328,3 +328,36 @@ def test_long_only_content_stays_long(rng):
                                              None])) is not None
     assert enc.seq_counts[A.EIGHT_SHORT] == 0, enc.seq_counts
     assert enc.seq_counts[A.LONG_START] == 0, enc.seq_counts
+
+
+def test_ms_stereo_roundtrip(rng):
+    """Correlated stereo engages mid/side (whole-frame mask); the decoder
+    must reconstruct both channels exactly through l=m+s / r=m-s."""
+    x = _music_like(12 * 2048, rng)
+    d = _music_like(12 * 2048, rng) * 0.1  # small decorrelated component
+    stereo = np.stack([x + d, x - d], axis=-1)
+    enc = HDCEncoder(2)
+    dec = HDCDecoder()
+    outs = []
+    for f in range(12):
+        out = dec.decode(enc.encode_frame(stereo[f * 2048:(f + 1) * 2048]))
+        assert out is not None, f
+        outs.append(out)
+    assert enc.ms_frames >= 10, enc.ms_frames
+    y = np.concatenate(outs).reshape(-1, 2).astype(np.float64) / 32768.0
+    _, snr_l = _align_snr(y[:, 0], x + d)
+    _, snr_r = _align_snr(y[:, 1], x - d)
+    assert snr_l > 28.0 and snr_r > 28.0, (snr_l, snr_r)
+
+
+def test_uncorrelated_stereo_stays_lr(rng):
+    """Independent channels must not be forced through mid/side."""
+    l = _music_like(6 * 2048, rng)
+    r = _music_like(6 * 2048, np.random.default_rng(999))
+    stereo = np.stack([l, r], axis=-1)
+    enc = HDCEncoder(2)
+    dec = HDCDecoder()
+    for f in range(6):
+        assert dec.decode(
+            enc.encode_frame(stereo[f * 2048:(f + 1) * 2048])) is not None
+    assert enc.ms_frames == 0, enc.ms_frames
