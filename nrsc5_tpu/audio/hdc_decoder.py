@@ -375,13 +375,18 @@ def _apply_tns(ics: IcsInfo, spec: np.ndarray, decode: bool = True):
                 else range(end - 1, start - 1, -1)
             inc = 1 if not direction else -1
             s = spec[base:base + size]
+            # decode: all-pole y[i] = x[i] - Σ a[j]·y[i−j] (in place, reads
+            # already-updated outputs); encode: the exact inverse is the
+            # all-zero x[i] = y[i] + Σ a[j]·y[i−j] over the ORIGINAL values
+            orig = None if decode else s.copy()
+            src = s if decode else orig
             for i in idx:
                 acc = 0.0
                 for j in range(1, order + 1):
                     k = i - inc * j
                     if (inc == 1 and k < start) or (inc == -1 and k > end - 1):
                         break
-                    acc += a[j] * s[k]
+                    acc += a[j] * src[k]
                 if decode:
                     s[i] -= acc
                 else:

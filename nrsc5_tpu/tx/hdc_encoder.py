@@ -25,9 +25,11 @@ from __future__ import annotations
 import numpy as np
 
 from nrsc5_tpu.audio import aac_core as A
+from nrsc5_tpu.audio import aac_tables as TBL
 from nrsc5_tpu.audio.bitio import BitWriter
 from nrsc5_tpu.audio.hdc_decoder import (ID_FIL, LEN_SE_ID, SF_HUFF,
-                                         SPEC_HUFF)
+                                         SPEC_HUFF, IcsInfo, TnsInfo,
+                                         _apply_tns)
 
 # smallest codebook fully covering a given max |q| (unsigned books need
 # sign bits; the signed 4-dim book 2 wins at LAV 1)
@@ -83,6 +85,7 @@ class HDCEncoder:
         self.seq_counts = {s: 0 for s in (A.ONLY_LONG, A.LONG_START,
                                           A.EIGHT_SHORT, A.LONG_STOP)}
         self.ms_frames = 0  # frames coded mid/side (test observability)
+        self.tns_channels = 0  # channel-frames that carried a TNS filter
         if sbr:
             from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
                                              derive_tables)
@@ -210,8 +213,36 @@ class HDCEncoder:
                 self.ms_frames += 1
             bw.write(2 if use_ms else 0, 2)  # ms_mask_present
 
-        for _ in range(self.channels):
-            bw.write(0, 1)          # tns_data_present
+        # TNS (long windows; HDC's implicit n_filt=1): an order-4 LPC
+        # along the coded spectrum whitens compact temporal envelopes;
+        # the decoder's all-pole pass is the exact inverse of the
+        # all-zero filter applied here (shared region logic: _apply_tns)
+        tns_idxs = [None] * self.channels
+        if not short:
+            for ch in range(self.channels):
+                idxs = self._tns_pick(specs[ch], max_sfb)
+                if idxs is None:
+                    continue
+                tns_idxs[ch] = idxs
+                self.tns_channels += 1
+                ics = IcsInfo(window_sequence=seq, max_sfb=max_sfb)
+                ics.tns = TnsInfo(
+                    n_filt=[1], coef_res=[1],
+                    filt=[[(A.num_swb(False), len(idxs), 0, 0, idxs)]])
+                _apply_tns(ics, specs[ch], decode=False)
+        for ch in range(self.channels):
+            if tns_idxs[ch] is None:
+                bw.write(0, 1)      # tns_data_present
+                continue
+            bw.write(1, 1)          # tns_data_present
+            # long window: n_filt implicit (patch:920-929)
+            bw.write(1, 1)          # coef_res = 1 (4-bit coefficients)
+            bw.write(A.num_swb(False), 6)  # length: whole coded spectrum
+            bw.write(len(tns_idxs[ch]), 5)  # order
+            bw.write(0, 1)          # direction: forward
+            bw.write(0, 1)          # compress: none
+            for c in tns_idxs[ch]:
+                bw.write(int(c), 4)
         for ch in range(self.channels):
             self._encode_channel(bw, specs[ch], max_sfb, short)
         if self.sbr:
@@ -305,6 +336,41 @@ class HDCEncoder:
             HUFF_NOISE_F.encode(bw, 0 + 31)  # delta 0
 
     # ------------------------------------------------------------------
+    def _tns_pick(self, spec: np.ndarray, max_sfb: int,
+                  order: int = 4, min_gain: float = 3.0):
+        """Order-``order`` LPC along the coded spectrum (Levinson-Durbin);
+        returns 4-bit arcsine-table coefficient indices when the
+        prediction gain clears ``min_gain``, else None."""
+        offs = A.swb_offsets(False)
+        nbands = min(max_sfb, A.tns_max_bands(False))
+        seg = spec[:int(offs[nbands])].astype(np.float64)
+        r = np.array([seg[:len(seg) - m] @ seg[m:]
+                      for m in range(order + 1)])
+        if r[0] <= 0:
+            return None
+        a = np.zeros(order + 1)
+        a[0], e, ks = 1.0, float(r[0]), []
+        for m in range(1, order + 1):
+            acc = r[m] + sum(a[i] * r[m - i] for i in range(1, m))
+            k = -acc / e
+            if not np.isfinite(k) or abs(k) >= 0.999:
+                return None
+            b = a.copy()
+            for i in range(1, m):
+                b[i] = a[i] + k * a[m - i]
+            b[m] = k
+            a, e = b, e * (1 - k * k)
+            ks.append(k)
+        if r[0] / e < min_gain:
+            return None
+        # quantize reflection coefficients to the decoder's (coef_res=1,
+        # compress=0) table; the decoder rebuilds the identical predictor
+        tab = np.asarray(TBL.TNS_TMP2_MAP_0_4, np.float64)
+        idxs = [int(np.argmin(np.abs(tab - k))) for k in ks]
+        if all(abs(tab[i]) < 1e-9 for i in idxs):
+            return None
+        return idxs
+
     def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int,
                         short: bool = False):
         offs = A.swb_offsets(short)

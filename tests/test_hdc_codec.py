@@ -361,3 +361,49 @@ def test_uncorrelated_stereo_stays_lr(rng):
         assert dec.decode(
             enc.encode_frame(stereo[f * 2048:(f + 1) * 2048])) is not None
     assert enc.ms_frames == 0, enc.ms_frames
+
+
+def test_tns_filter_exact_inverse(rng):
+    """The encoder's all-zero TNS filter and the decoder's all-pole pass
+    must be exact inverses for any transmitted coefficient set."""
+    from nrsc5_tpu.audio.hdc_decoder import IcsInfo, TnsInfo, _apply_tns
+
+    for order in (1, 3, 7, 12):
+        spec = rng.normal(0, 100, 1024).astype(np.float64)
+        idxs = [int(v) for v in rng.integers(0, 16, order)]
+        ics = IcsInfo(window_sequence=A.ONLY_LONG, max_sfb=47)
+        ics.tns = TnsInfo(n_filt=[1], coef_res=[1],
+                          filt=[[(47, order, 0, 0, idxs)]])
+        orig = spec.copy()
+        _apply_tns(ics, spec, decode=False)
+        assert not np.allclose(spec, orig)  # the filter did something
+        _apply_tns(ics, spec, decode=True)
+        err = np.abs(spec - orig).max()
+        assert err < 1e-6, f"order {order}: inverse error {err}"
+
+
+def test_tns_roundtrip(rng):
+    """Impulsive-but-not-transient content (slow attack, compact temporal
+    envelope) engages TNS on long windows and still decodes cleanly."""
+    n = 2048
+    x = 0.02 * np.sin(2 * np.pi * 500 * np.arange(12 * n) / SR)
+    for k in range(1, 11):
+        t = np.arange(1400)
+        env = np.concatenate([np.hanning(1600)[:800],
+                              np.hanning(1200)[600:]])
+        burst = env * np.sin(2 * np.pi * 1800 * t / SR)
+        x[k * n + 200:k * n + 200 + 1400] += 0.45 * burst
+    enc = HDCEncoder(1)
+    dec = HDCDecoder()
+    outs = []
+    for f in range(12):
+        out = dec.decode(enc.encode_frame(x[f * n:(f + 1) * n, None]))
+        assert out is not None, f
+        outs.append(out)
+    assert enc.tns_channels >= 4, (enc.tns_channels, enc.seq_counts)
+    y = np.concatenate(outs).reshape(-1, 2)[:, 0].astype(np.float64) / 32768
+    lat = enc.CODEC_LATENCY
+    m = 9 * n
+    err = y[lat:lat + m] - x[:m]
+    snr = 10 * np.log10((x[:m] ** 2).sum() / max((err ** 2).sum(), 1e-12))
+    assert snr > 25.0, f"TNS roundtrip SNR {snr:.1f} dB"
