@@ -65,7 +65,8 @@ class HDCEncoder:
     CODEC_LATENCY = 2673 + 2048
 
     def __init__(self, channels: int = 2, target_maxq: int = TARGET_MAXQ,
-                 floor_db: float = -65.0, sbr: bool = True):
+                 floor_db: float = -65.0, sbr: bool = True,
+                 pns: bool = True):
         assert channels in (1, 2)
         self.channels = channels
         self.target_maxq = target_maxq
@@ -86,6 +87,8 @@ class HDCEncoder:
                                           A.EIGHT_SHORT, A.LONG_STOP)}
         self.ms_frames = 0  # frames coded mid/side (test observability)
         self.tns_channels = 0  # channel-frames that carried a TNS filter
+        self.pns = pns
+        self.pns_bands = 0  # bands coded as noise substitution
         if sbr:
             from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
                                              derive_tables)
@@ -389,6 +392,16 @@ class HDCEncoder:
                     else spec[offs[b]:offs[b + 1]])
             peak = np.abs(band).max()
             if peak < 1e-6 or peak < frame_peak * self.floor:
+                # below the coding floor: substitute noise at the measured
+                # band energy (PNS, long windows) instead of silence —
+                # decoder fills with 2^(nrg/4)-RMS noise
+                # (hdc_decoder._apply_scalefactors NOISE_HCB branch)
+                rms = float(np.sqrt((band.astype(np.float64) ** 2).mean()))
+                if self.pns and not short and rms > 1e-3:
+                    cbs[b] = A.NOISE_HCB
+                    sfs[b] = int(np.clip(round(4 * np.log2(rms)),
+                                         -100, 155))
+                    self.pns_bands += 1
                 quants.append(np.zeros(len(band), np.int64))
                 continue
             # scalefactor so the band peak quantizes near TARGET_MAXQ:
@@ -416,7 +429,10 @@ class HDCEncoder:
             prev_sf = sf
             quants.append(q)
 
-        first = next((b for b in range(max_sfb) if cbs[b]), None)
+        # global_gain anchors the REGULAR scalefactor chain only (noise
+        # bands live on their own chain seeded at global_gain - 90)
+        first = next((b for b in range(max_sfb)
+                      if cbs[b] and cbs[b] < A.NOISE_HCB), None)
         global_gain = int(sfs[first]) if first is not None else 100
         bw.write(global_gain, 8)
 
@@ -436,18 +452,35 @@ class HDCEncoder:
             bw.write(r, sect_bits)
             b += run
 
-        # scalefactors: huffman dpcm from global_gain
+        # scalefactors: huffman dpcm from global_gain; noise bands ride
+        # their own chain (first: 9-bit PCM, then SF_HUFF deltas —
+        # hdc_decoder._parse_scale_factors NOISE_HCB branch)
         prev = global_gain
+        noise_prev, noise_pcm = global_gain - 90, True
         for b in range(max_sfb):
-            if cbs[b] == 0:
+            cb = int(cbs[b])
+            if cb == 0:
+                continue
+            if cb == A.NOISE_HCB:
+                nrg = int(sfs[b])
+                if noise_pcm:
+                    nrg = int(np.clip(nrg, noise_prev - 256,
+                                      noise_prev + 255))
+                    bw.write(nrg - noise_prev + 256, 9)
+                    noise_pcm = False
+                else:
+                    nrg = int(np.clip(nrg, noise_prev - 60,
+                                      noise_prev + 60))
+                    SF_HUFF.encode(bw, nrg - noise_prev + A.SF_CENTER)
+                noise_prev = nrg
                 continue
             SF_HUFF.encode(bw, int(sfs[b]) - prev + A.SF_CENTER)
             prev = int(sfs[b])
 
-        # spectral data
+        # spectral data (noise bands carry none)
         for b in range(max_sfb):
             cb = int(cbs[b])
-            if cb == 0:
+            if cb == 0 or cb >= A.NOISE_HCB:
                 continue
             q = quants[b]
             dim, lav, signed = A.CB_META[cb]

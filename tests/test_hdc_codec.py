@@ -407,3 +407,43 @@ def test_tns_roundtrip(rng):
     err = y[lat:lat + m] - x[:m]
     snr = 10 * np.log10((x[:m] ** 2).sum() / max((err ** 2).sum(), 1e-12))
     assert snr > 25.0, f"TNS roundtrip SNR {snr:.1f} dB"
+
+
+def test_pns_roundtrip_noise_floor(rng):
+    """Bands below the coding floor carry noise substitution (NOISE_HCB):
+    the decoder must regenerate them at the transmitted energy instead of
+    leaving silence (parametric — compare band energies, not waveforms)."""
+    n, n_frames = 2048, 16
+    N = n_frames * n
+    t = np.arange(N) / SR
+    x = 0.5 * np.sin(2 * np.pi * 500 * t)
+    w = rng.normal(size=N)
+    W = np.fft.rfft(w)
+    f = np.fft.rfftfreq(N, 1 / SR)
+    W[(f < 1000) | (f > 5000)] = 0
+    noise = np.fft.irfft(W, N)
+    x += 10 ** (-60 / 20) * 0.5 * noise / np.sqrt((noise ** 2).mean())
+
+    enc = HDCEncoder(1, sbr=False)
+    dec = HDCDecoder()
+    outs = []
+    for k in range(n_frames):
+        out = dec.decode(enc.encode_frame(x[k * n:(k + 1) * n, None]))
+        assert out is not None, k
+        outs.append(out)
+    assert enc.pns_bands > 50, enc.pns_bands
+    y = np.concatenate(outs).reshape(-1, 2)[:, 0].astype(np.float64) / 32768
+    y = y[enc.CODEC_LATENCY:]
+    assert abs(_band_db(y, 1500, 4000) - _band_db(x, 1500, 4000)) < 3.0
+    assert abs(_band_db(y, 400, 600) - _band_db(x, 400, 600)) < 1.0
+
+    # with PNS off those bands must be silent (the old floor behavior)
+    enc2 = HDCEncoder(1, sbr=False, pns=False)
+    dec2 = HDCDecoder()
+    outs2 = [np.asarray(dec2.decode(enc2.encode_frame(
+        x[k * n:(k + 1) * n, None]))) for k in range(n_frames)]
+    assert enc2.pns_bands == 0
+    y2 = np.concatenate(outs2).reshape(-1, 2)[:, 0] / 32768.0
+    y2 = y2[enc2.CODEC_LATENCY:]
+    # (the remaining floor is the tone's own quantization noise)
+    assert _band_db(y2, 1500, 4000) < _band_db(x, 1500, 4000) - 12.0
