@@ -66,7 +66,8 @@ class HDCEncoder:
 
     def __init__(self, channels: int = 2, target_maxq: int = TARGET_MAXQ,
                  floor_db: float = -65.0, sbr: bool = True,
-                 pns: bool = True):
+                 pns: bool = True, ms: bool = True,
+                 intensity: bool = True):
         assert channels in (1, 2)
         self.channels = channels
         self.target_maxq = target_maxq
@@ -89,6 +90,9 @@ class HDCEncoder:
         self.tns_channels = 0  # channel-frames that carried a TNS filter
         self.pns = pns
         self.pns_bands = 0  # bands coded as noise substitution
+        self.ms = ms
+        self.intensity = intensity
+        self.is_bands = 0  # bands coded intensity-stereo
         if sbr:
             from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
                                              derive_tables)
@@ -209,12 +213,38 @@ class HDCEncoder:
             # (hdc_decoder._apply_ms_is: l = m + s, r = m - s)
             mid = 0.5 * (specs[0] + specs[1])
             side = 0.5 * (specs[0] - specs[1])
-            use_ms = float((side * side).sum()) < \
+            use_ms = self.ms and float((side * side).sum()) < \
                 0.25 * float((mid * mid).sum())
             if use_ms:
                 specs = [mid, side]
                 self.ms_frames += 1
             bw.write(2 if use_ms else 0, 2)  # ms_mask_present
+
+        # intensity stereo: correlated upper bands of the right channel
+        # transmit only a position (scale exponent) relative to the left
+        # (decoder: hdc_decoder._apply_ms_is intensity branch)
+        is_map = None
+        if self.channels == 2 and self.intensity and not use_ms \
+                and not short:
+            offs_l = A.swb_offsets(False)
+            is_map = {}
+            for b in range(max_sfb // 2, max_sfb):
+                left = specs[0][offs_l[b]:offs_l[b + 1]]
+                right = specs[1][offs_l[b]:offs_l[b + 1]]
+                el, er = float(left @ left), float(right @ right)
+                if el < 1e-9 or er < 1e-9:
+                    continue
+                c = float(left @ right) / np.sqrt(el * er)
+                if abs(c) < 0.85:
+                    continue
+                # scale = 0.5^(pos/4)  =>  pos = -2*log2(Er/El)
+                pos = int(np.clip(round(-2.0 * np.log2(er / el)),
+                                  -120, 120))
+                cb = A.INTENSITY_HCB if c > 0 else A.INTENSITY_HCB2
+                is_map[b] = (cb, pos)
+                self.is_bands += 1
+            if not is_map:
+                is_map = None
 
         # TNS (long windows; HDC's implicit n_filt=1): an order-4 LPC
         # along the coded spectrum whitens compact temporal envelopes;
@@ -247,7 +277,8 @@ class HDCEncoder:
             for c in tns_idxs[ch]:
                 bw.write(int(c), 4)
         for ch in range(self.channels):
-            self._encode_channel(bw, specs[ch], max_sfb, short)
+            self._encode_channel(bw, specs[ch], max_sfb, short,
+                                 is_map if ch == 1 else None)
         if self.sbr:
             self._encode_sbr(bw, pend["pcm"])
         return bw.getvalue()
@@ -375,7 +406,7 @@ class HDCEncoder:
         return idxs
 
     def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int,
-                        short: bool = False):
+                        short: bool = False, is_map: dict | None = None):
         offs = A.swb_offsets(short)
         # EIGHT_SHORT uses one group of all 8 windows: each sfb's band is
         # the window-major concatenation (decoder scatter:
@@ -390,6 +421,10 @@ class HDCEncoder:
         for b in range(max_sfb):
             band = (windows[:, offs[b]:offs[b + 1]].ravel() if short
                     else spec[offs[b]:offs[b + 1]])
+            if is_map and b in is_map:
+                cbs[b], sfs[b] = is_map[b]  # position, no spectral data
+                quants.append(np.zeros(len(band), np.int64))
+                continue
             peak = np.abs(band).max()
             if peak < 1e-6 or peak < frame_peak * self.floor:
                 # below the coding floor: substitute noise at the measured
@@ -457,9 +492,15 @@ class HDCEncoder:
         # hdc_decoder._parse_scale_factors NOISE_HCB branch)
         prev = global_gain
         noise_prev, noise_pcm = global_gain - 90, True
+        is_prev = 0  # intensity-position chain seeds at 0
         for b in range(max_sfb):
             cb = int(cbs[b])
             if cb == 0:
+                continue
+            if cb in (A.INTENSITY_HCB, A.INTENSITY_HCB2):
+                pos = int(np.clip(int(sfs[b]), is_prev - 60, is_prev + 60))
+                SF_HUFF.encode(bw, pos - is_prev + A.SF_CENTER)
+                is_prev = pos
                 continue
             if cb == A.NOISE_HCB:
                 nrg = int(sfs[b])

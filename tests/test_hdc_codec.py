@@ -447,3 +447,27 @@ def test_pns_roundtrip_noise_floor(rng):
     y2 = y2[enc2.CODEC_LATENCY:]
     # (the remaining floor is the tone's own quantization noise)
     assert _band_db(y2, 1500, 4000) < _band_db(x, 1500, 4000) - 12.0
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_intensity_stereo_roundtrip(rng, flip):
+    """Scaled-copy right channel codes its upper bands as intensity
+    positions only (in-phase INTENSITY_HCB / out-of-phase INTENSITY_HCB2);
+    the decoder rebuilds them from the left channel's spectrum."""
+    n = 2048
+    x = _music_like(12 * n, rng)
+    scale = -0.6 if flip else 0.6
+    stereo = np.stack([x, scale * x], axis=-1)
+    enc = HDCEncoder(2, ms=False)  # force L/R so intensity engages
+    dec = HDCDecoder()
+    outs = []
+    for f in range(12):
+        out = dec.decode(enc.encode_frame(stereo[f * n:(f + 1) * n]))
+        assert out is not None, f
+        outs.append(out)
+    assert enc.is_bands > 50, enc.is_bands
+    assert enc.ms_frames == 0
+    y = np.concatenate(outs).reshape(-1, 2).astype(np.float64) / 32768.0
+    _, snr_l = _align_snr(y[:, 0], x)
+    _, snr_r = _align_snr(y[:, 1], scale * x)
+    assert snr_l > 28.0 and snr_r > 28.0, (snr_l, snr_r)
