@@ -34,6 +34,11 @@ from nrsc5_tpu.audio import aac_tables as T
 from nrsc5_tpu.audio.bitio import BitReader
 from nrsc5_tpu.audio.huffman import PrefixCode
 
+try:  # native huffman section decode (hot path); pure-Python fallback below
+    from nrsc5_tpu import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 ID_FIL = 6
 LEN_SE_ID = 3
 
@@ -245,18 +250,24 @@ def _parse_spectral(br: BitReader, ics: IcsInfo) -> np.ndarray:
             if cb == A.ZERO_HCB or cb >= A.NOISE_HCB:
                 continue
             dim, lav, signed = A.CB_META[cb]
-            huff = SPEC_HUFF[cb]
-            vals = np.zeros(n, np.int64)
-            i = 0
-            while i < n:
-                tup = A.unpack_index(cb, huff.decode(br))
-                if not signed:
-                    tup = [(-v if v and br.read1() else v) for v in tup]
-                if cb == A.ESC_HCB:
-                    tup = [int(np.sign(v)) * _read_escape(br)
-                           if abs(v) == 16 else v for v in tup]
-                vals[i:i + dim] = tup[:n - i]
-                i += dim
+            res = _native.hdc_spectral(br.data, br.pos, cb, n) \
+                if _native is not None else None
+            if res is not None:
+                vals, br.pos = res
+                vals = vals.astype(np.int64)
+            else:
+                huff = SPEC_HUFF[cb]
+                vals = np.zeros(n, np.int64)
+                i = 0
+                while i < n:
+                    tup = A.unpack_index(cb, huff.decode(br))
+                    if not signed:
+                        tup = [(-v if v and br.read1() else v) for v in tup]
+                    if cb == A.ESC_HCB:
+                        tup = [int(np.sign(v)) * _read_escape(br)
+                               if abs(v) == 16 else v for v in tup]
+                    vals[i:i + dim] = tup[:n - i]
+                    i += dim
             if br.overrun():
                 raise HDCError("spectral overrun")
             # bitstream order within a group: sfb-major, then window, then

@@ -99,73 +99,80 @@ def _synthesis_mod() -> np.ndarray:
 
 class QMFAnalysis:
     """32-band downsampled analysis bank (320-tap prototype = every other
-    tap of the 640-tap upsampled window)."""
+    tap of the 640-tap upsampled window).
+
+    Vectorized: all slots' sliding windows are materialized as one strided
+    view and modulated with a single matmul — a per-packet decode-speed
+    hot spot as a per-slot np.roll loop."""
 
     def __init__(self):
-        self.x = np.zeros(320)
+        self._hist = np.zeros(288)  # last 9 slots of input
         self.win = T.SBR_QMF_WINDOW_US[::2].astype(np.float64) * 2.0
 
     def run(self, samples: np.ndarray) -> np.ndarray:
         """[32·nslots] time samples → [nslots, 32] complex subbands."""
         nslots = len(samples) // 32
-        out = np.empty((nslots, 32), np.complex128)
-        mod = _analysis_mod()
-        for sl in range(nslots):
-            self.x = np.roll(self.x, 32)
-            self.x[:32] = samples[sl * 32: sl * 32 + 32][::-1]
-            z = self.x * self.win
-            u = z.reshape(5, 64).sum(axis=0)
-            out[sl] = u @ mod
-        return out
+        ext = np.concatenate(
+            [self._hist, np.asarray(samples, np.float64)[:nslots * 32]])
+        self._hist = ext[-288:].copy()
+        wins = np.lib.stride_tricks.sliding_window_view(
+            ext, 320)[::32][:nslots]
+        z = wins[:, ::-1] * self.win
+        u = z.reshape(nslots, 5, 64).sum(axis=1)
+        return u @ _analysis_mod()
 
 
 class QMFSynthesis:
-    """64-band synthesis bank (640-tap prototype)."""
+    """64-band synthesis bank (640-tap prototype), vectorized like
+    :class:`QMFAnalysis` (one modulation matmul + fancy-indexed gather of
+    the per-slot v history)."""
 
     def __init__(self):
-        self.v = np.zeros(1280)
+        self._hist = np.zeros((9, 128))  # last 9 slots' v rows, oldest first
         self.win = T.SBR_QMF_WINDOW_US.astype(np.float64)
 
     def run(self, X: np.ndarray) -> np.ndarray:
         """[nslots, 64] complex subbands → [64·nslots] time samples."""
         nslots = X.shape[0]
-        out = np.empty(nslots * 64)
-        mod = _synthesis_mod()
-        g = np.empty(640)
-        for sl in range(nslots):
-            v_new = (X[sl] @ mod).real / 64.0
-            self.v = np.roll(self.v, 128)
-            self.v[:128] = v_new
-            for n in range(5):
-                g[128 * n: 128 * n + 64] = self.v[256 * n: 256 * n + 64]
-                g[128 * n + 64: 128 * n + 128] = \
-                    self.v[256 * n + 192: 256 * n + 256]
-            w = g * self.win
-            out[sl * 64: (sl + 1) * 64] = w.reshape(10, 64).sum(axis=0)
-        return out
+        V = (X @ _synthesis_mod()).real / 64.0  # [nslots, 128]
+        R = np.concatenate([self._hist, V])  # slot t at row t + 9
+        self._hist = R[-9:].copy()
+        t = np.arange(nslots)[:, None]
+        n5 = np.arange(5)[None, :]
+        # g[128n:128n+64] = v-row (t-2n)[:64]; g[128n+64:…] = row (t-2n-1)[64:]
+        first = R[t + 9 - 2 * n5][:, :, :64]
+        second = R[t + 8 - 2 * n5][:, :, 64:]
+        g = np.stack([first, second], axis=2).reshape(nslots, 640)
+        w = g * self.win
+        return w.reshape(nslots, 10, 64).sum(axis=1).reshape(-1)
 
 
 class QMFAnalysis64:
     """64-band full-rate analysis (encoder side: measures true HF band
-    energies of the 44100 Hz input)."""
+    energies of the 44100 Hz input); vectorized like QMFAnalysis."""
 
     def __init__(self):
-        self.x = np.zeros(640)
+        self._hist = np.zeros(576)  # last 9 slots of input
         self.win = T.SBR_QMF_WINDOW_US.astype(np.float64) * 2.0
 
     def run(self, samples: np.ndarray) -> np.ndarray:
         nslots = len(samples) // 64
-        out = np.empty((nslots, 64), np.complex128)
-        n = np.arange(128)[:, None]
-        k = np.arange(64)[None, :]
-        mod = np.exp(1j * np.pi / 128 * (k + 0.5) * (2 * n - 1))
-        for sl in range(nslots):
-            self.x = np.roll(self.x, 64)
-            self.x[:64] = samples[sl * 64: sl * 64 + 64][::-1]
-            z = self.x * self.win
-            u = z.reshape(5, 128).sum(axis=0)
-            out[sl] = u @ mod
-        return out
+        ext = np.concatenate(
+            [self._hist, np.asarray(samples, np.float64)[:nslots * 64]])
+        self._hist = ext[-576:].copy()
+        wins = np.lib.stride_tricks.sliding_window_view(
+            ext, 640)[::64][:nslots]
+        z = wins[:, ::-1] * self.win
+        u = z.reshape(nslots, 5, 128).sum(axis=1)
+        return u @ _qmf64_mod()
+
+
+@functools.lru_cache(maxsize=None)
+def _qmf64_mod() -> np.ndarray:
+    """[128, 64]: X[k] = Σ_n u[n]·exp(iπ/128·(k+0.5)(2n−1))."""
+    n = np.arange(128)[:, None]
+    k = np.arange(64)[None, :]
+    return np.exp(1j * np.pi / 128 * (k + 0.5) * (2 * n - 1))
 
 
 # ----------------------------------------------------------------------

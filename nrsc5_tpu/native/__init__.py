@@ -84,6 +84,12 @@ def get_lib():
         lib.nrsc5_rs_decode_pdu.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+        lib.nrsc5_hdc_spectral.restype = ctypes.c_long
+        lib.nrsc5_hdc_spectral.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -136,6 +142,65 @@ def rs_decode_pdu(buf96):
         ncorr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return (flat.reshape(shape), ok.astype(bool).reshape(shape[:-1]),
             ncorr.astype(np.int64).reshape(shape[:-1]))
+
+
+_hdc_luts = None
+
+
+def _build_hdc_luts():
+    import numpy as np
+
+    from nrsc5_tpu.audio import aac_core as A
+    from nrsc5_tpu.audio import aac_tables as T
+
+    luts = {}
+    for cb in range(1, 12):
+        codes = np.asarray(getattr(T, f"CODES{cb}"), np.uint32)
+        bits = np.asarray(getattr(T, f"BITS{cb}"), np.uint8)
+        width = int(bits.max())
+        sym = np.full(1 << width, -1, np.int16)
+        ln = np.zeros(1 << width, np.uint8)
+        for s, (c, b) in enumerate(zip(codes.tolist(), bits.tolist())):
+            if b == 0:
+                continue
+            base = c << (width - b)
+            sym[base: base + (1 << (width - b))] = s
+            ln[base: base + (1 << (width - b))] = b
+        dim, _lav, signed_ = A.CB_META[cb]
+        tuples = np.asarray([A.unpack_index(cb, i)
+                             for i in range(len(codes))], np.int16)
+        sym, ln, tuples = (np.ascontiguousarray(sym),
+                           np.ascontiguousarray(ln),
+                           np.ascontiguousarray(tuples))
+        # keep the arrays alive alongside their raw pointers (computing
+        # data_as per call dominates the per-band dispatch cost)
+        luts[cb] = ((sym, ln, tuples), sym.ctypes.data, ln.ctypes.data,
+                    width, tuples.ctypes.data, dim,
+                    int(signed_), int(cb == A.ESC_HCB))
+    return luts
+
+
+def hdc_spectral(data: bytes, pos: int, cb: int, n: int):
+    """Decode ``n`` spectral values of codebook ``cb`` starting at bit
+    ``pos`` of ``data``; returns (int32 values, new bit position), or
+    None when the native library is unavailable.  Raises ValueError on a
+    corrupt codeword/escape (mirrors the pure-Python parser)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    global _hdc_luts
+    if _hdc_luts is None:
+        _hdc_luts = _build_hdc_luts()
+    import numpy as np
+
+    _keep, sym_p, ln_p, width, tup_p, dim, signed_, esc = _hdc_luts[cb]
+    out = np.empty(n, np.int32)
+    new_pos = lib.nrsc5_hdc_spectral(
+        data, len(data), pos, sym_p, ln_p, width, tup_p, dim,
+        signed_, esc, n, out.ctypes.data)
+    if new_pos < 0:
+        raise ValueError("invalid huffman codeword")
+    return out, int(new_pos)
 
 
 def aas_frame(data: bytes) -> bytes | None:

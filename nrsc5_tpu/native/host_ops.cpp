@@ -285,6 +285,81 @@ void nrsc5_rs_decode_pdu(uint8_t* bufs, int n, uint8_t* ok, int32_t* ncorr) {
     }
 }
 
+// ---------------------------------------------------------------------------
+// HDC spectral huffman section decode (hot path of the audio decoder;
+// mirrors nrsc5_tpu/audio/hdc_decoder._parse_spectral's inner loop —
+// bitstream layout per tuple: codeword, then sign bits for the nonzero
+// magnitudes, then escapes for |v|==16 in the escape book).
+// ---------------------------------------------------------------------------
+
+// Zero-padded MSB-first peek of up to 32 bits at arbitrary bit position
+// (matches audio/bitio.py's read-past-end-returns-zero semantics).
+static inline uint32_t hdc_peek(const uint8_t* d, long nbytes, long pos,
+                                int k) {
+    if (k <= 0) return 0;
+    uint64_t v = 0;
+    long byte = pos >> 3;
+    for (int i = 0; i < 8; i++) {
+        uint64_t b = (byte + i >= 0 && byte + i < nbytes)
+                         ? d[byte + i] : 0;
+        v = (v << 8) | b;
+    }
+    int shift = 64 - (int)(pos & 7) - k;
+    return (uint32_t)((v >> shift) & ((k == 32) ? 0xFFFFFFFFu
+                                                : ((1u << k) - 1u)));
+}
+
+// Decode n spectral values of one codebook section starting at bit `pos`.
+// lut_sym/lut_len: flat LUT of width lut_bits (sym < 0 = invalid);
+// tuples: int16[nsym * dim] pre-unpacked codeword values (signed books:
+// signed; unsigned books: magnitudes).  Returns the new bit position, or
+// -1 on an invalid codeword / bad escape.
+long nrsc5_hdc_spectral(const uint8_t* data, long nbytes, long pos,
+                        const int16_t* lut_sym, const uint8_t* lut_len,
+                        int lut_bits, const int16_t* tuples, int dim,
+                        int is_signed, int is_esc, long n, int32_t* out) {
+    long nbits = 8 * nbytes;
+    long i = 0;
+    long vals[4];
+    while (i < n) {
+        uint32_t probe = hdc_peek(data, nbytes, pos, lut_bits);
+        int sym = lut_sym[probe];
+        if (sym < 0) return -1;
+        pos += lut_len[probe];
+        const int16_t* tp = tuples + (long)sym * dim;
+        for (int j = 0; j < dim; j++) {
+            long v = tp[j];
+            if (!is_signed && v) {
+                if (hdc_peek(data, nbytes, pos, 1)) v = -v;
+                pos += 1;
+            }
+            vals[j] = v;
+        }
+        if (is_esc) {
+            for (int j = 0; j < dim; j++) {
+                long v = vals[j];
+                if (v != 16 && v != -16) continue;
+                int cnt = 0;
+                while (hdc_peek(data, nbytes, pos, 1)) {
+                    pos += 1;
+                    if (++cnt > 16 || pos > nbits) return -1;
+                }
+                pos += 1;  // the terminating 0
+                int nb = cnt + 4;
+                long mag = ((long)1 << nb)
+                           | hdc_peek(data, nbytes, pos, nb);
+                pos += nb;
+                vals[j] = (v < 0) ? -mag : mag;
+            }
+        }
+        for (int j = 0; j < dim && i + j < n; j++)
+            out[i + j] = (int32_t)vals[j];
+        i += dim;
+        if (pos > nbits + 64) return -1;  // runaway on a truncated packet
+    }
+    return pos;
+}
+
 }  // extern "C"
 
 // Initialize every lookup table at library load: the transport runs these
