@@ -405,3 +405,82 @@ def test_set_mode_reentrant_from_callback(rng):
     for i in range(0, len(sig), 32768):
         radio.pipe_samples_cs16(sig[i:i + 32768])
     assert done, "never synced"
+
+
+def test_fm_session_two_audio_programs(rng):
+    """Two audio programs (MPS + an SPS) multiplexed as two PDUs in one
+    P1 frame — the reference's multi-program path (HEF program numbers,
+    per-program elastic buffers and codecs; src/frame.c:198-265,602-609,
+    src/output.c:100-168): both programs must deliver bit-exact HDC
+    packets, audio-service events, and distinct real PCM."""
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+
+    n_frames = 3
+    sr = C.SAMPLE_RATE_AUDIO
+    n = n_frames * 32 * C.AUDIO_FRAME_SAMPLES
+    t = np.arange(n) / sr
+    tones = (440.0, 660.0)
+    pcms = [0.3 * np.sin(2 * np.pi * f0 * t) for f0 in tones]
+    pk = []
+    for x in pcms:
+        enc = HDCEncoder(2)
+        stereo = np.stack([x, x], axis=-1)
+        pk.append([enc.encode_frame(
+            stereo[i * C.AUDIO_FRAME_SAMPLES:(i + 1) * C.AUDIO_FRAME_SAMPLES])
+            for i in range(n_frames * 32)])
+
+    frames = []
+    for f in range(n_frames):
+        pdus = [build_audio_pdu(pk[p][f * 32:(f + 1) * 32], program=p,
+                                pdu_seq=f % 8, seq=(f * 32) % 64)
+                for p in (0, 1)]
+        both = np.concatenate(pdus)
+        assert len(both) <= C.MAX_PDU_LEN, len(both)
+        both = np.concatenate(
+            [both, np.zeros(C.MAX_PDU_LEN - len(both), np.uint8)])
+        frames.append(pack_frame(both, C.P1_FRAME_LEN_FM, C.PCI_AUDIO))
+
+    pids = np.zeros((16, 80), np.uint8)
+    mats = [build_pm_matrix(fr, pids) for fr in frames]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    sig = ch.impair(sig, sample_offset=555, snr_db=25.0, rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+    radio.flush()
+
+    # both programs announced
+    svc = {e.program for e in events if e.type == EventType.AUDIO_SERVICE}
+    assert {0, 1} <= svc, f"audio services announced: {svc}"
+
+    # bit-exact HDC packets per program, no cross-program leakage
+    for p in (0, 1):
+        want = {bytes(q) for q in pk[p]}
+        other = {bytes(q) for q in pk[1 - p]}
+        got = [e.data for e in events
+               if e.type == EventType.HDC and e.program == p
+               and not e.crc_error]
+        assert len(got) >= 48, f"program {p}: only {len(got)} HDC events"
+        assert all(g in want for g in got), f"program {p}: foreign packets"
+        assert not any(g in other for g in got if g not in want)
+
+    # real, distinct PCM per program (dominant tone check)
+    for p, f0 in enumerate(tones):
+        audio = [e.samples for e in events
+                 if e.type == EventType.AUDIO and e.program == p]
+        assert len(audio) >= 40, f"program {p}: {len(audio)} AUDIO events"
+        y = np.concatenate(audio).reshape(-1, 2)[:, 0].astype(np.float64)
+        seg = y[16384:16384 + 16384]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        peak_hz = np.fft.rfftfreq(len(seg), 1 / sr)[int(np.argmax(spec))]
+        assert abs(peak_hz - f0) < 20, \
+            f"program {p}: dominant {peak_hz:.0f} Hz, want {f0}"
