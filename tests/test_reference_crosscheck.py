@@ -704,3 +704,68 @@ def test_multipath_parity(reference_nrsc5):
         ours = decode_framework(cu8) & want
         ref = decode_reference(mod, cu8) & want
         assert len(ours) >= len(ref) >= 64, (delay, amp, len(ours), len(ref))
+
+
+def test_reference_agrees_two_programs(reference_nrsc5):
+    """Multi-program parity: two audio programs as two PDUs in one P1
+    frame (HEF program numbers) must decode to the same per-program
+    bit-exact HDC packet sets in the reference binary and here
+    (reference path: src/frame.c:198-265 HEF + per-program elastic,
+    src/output.c per-program codecs)."""
+    from .capture_helpers import fm_capture_cu8
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+
+    rng = np.random.default_rng(77)
+    n_frames = 3
+    sr = 44100
+    t = np.arange(n_frames * 32 * 2048) / sr
+    pk = []
+    for f0 in (440.0, 660.0):
+        enc = HDCEncoder(2)
+        x = 0.3 * np.sin(2 * np.pi * f0 * t)
+        stereo = np.stack([x, x], axis=-1)
+        pk.append([enc.encode_frame(stereo[i * 2048:(i + 1) * 2048])
+                   for i in range(n_frames * 32)])
+
+    frames = []
+    for f in range(n_frames):
+        pdus = [build_audio_pdu(pk[p][f * 32:(f + 1) * 32], program=p,
+                                pdu_seq=f % 8, seq=(f * 32) % 64)
+                for p in (0, 1)]
+        both = np.concatenate(pdus)
+        assert len(both) <= C.MAX_PDU_LEN, len(both)
+        both = np.concatenate(
+            [both, np.zeros(C.MAX_PDU_LEN - len(both), np.uint8)])
+        frames.append(pack_frame(both, C.P1_FRAME_LEN_FM, C.PCI_AUDIO))
+
+    pids = np.zeros((16, 80), np.uint8)
+    mats = [build_pm_matrix(fr, pids) for fr in frames]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    cu8 = fm_capture_cu8(mats, dummy, rng)
+
+    mod = reference_nrsc5
+    ref_events = _decode_with_reference(mod, np.frombuffer(cu8, np.uint8))
+    ET = mod.EventType
+    our_events = _decode_with_framework(np.frombuffer(cu8, np.uint8))
+    from nrsc5_tpu.api.events import EventType as OurET
+
+    for p in (0, 1):
+        want = {bytes(q) for q in pk[p]}
+        ref_hdc = {bytes(e.data) for et, e in ref_events
+                   if et == ET.HDC and e.program == p
+                   and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+        our_hdc = {e.data for e in our_events
+                   if e.type == OurET.HDC and e.program == p
+                   and not e.crc_error}
+        assert len(ref_hdc & want) >= 48, \
+            f"program {p}: reference decoded {len(ref_hdc & want)}"
+        assert len(our_hdc & want) >= 48, \
+            f"program {p}: framework decoded {len(our_hdc & want)}"
+        both = ref_hdc & our_hdc
+        assert len(both) >= 48, (p, len(both))
+        assert len(ref_hdc - our_hdc) <= 32 and len(our_hdc - ref_hdc) <= 32
