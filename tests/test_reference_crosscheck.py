@@ -769,3 +769,50 @@ def test_reference_agrees_two_programs(reference_nrsc5):
         both = ref_hdc & our_hdc
         assert len(both) >= 48, (p, len(both))
         assert len(ref_hdc - our_hdc) <= 32 and len(our_hdc - ref_hdc) <= 32
+
+
+def test_combined_impairments_parity(reference_nrsc5):
+    """Torture parity: multipath + sample-clock drift + multi-bin CFO +
+    noise applied together (the realistic mobile-reception case — every
+    tracking loop active at once).  Both receivers must recover the
+    stream, and this framework must not trail the reference."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    import nrsc5_tpu.tx.channel as ch
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+    from support.ref_sensitivity import decode_framework, decode_reference
+
+    from .capture_helpers import fm_capture_cu8
+
+    rng = np.random.default_rng(0xBE12)
+    all_packets, mats = [], []
+    pids = np.zeros((16, 80), np.uint8)
+    for f in range(4):
+        pk = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+              for _ in range(32)]
+        all_packets.extend(pk)
+        mats.append(build_pm_matrix(
+            build_p1_fm_frame(pk, 0, f % 8, (f * 32) % 64), pids))
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+
+    orig = ch.impair
+
+    def impair_all(sig, sample_offset=0, **kw):
+        sig = ch.multipath(sig, 25, 0.4)
+        sig = ch.clock_drift(sig, 30.0)
+        kw["cfo_hz"] = 4000.0
+        kw["snr_db"] = 18.0
+        return orig(sig, sample_offset=sample_offset, **kw)
+
+    ch.impair = impair_all
+    try:
+        cu8 = fm_capture_cu8(mats, dummy, rng)
+    finally:
+        ch.impair = orig
+    want = set(all_packets)
+    ours = decode_framework(cu8) & want
+    ref = decode_reference(mod, cu8) & want
+    assert len(ours) >= len(ref) >= 64, (len(ours), len(ref))
