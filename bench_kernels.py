@@ -142,6 +142,35 @@ def main():
                  B * 16 * 32 * C.FFTCP_FM / m.per_call_s
                  / C.SAMPLE_RATE_CS16_FM))
 
+    # 5. HDC -> PCM audio decode (host-side: vectorized QMF + native
+    # huffman; the reference analog is FAAD2 in src/output.c:126-163)
+    import time as _time
+
+    from nrsc5_tpu.audio.hdc_decoder import HDCDecoder
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+
+    _rng = np.random.default_rng(0)
+    _w = np.fft.rfft(_rng.normal(size=32 * 2048))
+    _f = np.fft.rfftfreq(32 * 2048, 1 / 44100.0)
+    _w *= np.where(_f > 8000, 0, 1 / np.sqrt(1 + (_f / 300) ** 2))
+    _x = np.fft.irfft(_w, 32 * 2048)
+    _x = 0.4 * _x / np.abs(_x).max()
+    _st = np.stack([_x, 0.8 * _x], -1)
+    _enc = HDCEncoder(2)
+    _pkts = [_enc.encode_frame(_st[i * 2048:(i + 1) * 2048])
+             for i in range(32)]
+    _dec = HDCDecoder()
+    for _p in _pkts[:4]:
+        _dec.decode(_p)
+    _t0 = _time.perf_counter()
+    for _p in _pkts:
+        _dec.decode(_p)
+    _per = (_time.perf_counter() - _t0) / 32
+
+    class _M:  # shape-compatible with measure()'s result row
+        per_call_s, tflops = _per, None
+    rows.append(("hdc_pcm_decode_pkt", _M, (2048 / 44100.0) / _per))
+
     print(f"{'kernel':24} {'ms/call':>9} {'GFLOP/s':>9} {'x_realtime':>11}")
     for name, m, rt in rows:
         gf = f"{m.tflops * 1e3:.1f}" if m.tflops else "-"
