@@ -112,6 +112,8 @@ class QMFAnalysis:
     def run(self, samples: np.ndarray) -> np.ndarray:
         """[32·nslots] time samples → [nslots, 32] complex subbands."""
         nslots = len(samples) // 32
+        if nslots == 0:
+            return np.empty((0, 32), np.complex128)
         ext = np.concatenate(
             [self._hist, np.asarray(samples, np.float64)[:nslots * 32]])
         self._hist = ext[-288:].copy()
@@ -134,6 +136,8 @@ class QMFSynthesis:
     def run(self, X: np.ndarray) -> np.ndarray:
         """[nslots, 64] complex subbands → [64·nslots] time samples."""
         nslots = X.shape[0]
+        if nslots == 0:
+            return np.empty(0)
         V = (X @ _synthesis_mod()).real / 64.0  # [nslots, 128]
         R = np.concatenate([self._hist, V])  # slot t at row t + 9
         self._hist = R[-9:].copy()
@@ -157,6 +161,8 @@ class QMFAnalysis64:
 
     def run(self, samples: np.ndarray) -> np.ndarray:
         nslots = len(samples) // 64
+        if nslots == 0:
+            return np.empty((0, 64), np.complex128)
         ext = np.concatenate(
             [self._hist, np.asarray(samples, np.float64)[:nslots * 64]])
         self._hist = ext[-576:].copy()

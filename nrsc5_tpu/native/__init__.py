@@ -59,39 +59,52 @@ def get_lib():
             return None
         try:
             lib = ctypes.CDLL(path)
+            _bind(lib)
+        except AttributeError:
+            # a stale cached .so missing a newer symbol (e.g. copied with
+            # preserved mtimes): rebuild once, else pure-Python fallback
+            try:
+                path = build(force=True)
+                lib = ctypes.CDLL(path) if path else None
+                if lib is not None:
+                    _bind(lib)
+            except (OSError, AttributeError):
+                lib = None
         except OSError:
-            _lib = None
-            return None
-        lib.nrsc5_crc8.restype = ctypes.c_uint8
-        lib.nrsc5_crc8.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-        lib.nrsc5_fcs16.restype = ctypes.c_uint16
-        lib.nrsc5_fcs16.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-        lib.nrsc5_hdlc_unescape.restype = ctypes.c_size_t
-        lib.nrsc5_hdlc_unescape.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
-        lib.nrsc5_aas_frame.restype = ctypes.c_size_t
-        lib.nrsc5_aas_frame.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
-        lib.nrsc5_hdlc_split.restype = ctypes.c_int
-        lib.nrsc5_hdlc_split.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        lib.nrsc5_gather_pack.restype = None
-        lib.nrsc5_gather_pack.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
-        lib.nrsc5_rs_decode_pdu.restype = None
-        lib.nrsc5_rs_decode_pdu.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
-        lib.nrsc5_hdc_spectral.restype = ctypes.c_long
-        lib.nrsc5_hdc_spectral.argtypes = [
-            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_void_p]
+            lib = None
         _lib = lib
         return lib
+
+
+def _bind(lib):
+    lib.nrsc5_crc8.restype = ctypes.c_uint8
+    lib.nrsc5_crc8.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.nrsc5_fcs16.restype = ctypes.c_uint16
+    lib.nrsc5_fcs16.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.nrsc5_hdlc_unescape.restype = ctypes.c_size_t
+    lib.nrsc5_hdlc_unescape.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+    lib.nrsc5_aas_frame.restype = ctypes.c_size_t
+    lib.nrsc5_aas_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+    lib.nrsc5_hdlc_split.restype = ctypes.c_int
+    lib.nrsc5_hdlc_split.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.nrsc5_gather_pack.restype = None
+    lib.nrsc5_gather_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.nrsc5_rs_decode_pdu.restype = None
+    lib.nrsc5_rs_decode_pdu.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+    lib.nrsc5_hdc_spectral.restype = ctypes.c_long
+    lib.nrsc5_hdc_spectral.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_void_p]
 
 
 def crc8(data: bytes) -> int:

@@ -8,11 +8,15 @@ encoder — broadcast HDC packets are produced by commercial exciters — so,
 as with the L1/L2 modulator in tx/, this encoder exists to generate
 self-consistent test vectors: decode(encode(pcm)) ≈ pcm.
 
-Tool subset emitted: all four window sequences (EIGHT_SHORT on detected
-transients with the proper LONG_START/LONG_STOP transitions, one group of
-8 short windows; sine shape), per-sfb scalefactors, spectral codebooks
-{0,2,6,8,10,11}, no TNS/MS/IS/PNS.  All of these are legal HDC streams;
-the decoder accepts the full syntax.
+Tools emitted (each optional per constructor flags, every combination a
+legal HDC stream): all four window sequences (EIGHT_SHORT on detected
+transients with proper LONG_START/LONG_STOP transitions, one group of 8
+short windows; sine shape), per-sfb scalefactors, spectral codebooks
+{0,2,6,8,10,11} + NOISE/INTENSITY, mid/side stereo, intensity stereo,
+PNS noise substitution, TNS, and the SBR fill element.  Tool-interaction
+rules mirror the decoder's inversion order: TNS is analyzed/applied on
+L/R before the M/S transform, PNS is withheld inside M/S frames, and
+intensity is withheld on TNS frames (see the inline comments).
 
 Window-sequence decisions need one frame of lookahead (a transient in
 frame n requires frame n-1 to end with a short slope, i.e. LONG_START),
@@ -206,6 +210,29 @@ class HDCEncoder:
             bw.write(0x7F, 7)       # grouping: one group of 8 windows
         else:
             bw.write(max_sfb, 6)
+        # TNS (long windows; HDC's implicit n_filt=1): an order-4 LPC
+        # along the coded spectrum whitens compact temporal envelopes.
+        # It MUST run on the L/R spectra BEFORE the M/S transform: the
+        # decoder undoes M/S first and then runs each channel's all-pole
+        # filter on the reconstructed L/R — so the exact inverse is
+        # all-zero on L/R here, then M/S (codec order: _decode ->
+        # _apply_ms_is -> _apply_tns).
+        tns_idxs = [None] * self.channels
+        if not short:
+            for ch in range(self.channels):
+                idxs = self._tns_pick(specs[ch], max_sfb)
+                if idxs is None:
+                    continue
+                tns_idxs[ch] = idxs
+                self.tns_channels += 1
+                ics = IcsInfo(window_sequence=seq, max_sfb=max_sfb)
+                ics.tns = TnsInfo(
+                    n_filt=[1], coef_res=[1],
+                    filt=[[(A.num_swb(False), len(idxs), 0, 0, idxs)]])
+                _apply_tns(ics, specs[ch], decode=False)
+        has_tns = any(t is not None for t in tns_idxs)
+
+        use_ms = False
         if self.channels == 2:
             # mid/side when the side residual is small (MDCT is linear,
             # so the decision happens in the spectral domain); whole-frame
@@ -222,10 +249,14 @@ class HDCEncoder:
 
         # intensity stereo: correlated upper bands of the right channel
         # transmit only a position (scale exponent) relative to the left
-        # (decoder: hdc_decoder._apply_ms_is intensity branch)
+        # (decoder: hdc_decoder._apply_ms_is intensity branch).  Skipped
+        # on TNS frames: the decoder rebuilds IS bands from the left's
+        # still-FIR'd spectrum and then runs the right channel's all-pole
+        # over them — with n_filt=1 covering the whole spectrum there is
+        # no way to exclude the IS bands from the filter region.
         is_map = None
         if self.channels == 2 and self.intensity and not use_ms \
-                and not short:
+                and not short and not has_tns:
             offs_l = A.swb_offsets(False)
             is_map = {}
             for b in range(max_sfb // 2, max_sfb):
@@ -246,23 +277,6 @@ class HDCEncoder:
             if not is_map:
                 is_map = None
 
-        # TNS (long windows; HDC's implicit n_filt=1): an order-4 LPC
-        # along the coded spectrum whitens compact temporal envelopes;
-        # the decoder's all-pole pass is the exact inverse of the
-        # all-zero filter applied here (shared region logic: _apply_tns)
-        tns_idxs = [None] * self.channels
-        if not short:
-            for ch in range(self.channels):
-                idxs = self._tns_pick(specs[ch], max_sfb)
-                if idxs is None:
-                    continue
-                tns_idxs[ch] = idxs
-                self.tns_channels += 1
-                ics = IcsInfo(window_sequence=seq, max_sfb=max_sfb)
-                ics.tns = TnsInfo(
-                    n_filt=[1], coef_res=[1],
-                    filt=[[(A.num_swb(False), len(idxs), 0, 0, idxs)]])
-                _apply_tns(ics, specs[ch], decode=False)
         for ch in range(self.channels):
             if tns_idxs[ch] is None:
                 bw.write(0, 1)      # tns_data_present
@@ -277,8 +291,13 @@ class HDCEncoder:
             for c in tns_idxs[ch]:
                 bw.write(int(c), 4)
         for ch in range(self.channels):
+            # no PNS inside M/S frames: the decoder skips the M/S
+            # butterfly for any band where either channel is NOISE_HCB
+            # (hdc_decoder._apply_ms_is), which would leave that band's
+            # L/R as raw mid/side noise instead of the reconstruction
             self._encode_channel(bw, specs[ch], max_sfb, short,
-                                 is_map if ch == 1 else None)
+                                 is_map if ch == 1 else None,
+                                 allow_pns=not use_ms)
         if self.sbr:
             self._encode_sbr(bw, pend["pcm"])
         return bw.getvalue()
@@ -406,7 +425,8 @@ class HDCEncoder:
         return idxs
 
     def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int,
-                        short: bool = False, is_map: dict | None = None):
+                        short: bool = False, is_map: dict | None = None,
+                        allow_pns: bool = True):
         offs = A.swb_offsets(short)
         # EIGHT_SHORT uses one group of all 8 windows: each sfb's band is
         # the window-major concatenation (decoder scatter:
@@ -432,7 +452,7 @@ class HDCEncoder:
                 # decoder fills with 2^(nrg/4)-RMS noise
                 # (hdc_decoder._apply_scalefactors NOISE_HCB branch)
                 rms = float(np.sqrt((band.astype(np.float64) ** 2).mean()))
-                if self.pns and not short and rms > 1e-3:
+                if self.pns and allow_pns and not short and rms > 1e-3:
                     cbs[b] = A.NOISE_HCB
                     sfs[b] = int(np.clip(round(4 * np.log2(rms)),
                                          -100, 155))

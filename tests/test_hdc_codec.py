@@ -471,3 +471,85 @@ def test_intensity_stereo_roundtrip(rng, flip):
     _, snr_l = _align_snr(y[:, 0], x)
     _, snr_r = _align_snr(y[:, 1], scale * x)
     assert snr_l > 28.0 and snr_r > 28.0, (snr_l, snr_r)
+
+
+@pytest.mark.parametrize("ms,pns,intensity", [
+    (True, True, True), (True, True, False), (True, False, True),
+    (False, True, True), (False, False, True), (True, False, False),
+])
+def test_tool_interaction_roundtrips(rng, ms, pns, intensity):
+    """Factorial stereo-tool interactions: every tool combination must
+    decode both channels cleanly.  Guards the inversion-order rules (TNS
+    on L/R before M/S; no PNS inside M/S frames; no intensity on TNS
+    frames) — each rule, if broken, destroys the right channel."""
+    n = 2048
+    t = np.arange(14 * n) / SR
+    # bed + slow-attack bursts (TNS triggers) + band-limited side content
+    x = 0.25 * np.sin(2 * np.pi * 500 * t)
+    for k in range(1, 12, 2):
+        env = np.concatenate([np.hanning(1600)[:800], np.hanning(1200)[600:]])
+        x[k * n + 200:k * n + 1600] += 0.4 * env * np.sin(
+            2 * np.pi * 1800 * t[:1400])
+    d = 0.08 * np.sin(2 * np.pi * 300 * t)  # low-band decorrelation
+    left, right = x + d, x - d
+    stereo = np.stack([left, right], axis=-1)
+
+    enc = HDCEncoder(2, ms=ms, pns=pns, intensity=intensity)
+    dec = HDCDecoder()
+    outs = []
+    for f in range(14):
+        out = dec.decode(enc.encode_frame(stereo[f * n:(f + 1) * n]))
+        assert out is not None, f
+        outs.append(out)
+    y = np.concatenate(outs).reshape(-1, 2).astype(np.float64) / 32768.0
+    lat = enc.CODEC_LATENCY
+    m = 11 * n
+    for ch, ref in ((0, left), (1, right)):
+        err = y[lat:lat + m, ch] - ref[:m]
+        snr = 10 * np.log10((ref[:m] ** 2).sum()
+                            / max((err ** 2).sum(), 1e-12))
+        assert snr > 18.0, \
+            f"ms={ms} pns={pns} is={intensity} ch{ch}: {snr:.1f} dB " \
+            f"(tns={enc.tns_channels} msf={enc.ms_frames} " \
+            f"isb={enc.is_bands} pnsb={enc.pns_bands})"
+
+
+def test_native_spectral_parser_matches_python(rng):
+    """The C huffman section parser must be bit-identical to the pure
+    Python one, on clean packets AND under random corruption (both must
+    accept/reject identically and yield the same PCM)."""
+    import nrsc5_tpu.audio.hdc_decoder as hd
+    from nrsc5_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    n = 2048
+    x = _music_like(10 * n, rng)
+    stereo = np.stack([x, 0.6 * x], axis=-1)
+    enc = HDCEncoder(2)
+    pkts = [enc.encode_frame(stereo[f * n:(f + 1) * n]) for f in range(10)]
+    # add corrupted variants (bit flips in the spectral region)
+    corrupted = []
+    for p in pkts:
+        b = bytearray(p)
+        for _ in range(3):
+            i = int(rng.integers(8, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        corrupted.append(bytes(b))
+
+    def run(use_native):
+        saved = hd._native
+        hd._native = native if use_native else None
+        try:
+            dec = HDCDecoder()
+            out = []
+            for p in pkts + corrupted:
+                r = dec.decode(p)
+                out.append(None if r is None else r.tobytes())
+            return out
+        finally:
+            hd._native = saved
+
+    a, b = run(True), run(False)
+    assert a == b, [i for i, (u, v) in enumerate(zip(a, b)) if u != v]
