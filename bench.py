@@ -514,7 +514,7 @@ def run_bench(args) -> dict:
         # dispatch RPCs over the tunnel are latency-bound and overlap
         # across host threads; CPU fallback stays single-threaded (the
         # host cores ARE the compute there)
-        n_threads = 4 if use_rc else 1
+        n_threads = 6 if use_rc else 1
 
     # concurrent dispatch streams: each synchronous execute RPC spends
     # most of its wall time in the tunnel round-trip, which independent
@@ -562,9 +562,11 @@ ATTEMPT_TIMEOUT_S = 900  # compile ~1-2 min on a healthy backend
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, default=16)
-    ap.add_argument("--frames", type=int, default=1,
+    ap.add_argument("--frames", type=int, default=2,
                     help="P1 frames per station per step (measured best: "
-                         "1-frame dispatches, overhead hidden by threads)")
+                         "2 — the flat-batched FEC keeps 16x2 in the "
+                         "linear regime; 4+ hits the superlinear batch-64 "
+                         "cliff)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--pipeline", type=int, default=2,
                     help="dispatches kept in flight per stream (headline "

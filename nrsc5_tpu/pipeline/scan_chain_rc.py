@@ -334,16 +334,55 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
 def fm_chain_batch_rc(samples, carries: ChainCarryRC, n_blocks: int,
                       psmi: int = 1, first_bc: int = 0,
                       packed: bool = False):
-    """vmap over a leading station axis; samples [S, buffer_len, 2].
+    """Station batch; samples [S, buffer_len, 2].
+
+    NOT a plain vmap of :func:`fm_chain_scan_rc`: the P1 FEC is
+    flat-batched over stations × frames — a nested (S, F) batch measures
+    >2× slower than the equivalent flat (S·F,) batch on TPU (layout), so
+    multi-frame dispatches would scale superlinearly.  Outputs are
+    bit-identical to the per-station scan (pinned by tests).
 
     ``packed=True`` returns the decoded p1/px frames bit-packed 8x
     (``ops.bits.unpack_bits`` host-side) — on the tunneled accelerator
     every program output is transferred eagerly at ~50 MB/s, so the
     unpacked frames would dominate dispatch time."""
-    return jax.vmap(
-        lambda s, c: fm_chain_scan_rc(s, c, n_blocks, psmi, first_bc,
-                                      packed)
+    fl1, fl2 = _px_frame_lens(psmi)
+    pm, diag, px_scanned, carry = jax.vmap(
+        lambda s, c: frontend_scan_rc(s, c, n_blocks, psmi)
     )(samples, carries)
+    out = {"diag": diag}
+    out["pids"] = jax.vmap(jax.vmap(pids_decode))(pm)
+
+    skip = (C.P1_FM_BLOCKS - first_bc) % C.P1_FM_BLOCKS
+    n_frames = (n_blocks - skip) // C.P1_FM_BLOCKS
+    n_stations = pm.shape[0]
+    if n_frames > 0:
+        frames = pm[:, skip: skip + n_frames * C.P1_FM_BLOCKS]
+        flat = frames.reshape(n_stations * n_frames, -1)
+        p1, margin, errors = jax.vmap(
+            lambda m: p1_decode(m, chunked=True))(flat)
+        out["p1"] = p1.reshape(n_stations, n_frames, -1)
+        out["p1_margin"] = margin.reshape(n_stations, n_frames)
+        out["p1_bit_errors"] = errors.reshape(n_stations, n_frames)
+
+    if fl1 or fl2:
+        from nrsc5_tpu.pipeline.scan_chain import px_scan_pairs
+        keys = [k for k, fl in (("px1", fl1), ("px2", fl2)) if fl]
+        states = {k: (getattr(carry, f"{k}_internal"),
+                      getattr(carry, f"{k}_phase")) for k in keys}
+
+        def do_px(px_sc, sts):
+            return px_scan_pairs(px_sc, n_blocks, first_bc, fl1, fl2, sts)
+
+        px_out, new_states = jax.vmap(do_px)(px_scanned, states)
+        out.update(px_out)
+        for k, (internal, ph) in new_states.items():
+            carry = carry._replace(**{f"{k}_internal": internal,
+                                      f"{k}_phase": ph})
+    if packed:
+        from nrsc5_tpu.ops.bits import pack_out
+        out = pack_out(out)
+    return out, carry
 
 
 # ---------------------------------------------------------------------------

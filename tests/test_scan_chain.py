@@ -329,3 +329,52 @@ def test_am_rc_chain_matches_complex(rng):
     assert np.array_equal(np.asarray(out_r["pids"]), pids_bits)
     assert np.array_equal(np.asarray(out_r["p1"][3:]),
                           np.asarray(out_c["p1"][3:]))
+
+
+def test_fm_chain_batch_rc_matches_scan(rng):
+    """The flat-batched rc batch function (P1 FEC over stations × frames,
+    a TPU-layout optimization) must be bit-identical to the per-station
+    fused scan — including PX channels and the carried state."""
+    import jax
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.tx.encoder import build_pm_matrix, build_px_stream
+    from nrsc5_tpu.tx.modulator import modulate_fm
+
+    psmi, n_cycles = 3, 1
+    fl = C.P3_FRAME_LEN_MP3_MP11
+    p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+    mats = []
+    for _ in range(n_cycles * 2):
+        mats.append(build_pm_matrix(
+            rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+            rng.integers(0, 2, (16, 80)).astype(np.uint8)))
+    px = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+    sig = modulate_fm(np.concatenate(mats),
+                      np.tile(np.arange(16), n_cycles * 2), psmi,
+                      px1_signs=px)
+    n_blocks = n_cycles * 32  # 2 frames per dispatch
+    buf = np.zeros((rcc.buffer_len(n_blocks), 2), np.float32)
+    start = C.FFTCP_FM // 2
+    buf[start:start + len(sig), 0] = sig.real
+    buf[start:start + len(sig), 1] = -sig.imag
+
+    s = 2
+    bufs = jnp.asarray(np.stack([buf] * s))
+    carry0 = rcc.chain_rc_init_carry(psmi=psmi)
+    carries = jax.tree.map(lambda x: jnp.stack([x] * s), carry0)
+
+    out_b, carry_b = rcc.fm_chain_batch_rc(bufs, carries, n_blocks, psmi, 0)
+    out_s, carry_s = rcc.fm_chain_scan_rc(jnp.asarray(buf), carry0,
+                                          n_blocks, psmi, 0)
+    for k in ("p1", "px1", "px2", "pids", "p1_margin"):
+        if k not in out_s:
+            continue
+        for i in range(s):
+            assert np.array_equal(np.asarray(out_b[k][i]),
+                                  np.asarray(out_s[k])), (k, i)
+    for leaf_b, leaf_s in zip(jax.tree.leaves(carry_b),
+                              jax.tree.leaves(carry_s)):
+        for i in range(s):
+            assert np.array_equal(np.asarray(leaf_b[i]),
+                                  np.asarray(leaf_s))
