@@ -83,13 +83,19 @@ def _descramble_dev(bits, length):
 
 
 @functools.partial(jax.jit, static_argnames=("ma3",))
-def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
-    """Decode one full AM frame (8 blocks of accumulated hard symbols).
+def am_frame_gather(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
+    """Phase 1 of the AM frame decode: bit-plane gathers, the 3-frame
+    diversity delay (the only frame-to-frame carried state), 12-phase
+    reassembly and depuncture — everything BEFORE the Viterbis.
 
-    pl/pu/s/t: [8*32*25] uint8 QAM symbol matrices (block-major).
-    Returns (p1_bits [8, 3750] uint8, p3_bits [frame_len] uint8,
-             margins dict, new_state).
-    """
+    Split out so fused chains can run this inside the sequential frame
+    scan and flat-batch :func:`am_frame_fec` across frames/stations
+    afterwards (the Viterbis have no cross-frame state; batching them
+    removes per-frame sequential trellis depth and the nested-vmap
+    layout penalty, see docs/PERF.md).
+
+    Returns (p1_full [8, 3750, 3] float32 LLRs, p3_full [p3_len, 3],
+    new_state)."""
     mats = {"pl": pl, "pu": pu, "s": s, "t": t}
     tabs = IL.am_ma1_tables(ma3)
 
@@ -123,42 +129,68 @@ def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
         jnp.pad(use[n], (0, maxlen - use[n].shape[0])) for n in p3_stack_names])
     p3_am = p3_stack[jnp.asarray(p3_sel), jnp.asarray(p3_idx)]
 
-    # depuncture (zero insertion) + Viterbi
+    p1_llr = (p1_am.astype(jnp.float32) * 2 - 1)
+    p1_full = depuncture(p1_llr.reshape(8, -1), C.PUNCTURE_E1,
+                         C.P1_FRAME_LEN_AM * 3)
+    p1_full = p1_full.reshape(8, C.P1_FRAME_LEN_AM, 3)
+
+    p3_llr = (p3_am.astype(jnp.float32) * 2 - 1)
+    if not ma3:
+        p3_full = depuncture(p3_llr, C.PUNCTURE_E2, C.P3_FRAME_LEN_MA1 * 3)
+        p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA1, 3)
+    else:
+        p3_full = depuncture(p3_llr, C.PUNCTURE_E1, C.P3_FRAME_LEN_MA3 * 3)
+        p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA3, 3)
+    return p1_full, p3_full, AMDecodeState(**new_state)
+
+
+@functools.partial(jax.jit, static_argnames=("ma3",))
+def am_frame_fec(p1_full, p3_full, ma3: bool = False):
+    """Phase 2: the two chunked K=9 tail-biting Viterbis + descramble.
+
+    p1_full [..., 8, 3750, 3] / p3_full [..., p3_len, 3]: any (equal)
+    leading batch dims.  Returns (p1_bits [..., 8, 3750], p3_bits
+    [..., p3_len], margins dict)."""
     # same tuning knobs as the FM path (decode_fm.p1_decode); measured
     # A/B on v5e: radix-4 AM frame decode 58.8 ms/call vs fused-8 70.9 ms
     cpu = jax.default_backend() == "cpu"
     radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
     fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "1"))
-    p1_llr = (p1_am.astype(jnp.float32) * 2 - 1)
-    p1_full = depuncture(p1_llr.reshape(8, -1), C.PUNCTURE_E1,
-                         C.P1_FRAME_LEN_AM * 3)
-    p1_full = p1_full.reshape(8, C.P1_FRAME_LEN_AM, 3)
+
+    batch = p1_full.shape[:-3]
+    p1_flat = p1_full.reshape((-1,) + p1_full.shape[-2:])
     p1_bits, p1_margin = viterbi_decode_chunked(
-        p1_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix,
+        p1_flat, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix,
         fuse=fuse)
-    p1_bits = jax.vmap(lambda b: _descramble_dev(b, C.P1_FRAME_LEN_AM))(p1_bits)
+    p1_bits = jax.vmap(lambda b: _descramble_dev(b, C.P1_FRAME_LEN_AM))(
+        p1_bits)
+    p1_bits = p1_bits.reshape(batch + (8, C.P1_FRAME_LEN_AM))
+    p1_margin = p1_margin.reshape(batch + (8,))
 
-    # chunk-parallel Viterbi for the long P3 frame too (24k/30k trellis
-    # steps; K=9 survivor merge needs a larger overlap than K=7)
-    p3_llr = (p3_am.astype(jnp.float32) * 2 - 1)
-    if not ma3:
-        p3_full = depuncture(p3_llr, C.PUNCTURE_E2, C.P3_FRAME_LEN_MA1 * 3)
-        p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA1, 3)
-        p3_bits, p3_margin = viterbi_decode_chunked(
-            p3_full, 9, C.CONV_E2_E3_GEN, chunk=1024, overlap=160,
-            radix=radix, fuse=fuse)
-        p3_bits = _descramble_dev(p3_bits, C.P3_FRAME_LEN_MA1)
-    else:
-        p3_full = depuncture(p3_llr, C.PUNCTURE_E1, C.P3_FRAME_LEN_MA3 * 3)
-        p3_full = p3_full.reshape(C.P3_FRAME_LEN_MA3, 3)
-        p3_bits, p3_margin = viterbi_decode_chunked(
-            p3_full, 9, C.CONV_E1_GEN, chunk=1024, overlap=160,
-            radix=radix, fuse=fuse)
-        p3_bits = _descramble_dev(p3_bits, C.P3_FRAME_LEN_MA3)
+    gen = C.CONV_E2_E3_GEN if not ma3 else C.CONV_E1_GEN
+    p3_len = C.P3_FRAME_LEN_MA1 if not ma3 else C.P3_FRAME_LEN_MA3
+    p3_flat = p3_full.reshape((-1,) + p3_full.shape[-2:])
+    p3_bits, p3_margin = viterbi_decode_chunked(
+        p3_flat, 9, gen, chunk=1024, overlap=160, radix=radix, fuse=fuse)
+    p3_bits = jax.vmap(lambda b: _descramble_dev(b, p3_len))(p3_bits)
+    p3_bits = p3_bits.reshape(batch + (p3_len,))
+    p3_margin = p3_margin.reshape(batch)
 
-    return (p1_bits, p3_bits,
-            {"p1": p1_margin, "p3": p3_margin},
-            AMDecodeState(**new_state))
+    return p1_bits, p3_bits, {"p1": p1_margin, "p3": p3_margin}
+
+
+@functools.partial(jax.jit, static_argnames=("ma3",))
+def am_frame_decode(pl, pu, s, t, state: AMDecodeState, ma3: bool = False):
+    """Decode one full AM frame (8 blocks of accumulated hard symbols) —
+    :func:`am_frame_gather` + :func:`am_frame_fec` composed.
+
+    pl/pu/s/t: [8*32*25] uint8 QAM symbol matrices (block-major).
+    Returns (p1_bits [8, 3750] uint8, p3_bits [frame_len] uint8,
+             margins dict, new_state).
+    """
+    p1_full, p3_full, new_state = am_frame_gather(pl, pu, s, t, state, ma3)
+    p1_bits, p3_bits, margins = am_frame_fec(p1_full, p3_full, ma3)
+    return p1_bits, p3_bits, margins, new_state
 
 
 @jax.jit

@@ -24,7 +24,8 @@ from nrsc5_tpu.ops import rcplx as rc
 from nrsc5_tpu.ops import sync_am as SA
 from nrsc5_tpu.ops.acquire import WINDOW_AM
 from nrsc5_tpu.ops.decode_am import (AMDecodeState, am_decode_init_state,
-                                     am_frame_decode, am_pids_decode)
+                                     am_frame_fec, am_frame_gather,
+                                     am_pids_decode)
 from nrsc5_tpu.pipeline.scan_chain_am import SLACK_AM, am_buffer_len  # noqa: F401
 
 W = C.PARTITION_WIDTH_AM
@@ -221,14 +222,13 @@ def sync_am_block_rc(spectra, ma3: bool = False):
 # fused chain
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_frames", "ma3", "packed"))
-def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
-                     ma3: bool = False, packed: bool = False):
-    """Decode ``n_frames`` AM frames in steady state from rc I/Q.
-
-    samples: [am_buffer_len(n_frames), 2] float32 at 46511.7 S/s, first
-    symbol starting FFTCP_AM//2 in, first block bc=0.  Same outputs as
-    scan_chain_am.am_chain_scan."""
+def _am_frontend_gather_scan(samples, carry: AMChainCarryRC,
+                             n_frames: int, ma3: bool):
+    """Per-station sequential part: acquire/sync block scan + bit-plane
+    gather/diversity per frame.  The K=9 Viterbis are NOT here — they
+    carry no cross-frame state and are flat-batched by the callers
+    (nested (station, frame) vmap layouts are >2× slower on TPU; see
+    docs/PERF.md batch-layout finding)."""
 
     def block_step(cy, _):
         offset, phase, prev_angle, samperr_fb = cy
@@ -248,30 +248,57 @@ def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
         pu = outs["pu"].reshape(-1)
         s = outs["s"].reshape(-1)
         t = outs["t"].reshape(-1)
-        p1, p3, margins, dec = am_frame_decode(pl, pu, s, t, cy.dec, ma3)
-        pids = jax.vmap(lambda ps: am_pids_decode(ps, jnp.asarray(False)))(
-            outs["pids"])
+        p1_full, p3_full, dec = am_frame_gather(pl, pu, s, t, cy.dec, ma3)
         ncy = AMChainCarryRC(offset=offset, phase=phase,
                              prev_angle=prev_angle,
                              samperr_fb=samperr_fb, dec=dec)
-        return ncy, {"p1": p1, "p3": p3, "pids": pids,
-                     "p1_margin": margins["p1"],
-                     "p3_margin": margins["p3"]}
+        return ncy, {"p1_full": p1_full, "p3_full": p3_full,
+                     "pids_syms": outs["pids"]}
 
-    carry, outs = jax.lax.scan(frame_step, carry, None, length=n_frames)
-    outs["pids"] = outs["pids"].reshape(-1, C.PIDS_FRAME_LEN)
+    return jax.lax.scan(frame_step, carry, None, length=n_frames)
+
+
+def _am_finish(scanned, n_frames: int, ma3: bool, packed: bool):
+    """FEC + PIDS decode over the scanned outputs (any leading station
+    batch dims; the Viterbi inputs flatten internally)."""
+    p1, p3, margins = am_frame_fec(scanned["p1_full"],
+                                   scanned["p3_full"], ma3)
+    ps = scanned["pids_syms"]
+    pids = jax.vmap(lambda q: am_pids_decode(q, jnp.asarray(False)))(
+        ps.reshape((-1,) + ps.shape[-2:]))
+    # ps: [batch..., n_frames, 8, 32, 2] → pids [batch..., n_frames*8, 80]
+    pids = pids.reshape(ps.shape[:-4] + (-1, C.PIDS_FRAME_LEN))
+    outs = {"p1": p1, "p3": p3, "pids": pids,
+            "p1_margin": margins["p1"], "p3_margin": margins["p3"]}
     if packed:
         # p1 subframes are 3750 bits (not byte-aligned); pack the frame's
         # 8 x 3750 = 30000 bits flattened — unpack host-side then reshape
         from nrsc5_tpu.ops.bits import pack_bits
-        outs["p1"] = pack_bits(outs["p1"].reshape(n_frames, -1))
+        outs["p1"] = pack_bits(
+            outs["p1"].reshape(outs["p1"].shape[:-2] + (-1,)))
         outs["p3"] = pack_bits(outs["p3"])
-    return outs, carry
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames", "ma3", "packed"))
+def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
+                     ma3: bool = False, packed: bool = False):
+    """Decode ``n_frames`` AM frames in steady state from rc I/Q.
+
+    samples: [am_buffer_len(n_frames), 2] float32 at 46511.7 S/s, first
+    symbol starting FFTCP_AM//2 in, first block bc=0.  Same outputs as
+    scan_chain_am.am_chain_scan."""
+    carry, scanned = _am_frontend_gather_scan(samples, carry, n_frames, ma3)
+    return _am_finish(scanned, n_frames, ma3, packed), carry
 
 
 def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False,
                       packed: bool = False):
-    """vmap over a leading station axis; samples [S, am_buffer_len, 2]."""
-    return jax.vmap(
-        lambda s, c: am_chain_scan_rc(s, c, n_frames, ma3, packed)
+    """Station batch; samples [S, am_buffer_len, 2].  The frontend scan
+    runs per station under vmap; the K=9 FEC is flat-batched across
+    stations × frames × subframes (bit-identical to the per-station
+    scan, pinned by tests)."""
+    carries, scanned = jax.vmap(
+        lambda s, c: _am_frontend_gather_scan(s, c, n_frames, ma3)
     )(samples, carries)
+    return _am_finish(scanned, n_frames, ma3, packed), carries

@@ -378,3 +378,48 @@ def test_fm_chain_batch_rc_matches_scan(rng):
         for i in range(s):
             assert np.array_equal(np.asarray(leaf_b[i]),
                                   np.asarray(leaf_s))
+
+
+def test_am_chain_batch_rc_matches_scan(rng):
+    """The AM batch function (frontend per station under vmap, K=9 FEC
+    flat-batched across stations × frames) must be bit-identical to the
+    per-station fused scan."""
+    import jax
+    import jax.numpy as jnp
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    n = 5
+    p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+
+    buf = np.zeros((scar.am_buffer_len(n), 2), np.float32)
+    start = C.FFTCP_AM // 2
+    buf[start:start + len(sig), 0] = sig.real
+    buf[start:start + len(sig), 1] = sig.imag
+
+    s = 2
+    bufs = jnp.asarray(np.stack([buf] * s))
+    carry0 = scar.am_chain_rc_init_carry()
+    carries = jax.tree.map(lambda x: jnp.stack([x] * s), carry0)
+
+    out_b, carry_b = scar.am_chain_batch_rc(bufs, carries, n, False)
+    out_s, carry_s = scar.am_chain_scan_rc(jnp.asarray(buf), carry0,
+                                           n, False)
+    for k in ("p1", "p3", "pids", "p1_margin", "p3_margin"):
+        for i in range(s):
+            assert np.array_equal(np.asarray(out_b[k][i]),
+                                  np.asarray(out_s[k])), (k, i)
+    for leaf_b, leaf_s in zip(jax.tree.leaves(carry_b),
+                              jax.tree.leaves(carry_s)):
+        for i in range(s):
+            assert np.array_equal(np.asarray(leaf_b[i]),
+                                  np.asarray(leaf_s))
