@@ -102,14 +102,14 @@ def pids_decode(pm_block):
 
 
 @functools.partial(jax.jit, static_argnames=("frame_len",))
-def px_decode(internal, new_llrs, call_phase, frame_len: int):
-    """One interleaver-IV call + P3/P4 decode.
+def px_iv_call(internal, new_llrs, call_phase, frame_len: int):
+    """One interleaver-IV call: deinterleave + state update only (the
+    part that genuinely carries state pair-to-pair; the Viterbi is
+    stateless across calls and is flat-batched by the fused chains —
+    see :func:`px_fec`).
 
-    internal: [N] int8 carried interleaver state.
-    new_llrs: [2*frame_len] int8 soft bits from two L1 blocks.
-    call_phase: int32 in [0, calls_per_cycle).
-    Returns (bits [frame_len] uint8, margin, new_internal [N]).
-    """
+    Returns (full [frame_len, 3] float32 depunctured LLRs,
+             new_internal [N])."""
     read_idx, n, calls = IL.p3_iv_tables(frame_len)
     hazard = IL.p3_iv_hazard(frame_len)
     call_len = 2 * frame_len
@@ -123,8 +123,36 @@ def px_decode(internal, new_llrs, call_phase, frame_len: int):
 
     full = depuncture(llr, C.PUNCTURE_P3_P4_FM, frame_len * 3)
     full = full.reshape(frame_len, 3)
-    bits, margin = viterbi_decode(full, 7, C.CONV_K7_GEN)
-    bits = _descramble_dev(bits, frame_len)
-
     new_internal = jax.lax.dynamic_update_slice(internal, new_llrs, (offset,))
-    return bits, margin, new_internal
+    return full, new_internal
+
+
+def px_fec(full, frame_len: int):
+    """P3/P4 K=7 decode of interleaver-IV output LLRs.
+
+    full: [..., frame_len, 3] with any leading batch dims (flattened
+    into one batch internally — nested vmap layouts are slower on TPU).
+    Returns (bits [..., frame_len] uint8, margin [...]).  (A/B on v5e:
+    the chunk-parallel variant measures the same here — the station ×
+    pair batch already fills the machine — so the exact sequential
+    decoder stays.)"""
+    batch = full.shape[:-2]
+    flat = full.reshape((-1,) + full.shape[-2:])
+    bits, margin = viterbi_decode(flat, 7, C.CONV_K7_GEN)
+    bits = jax.vmap(lambda b: _descramble_dev(b, frame_len))(bits)
+    return bits.reshape(batch + (frame_len,)), margin.reshape(batch)
+
+
+def px_decode(internal, new_llrs, call_phase, frame_len: int):
+    """One interleaver-IV call + P3/P4 decode (:func:`px_iv_call` +
+    :func:`px_fec` composed — the per-pair streaming entry point).
+
+    internal: [N] int8 carried interleaver state.
+    new_llrs: [2*frame_len] int8 soft bits from two L1 blocks.
+    call_phase: int32 in [0, calls_per_cycle).
+    Returns (bits [frame_len] uint8, margin, new_internal [N]).
+    """
+    full, new_internal = px_iv_call(internal, new_llrs, call_phase,
+                                    frame_len)
+    bits, margin = px_fec(full[None], frame_len)
+    return bits[0], margin[0], new_internal

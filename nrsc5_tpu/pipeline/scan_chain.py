@@ -79,10 +79,17 @@ def px_frame_lens(psmi: int) -> tuple[int, int]:
 
 
 def px_scan_pairs(px_scanned, n_blocks: int, first_bc: int,
-                  fl1: int, fl2: int, states: dict):
-    """Shared PX interleaver-IV decode over pair-aligned block LLRs —
+                  fl1: int, fl2: int, states: dict, decode: bool = True):
+    """Shared PX interleaver-IV processing over pair-aligned block LLRs —
     used by both the complex and the real-valued fused chains (they must
     stay bit-identical twins).
+
+    Only the deinterleave runs inside the sequential pair scan (the IV
+    buffer is the carried state); the K=7 Viterbi is stateless across
+    calls and runs batched over all pairs afterwards (``decode=True``) —
+    or is left to the caller (``decode=False`` returns ``pxN_full`` LLRs
+    so a station-batched caller can flat-batch the FEC, see
+    ``fm_chain_batch_rc``).
 
     ``states`` maps ``"px1"``/``"px2"`` (active channels only) to their
     ``(iv_internal, call_phase)`` carry.  Returns ``(outputs, new_states)``
@@ -91,7 +98,7 @@ def px_scan_pairs(px_scanned, n_blocks: int, first_bc: int,
     assert first_bc % 2 == 0 and n_blocks % 2 == 0, \
         "PX decode needs pair-aligned blocks"
     from nrsc5_tpu.ops import interleavers as IL
-    from nrsc5_tpu.ops.decode_fm import px_decode
+    from nrsc5_tpu.ops.decode_fm import px_fec, px_iv_call
     out, new_states = {}, {}
     idx = 0
     for key, fl in (("px1", fl1), ("px2", fl2)):
@@ -103,13 +110,16 @@ def px_scan_pairs(px_scanned, n_blocks: int, first_bc: int,
 
         def px_step(c, llr, fl=fl, calls=calls):
             internal, ph = c
-            bits, margin, internal = px_decode(internal, llr, ph, fl)
-            return (internal, (ph + 1) % calls), (bits, margin)
+            full, internal = px_iv_call(internal, llr, ph, fl)
+            return (internal, (ph + 1) % calls), full
 
-        new_states[key], (bits, margins) = jax.lax.scan(
-            px_step, states[key], llrs)
-        out[key] = bits
-        out[key + "_margin"] = margins
+        new_states[key], fulls = jax.lax.scan(px_step, states[key], llrs)
+        if decode:
+            bits, margins = px_fec(fulls, fl)
+            out[key] = bits
+            out[key + "_margin"] = margins
+        else:
+            out[key + "_full"] = fulls
     return out, new_states
 
 

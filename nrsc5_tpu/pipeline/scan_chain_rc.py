@@ -366,16 +366,25 @@ def fm_chain_batch_rc(samples, carries: ChainCarryRC, n_blocks: int,
         out["p1_bit_errors"] = errors.reshape(n_stations, n_frames)
 
     if fl1 or fl2:
+        from nrsc5_tpu.ops.decode_fm import px_fec
         from nrsc5_tpu.pipeline.scan_chain import px_scan_pairs
         keys = [k for k, fl in (("px1", fl1), ("px2", fl2)) if fl]
         states = {k: (getattr(carry, f"{k}_internal"),
                       getattr(carry, f"{k}_phase")) for k in keys}
 
         def do_px(px_sc, sts):
-            return px_scan_pairs(px_sc, n_blocks, first_bc, fl1, fl2, sts)
+            # IV deinterleave per station; the K=7 FEC is flat-batched
+            # across stations × pairs below (see the batch-layout note)
+            return px_scan_pairs(px_sc, n_blocks, first_bc, fl1, fl2,
+                                 sts, decode=False)
 
         px_out, new_states = jax.vmap(do_px)(px_scanned, states)
-        out.update(px_out)
+        for k, fl in (("px1", fl1), ("px2", fl2)):
+            if not fl:
+                continue
+            bits, margins = px_fec(px_out[k + "_full"], fl)
+            out[k] = bits
+            out[k + "_margin"] = margins
         for k, (internal, ph) in new_states.items():
             carry = carry._replace(**{f"{k}_internal": internal,
                                       f"{k}_phase": ph})
