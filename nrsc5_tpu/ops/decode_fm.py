@@ -143,6 +143,7 @@ def px_fec(full, frame_len: int):
     return bits.reshape(batch + (frame_len,)), margin.reshape(batch)
 
 
+@functools.partial(jax.jit, static_argnames=("frame_len",))
 def px_decode(internal, new_llrs, call_phase, frame_len: int):
     """One interleaver-IV call + P3/P4 decode (:func:`px_iv_call` +
     :func:`px_fec` composed — the per-pair streaming entry point).

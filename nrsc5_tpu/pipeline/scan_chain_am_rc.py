@@ -258,7 +258,7 @@ def _am_frontend_gather_scan(samples, carry: AMChainCarryRC,
     return jax.lax.scan(frame_step, carry, None, length=n_frames)
 
 
-def _am_finish(scanned, n_frames: int, ma3: bool, packed: bool):
+def _am_finish(scanned, ma3: bool, packed: bool):
     """FEC + PIDS decode over the scanned outputs (any leading station
     batch dims; the Viterbi inputs flatten internally)."""
     p1, p3, margins = am_frame_fec(scanned["p1_full"],
@@ -289,7 +289,7 @@ def am_chain_scan_rc(samples, carry: AMChainCarryRC, n_frames: int,
     symbol starting FFTCP_AM//2 in, first block bc=0.  Same outputs as
     scan_chain_am.am_chain_scan."""
     carry, scanned = _am_frontend_gather_scan(samples, carry, n_frames, ma3)
-    return _am_finish(scanned, n_frames, ma3, packed), carry
+    return _am_finish(scanned, ma3, packed), carry
 
 
 def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False,
@@ -301,4 +301,4 @@ def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False,
     carries, scanned = jax.vmap(
         lambda s, c: _am_frontend_gather_scan(s, c, n_frames, ma3)
     )(samples, carries)
-    return _am_finish(scanned, n_frames, ma3, packed), carries
+    return _am_finish(scanned, ma3, packed), carries

@@ -334,48 +334,49 @@ def test_am_rc_chain_matches_complex(rng):
 def test_fm_chain_batch_rc_matches_scan(rng):
     """The flat-batched rc batch function (P1 FEC over stations × frames,
     a TPU-layout optimization) must be bit-identical to the per-station
-    fused scan — including PX channels and the carried state."""
+    fused scan — including PX channels and the carried state.  Stations
+    carry DISTINCT signals and s != n_frames, so any station/frame axis
+    transposition in the flat reshapes fails loudly."""
     import jax
     import jax.numpy as jnp
     from nrsc5_tpu.pipeline import scan_chain_rc as rcc
     from nrsc5_tpu.tx.encoder import build_pm_matrix, build_px_stream
     from nrsc5_tpu.tx.modulator import modulate_fm
 
-    psmi, n_cycles = 3, 1
+    psmi, n_cycles, s = 3, 1, 3
     fl = C.P3_FRAME_LEN_MP3_MP11
-    p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
-    mats = []
-    for _ in range(n_cycles * 2):
-        mats.append(build_pm_matrix(
-            rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
-            rng.integers(0, 2, (16, 80)).astype(np.uint8)))
-    px = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
-    sig = modulate_fm(np.concatenate(mats),
-                      np.tile(np.arange(16), n_cycles * 2), psmi,
-                      px1_signs=px)
     n_blocks = n_cycles * 32  # 2 frames per dispatch
-    buf = np.zeros((rcc.buffer_len(n_blocks), 2), np.float32)
-    start = C.FFTCP_FM // 2
-    buf[start:start + len(sig), 0] = sig.real
-    buf[start:start + len(sig), 1] = -sig.imag
+    bufs, carries0 = [], []
+    for _ in range(s):
+        p3 = rng.integers(0, 2, (n_cycles, 16, fl)).astype(np.uint8)
+        mats = [build_pm_matrix(
+            rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+            rng.integers(0, 2, (16, 80)).astype(np.uint8))
+            for _ in range(n_cycles * 2)]
+        px = build_px_stream(p3, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+        sig = modulate_fm(np.concatenate(mats),
+                          np.tile(np.arange(16), n_cycles * 2), psmi,
+                          px1_signs=px)
+        buf = np.zeros((rcc.buffer_len(n_blocks), 2), np.float32)
+        start = C.FFTCP_FM // 2
+        buf[start:start + len(sig), 0] = sig.real
+        buf[start:start + len(sig), 1] = -sig.imag
+        bufs.append(buf)
+        carries0.append(rcc.chain_rc_init_carry(psmi=psmi))
 
-    s = 2
-    bufs = jnp.asarray(np.stack([buf] * s))
-    carry0 = rcc.chain_rc_init_carry(psmi=psmi)
-    carries = jax.tree.map(lambda x: jnp.stack([x] * s), carry0)
-
-    out_b, carry_b = rcc.fm_chain_batch_rc(bufs, carries, n_blocks, psmi, 0)
-    out_s, carry_s = rcc.fm_chain_scan_rc(jnp.asarray(buf), carry0,
-                                          n_blocks, psmi, 0)
-    for k in ("p1", "px1", "px2", "pids", "p1_margin"):
-        if k not in out_s:
-            continue
-        for i in range(s):
+    carries = jax.tree.map(lambda *xs: jnp.stack(xs), *carries0)
+    out_b, carry_b = rcc.fm_chain_batch_rc(
+        jnp.asarray(np.stack(bufs)), carries, n_blocks, psmi, 0)
+    for i in range(s):
+        out_s, carry_s = rcc.fm_chain_scan_rc(
+            jnp.asarray(bufs[i]), carries0[i], n_blocks, psmi, 0)
+        for k in ("p1", "px1", "px2", "pids", "p1_margin"):
+            if k not in out_s:
+                continue
             assert np.array_equal(np.asarray(out_b[k][i]),
                                   np.asarray(out_s[k])), (k, i)
-    for leaf_b, leaf_s in zip(jax.tree.leaves(carry_b),
-                              jax.tree.leaves(carry_s)):
-        for i in range(s):
+        for leaf_b, leaf_s in zip(jax.tree.leaves(carry_b),
+                                  jax.tree.leaves(carry_s)):
             assert np.array_equal(np.asarray(leaf_b[i]),
                                   np.asarray(leaf_s))
 
@@ -383,43 +384,43 @@ def test_fm_chain_batch_rc_matches_scan(rng):
 def test_am_chain_batch_rc_matches_scan(rng):
     """The AM batch function (frontend per station under vmap, K=9 FEC
     flat-batched across stations × frames) must be bit-identical to the
-    per-station fused scan."""
+    per-station fused scan.  Stations carry DISTINCT signals so an axis
+    transposition in the flat reshapes fails loudly."""
     import jax
     import jax.numpy as jnp
     from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
     from nrsc5_tpu.tx import encoder_am as EAM
     from nrsc5_tpu.tx.modulator_am import modulate_am
 
-    n = 5
-    p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
-    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
-    mats = EAM.interleave_frames(
-        [EAM.encode_p1_am(p1[f]) for f in range(n)],
-        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
-    pids_codes = np.stack([EAM.encode_pids_am(
-        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
-    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
-    sig = modulate_am(mats, pids_codes, ref, False)
+    n, s = 5, 2
+    bufs, carries0 = [], []
+    for _ in range(s):
+        p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+        p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+        mats = EAM.interleave_frames(
+            [EAM.encode_p1_am(p1[f]) for f in range(n)],
+            [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+        pids_codes = np.stack([EAM.encode_pids_am(
+            rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+        ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+        sig = modulate_am(mats, pids_codes, ref, False)
+        buf = np.zeros((scar.am_buffer_len(n), 2), np.float32)
+        start = C.FFTCP_AM // 2
+        buf[start:start + len(sig), 0] = sig.real
+        buf[start:start + len(sig), 1] = sig.imag
+        bufs.append(buf)
+        carries0.append(scar.am_chain_rc_init_carry())
 
-    buf = np.zeros((scar.am_buffer_len(n), 2), np.float32)
-    start = C.FFTCP_AM // 2
-    buf[start:start + len(sig), 0] = sig.real
-    buf[start:start + len(sig), 1] = sig.imag
-
-    s = 2
-    bufs = jnp.asarray(np.stack([buf] * s))
-    carry0 = scar.am_chain_rc_init_carry()
-    carries = jax.tree.map(lambda x: jnp.stack([x] * s), carry0)
-
-    out_b, carry_b = scar.am_chain_batch_rc(bufs, carries, n, False)
-    out_s, carry_s = scar.am_chain_scan_rc(jnp.asarray(buf), carry0,
-                                           n, False)
-    for k in ("p1", "p3", "pids", "p1_margin", "p3_margin"):
-        for i in range(s):
+    carries = jax.tree.map(lambda *xs: jnp.stack(xs), *carries0)
+    out_b, carry_b = scar.am_chain_batch_rc(
+        jnp.asarray(np.stack(bufs)), carries, n, False)
+    for i in range(s):
+        out_s, carry_s = scar.am_chain_scan_rc(jnp.asarray(bufs[i]),
+                                               carries0[i], n, False)
+        for k in ("p1", "p3", "pids", "p1_margin", "p3_margin"):
             assert np.array_equal(np.asarray(out_b[k][i]),
                                   np.asarray(out_s[k])), (k, i)
-    for leaf_b, leaf_s in zip(jax.tree.leaves(carry_b),
-                              jax.tree.leaves(carry_s)):
-        for i in range(s):
+        for leaf_b, leaf_s in zip(jax.tree.leaves(carry_b),
+                                  jax.tree.leaves(carry_s)):
             assert np.array_equal(np.asarray(leaf_b[i]),
                                   np.asarray(leaf_s))
