@@ -1,0 +1,185 @@
+"""Multi-station serving: decode S stations on one accelerator chip.
+
+The reference runs one session per station (src/nrsc5.c:325-358 — one
+`nrsc5_t` per dongle); this module is the TPU-native serving surface the
+headline benchmark measures, packaged as an API: per-station complex
+baseband streams in, per-station transport events out, with ONE fused
+batched device dispatch decoding `frames_per_dispatch` P1 frames for all
+stations at once (`pipeline.scan_chain_rc.fm_chain_batch_rc` — the P1
+FEC flat-batched across stations × frames) and the host transport
+(frame/RS/CRC/elastic/HDC/SIS/ID3/AAS) running per station on retire.
+
+Dispatch pipelining: the carried chain state stays ON DEVICE between
+dispatches (only the tiny per-station consumed-samples vector is
+fetched to advance the host rings), and up to ``depth`` dispatches'
+decoded outputs are held in flight before the host transport consumes
+them — device execute overlaps host parsing.
+
+Steady-state contract: each station's stream must start at a P1 frame
+boundary minus FFTCP//2 samples (block count 0).  For a capture with
+unknown timing/CFO, lock first with
+:func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` and feed
+``samples[lock["offset"]:]`` with ``psmi=lock["psmi"]`` — the same
+cold-start flow the bench's coldstart row gates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.api.events import Event, EventType, make
+from nrsc5_tpu.transport import frame as TF
+from nrsc5_tpu.transport.output import Output
+from nrsc5_tpu.transport.pids import PIDSDecoder
+
+
+class _StationTransport:
+    """The host transport stack of one station (the session's wiring
+    minus the device receiver; see api/session.py _wire)."""
+
+    def __init__(self, station: int, callback, hdc_factory=None):
+        self.station = station
+        self._cb = callback
+        self.output = Output(self._emit, mode_fm=True,
+                             hdc_decoder_factory=hdc_factory)
+        self.pids = PIDSDecoder(self._emit)
+        self.frame = TF.FrameDecoder(
+            self.output,
+            on_audio_service=lambda info: self._emit(
+                make(EventType.AUDIO_SERVICE, **info)))
+
+    def _emit(self, event: Event):
+        self._cb(self.station, event)
+
+    def consume(self, p1, margins, pids, px1=None, px2=None):
+        n_frames = p1.shape[0]
+
+        def px_rows(bits, f):
+            # spread this dispatch's PX frames across its P1 frames so
+            # packets land before the advances that pop them (warm-up
+            # skipping can shorten the first consuming dispatch)
+            if bits is None or bits.shape[0] == 0:
+                return ()
+            per = max(1, bits.shape[0] // n_frames)
+            if f == n_frames - 1:
+                return bits[f * per:]
+            return bits[f * per:(f + 1) * per]
+
+        for f in range(n_frames):
+            self.frame.push_frame(p1[f], TF.P1)
+            for bits, lc in ((px1, TF.P3), (px2, TF.P4)):
+                for row in px_rows(bits, f):
+                    self.frame.push_frame(row, lc)
+            for b in range(C.P1_FM_BLOCKS):
+                blk = f * C.P1_FM_BLOCKS + b
+                if blk < pids.shape[0]:
+                    self.pids.frame_push(pids[blk])
+                self.output.advance()
+
+
+class MultiStationReceiver:
+    """Serve ``n_stations`` FM stations from one chip.
+
+    callback(station: int, event: Event) receives every transport event
+    (HDC, AUDIO, ID3, SIS, LOT, ...) tagged with its station index.
+
+    ``push(station, samples)`` takes complex64 baseband at 744,187.5 S/s
+    (or an rc float32 [..., 2] array, already FM-conjugated); a device
+    dispatch fires whenever every station has a dispatch's worth of
+    samples buffered.  Call :meth:`flush` at end of stream to drain the
+    in-flight pipeline.
+    """
+
+    def __init__(self, n_stations: int, callback: Callable[[int, Event],
+                                                           None],
+                 frames_per_dispatch: int = 2, psmi: int = 1,
+                 depth: int = 2, hdc_factory=None, first_bc: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+
+        self._jnp, self._rcc = jnp, rcc
+        self.n_stations = n_stations
+        self.n_blocks = frames_per_dispatch * C.P1_FM_BLOCKS
+        self.psmi = psmi
+        self.depth = max(depth, 1)
+        self._needed = rcc.buffer_len(self.n_blocks)
+        self._rings = [np.zeros((0, 2), np.float32)
+                       for _ in range(n_stations)]
+        self._carries = jax.jit(lambda: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_stations,) + x.shape),
+            rcc.chain_rc_init_carry(psmi=psmi)))()
+        self._packed = jax.default_backend() != "cpu"
+        self._first_bc = first_bc
+        nb, ps, fb, pk = self.n_blocks, psmi, first_bc, self._packed
+        self._step = jax.jit(
+            lambda s, c: rcc.fm_chain_batch_rc(s, c, nb, ps, fb, pk))
+        self._pending: list = []
+        self.transports = [_StationTransport(i, callback, hdc_factory)
+                           for i in range(n_stations)]
+        # PX warm-up: frames decoded before one full interleaver-IV cycle
+        # are garbage (reference `ready` flag, src/decode.c:355-359)
+        fl1, fl2 = rcc._px_frame_lens(psmi)
+        from nrsc5_tpu.ops import interleavers as IL
+        self._px_warmup = {
+            "px1": IL.p3_iv_tables(fl1)[2] if fl1 else 0,
+            "px2": IL.p3_iv_tables(fl2)[2] if fl2 else 0}
+        self._px_seen = {"px1": 0, "px2": 0}
+
+    # ------------------------------------------------------------------
+    def push(self, station: int, samples: np.ndarray):
+        """Append samples for one station (complex64, or rc [..., 2])."""
+        s = np.asarray(samples)
+        if s.ndim == 1:  # complex baseband → conjugated rc
+            s = np.stack([s.real, -s.imag], -1).astype(np.float32)
+        self._rings[station] = np.concatenate([self._rings[station], s])
+        self._pump()
+
+    def flush(self):
+        """Drain every in-flight dispatch through the transports."""
+        while self._pending:
+            self._consume(self._pending.pop(0))
+
+    # ------------------------------------------------------------------
+    def _pump(self):
+        while min(len(r) for r in self._rings) >= self._needed:
+            jnp = self._jnp
+            batch = np.stack([r[:self._needed] for r in self._rings])
+            out, carries = self._step(jnp.asarray(batch), self._carries)
+            # only the consumed-sample counts come back to the host here;
+            # the carried state feeds the next dispatch on-device
+            consumed = np.asarray(carries.offset)
+            self._carries = carries._replace(
+                offset=carries.offset - carries.offset)
+            for i in range(self.n_stations):
+                self._rings[i] = self._rings[i][int(consumed[i]):]
+            self._pending.append(out)
+            if len(self._pending) > self.depth:
+                self._consume(self._pending.pop(0))
+
+    def _consume(self, out):
+        from nrsc5_tpu.ops.bits import unpack_out
+        out = {k: np.asarray(v) if not isinstance(v, dict) else v
+               for k, v in out.items()}
+        if self._packed:
+            unpack_out(out)
+        for key in ("px1", "px2"):
+            if key in out:
+                self._px_seen[key] += out[key].shape[1]
+        for i, tr in enumerate(self.transports):
+            px = {}
+            for key in ("px1", "px2"):
+                if key not in out:
+                    px[key] = None
+                    continue
+                bits = out[key][i]
+                # drop warm-up frames from before a full IV cycle
+                done_before = self._px_seen[key] - bits.shape[0]
+                skip = max(0, self._px_warmup[key] - done_before)
+                px[key] = bits[skip:] if skip < bits.shape[0] else None
+            tr.consume(out["p1"][i], out["p1_margin"][i], out["pids"][i],
+                       px["px1"], px["px2"])

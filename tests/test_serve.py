@@ -1,0 +1,125 @@
+"""Multi-station serving API: per-station streams in, per-station
+transport events out, one batched device dispatch for all stations
+(nrsc5_tpu/serve.py — the serving surface the e2e benchmark measures)."""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.api.events import EventType
+from nrsc5_tpu.tx.encoder import build_pm_matrix
+from nrsc5_tpu.tx.modulator import modulate_fm
+from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+
+def _id3(title: str) -> bytes:
+    fr = b"TIT2" + (len(title) + 1).to_bytes(4, "big") + b"\x00\x00" \
+        + b"\x00" + title.encode("latin-1")
+    size = len(fr)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x03\x00\x00" + ss + fr
+
+
+def _station_stream(rng, title, n_frames=3):
+    """Steady-state rc stream (frame-aligned, bc 0) + its HDC packets."""
+    packets = [rng.integers(0, 256, 280).astype(np.uint8).tobytes()
+               for _ in range(n_frames * 32)]
+    psd = aas_frame(0x5100, 0, _id3(title))
+    mats = [build_pm_matrix(
+        build_p1_fm_frame(packets[f * 32:(f + 1) * 32], 0, f % 8,
+                          (f * 32) % 64, psd=psd),
+        np.zeros((16, 80), np.uint8)) for f in range(n_frames)]
+    sig = modulate_fm(np.concatenate(mats),
+                      np.tile(np.arange(16), n_frames), 1)
+    buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+    buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+    return buf, packets
+
+
+def test_multistation_serving(rng):
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    titles = ["Station Zero Song", "Station One Song"]
+    streams, want = [], []
+    for t in titles:
+        sig, packets = _station_stream(rng, t)
+        streams.append(sig)
+        want.append({bytes(p) for p in packets})
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1)
+    # interleaved, odd-sized pushes (streaming, not one-shot)
+    pos = [0, 0]
+    chunk = 48 * 1024 + 17
+    while any(pos[i] < len(streams[i]) for i in range(2)):
+        for i in range(2):
+            rx.push(i, streams[i][pos[i]:pos[i] + chunk])
+            pos[i] += chunk
+    rx.flush()
+
+    for i, t in enumerate(titles):
+        got_titles = {e.title for e in events[i]
+                      if e.type == EventType.ID3}
+        assert t in got_titles, (i, got_titles)
+        # no cross-station leakage
+        assert titles[1 - i] not in got_titles
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want[i]) >= 64, (i, len(hdc & want[i]))
+        assert not (hdc & want[1 - i] - want[i])
+        assert any(e.type == EventType.AUDIO_SERVICE for e in events[i])
+
+
+def test_multistation_px_channels(rng):
+    """MP3 service mode through the serving API: the SPS (program-1 audio
+    in P3 PDUs over the PX1 interleaver-IV channel) reaches the
+    per-station transport after the interleaver warm-up cycle."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx.encoder import build_px_stream
+    from nrsc5_tpu.tx.transport_encoder import (build_audio_pdu,
+                                                pack_frame)
+
+    psmi, n_cycles = 3, 3
+    fl = C.P3_FRAME_LEN_MP3_MP11
+    p3_bytes = (fl - 24) // 8
+    sps_packets = []
+    p3_bits = np.zeros((n_cycles, 16, fl), np.uint8)
+    for cyc in range(n_cycles):
+        for f in range(16):
+            pkts = [rng.integers(0, 256, 150).astype(np.uint8).tobytes()
+                    for _ in range(3)]
+            sps_packets.extend(pkts)
+            g = cyc * 16 + f
+            pdu = build_audio_pdu(pkts, program=1, pdu_seq=g % 8,
+                                  seq=(g * 3) % 64, total_len=p3_bytes)
+            p3_bits[cyc, f] = pack_frame(pdu, fl, C.PCI_AUDIO)
+    px = build_px_stream(p3_bits, fl).reshape(n_cycles * 32 * C.BLKSZ, -1)
+
+    mats = []
+    for f in range(n_cycles * 2):
+        pkts = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                for _ in range(32)]
+        mats.append(build_pm_matrix(
+            build_p1_fm_frame(pkts, 0, f % 8, (f * 32) % 64),
+            np.zeros((16, 80), np.uint8)))
+    sig = modulate_fm(np.concatenate(mats),
+                      np.tile(np.arange(16), n_cycles * 2), psmi,
+                      px1_signs=px)
+    buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+    buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=2, psmi=psmi)
+    rx.push(0, buf)
+    rx.flush()
+
+    want = {bytes(p) for p in sps_packets}
+    got = {e.data for e in events
+           if e.type == EventType.HDC and e.program == 1
+           and not e.crc_error}
+    assert len(got & want) >= 32, len(got & want)
+    assert any(e.type == EventType.AUDIO_SERVICE and e.program == 1
+               for e in events)
