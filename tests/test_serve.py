@@ -123,3 +123,29 @@ def test_multistation_px_channels(rng):
     assert len(got & want) >= 32, len(got & want)
     assert any(e.type == EventType.AUDIO_SERVICE and e.program == 1
                for e in events)
+
+
+def test_multistation_cs16_input(rng):
+    """cs16 input format: raw interleaved int16 I/Q in, on-device float
+    conversion — same decode as the cf32 path (quantization is ~90 dB
+    below signal; packets stay bit-exact)."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    sig, packets = _station_stream(rng, "CS16 Title")
+    want = {bytes(p) for p in packets}
+    iq = np.empty(2 * len(sig), np.int16)
+    # raw wire I/Q (unconjugated; push() applies the ingest convention)
+    iq[0::2] = np.clip(sig.real * 32767, -32768, 32767).astype(np.int16)
+    iq[1::2] = np.clip(sig.imag * 32767, -32768, 32767).astype(np.int16)
+
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=1, input_format="cs16")
+    for lo in range(0, len(iq), 262144):
+        rx.push(0, iq[lo:lo + 262144])
+    rx.flush()
+    hdc = {e.data for e in events
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & want) >= 64, len(hdc & want)
+    assert any(e.type == EventType.ID3 and e.title == "CS16 Title"
+               for e in events)
