@@ -50,10 +50,11 @@ class _StationTransport:
     """The host transport stack of one station (the session's wiring
     minus the device receiver; see api/session.py _wire)."""
 
-    def __init__(self, station: int, callback, hdc_factory=None):
+    def __init__(self, station: int, callback, hdc_factory=None,
+                 mode_fm: bool = True):
         self.station = station
         self._cb = callback
-        self.output = Output(self._emit, mode_fm=True,
+        self.output = Output(self._emit, mode_fm=mode_fm,
                              hdc_decoder_factory=hdc_factory)
         self.pids = PIDSDecoder(self._emit)
         self.frame = TF.FrameDecoder(
@@ -63,6 +64,23 @@ class _StationTransport:
 
     def _emit(self, event: Event):
         self._cb(self.station, event)
+
+    def consume_am(self, p1, p3, pids, skip: int):
+        """p1 [F, 8, 3750], p3 [F, p3_len], pids [F*8, 80]; ``skip``
+        leading frames are diversity-delay warm-up (reference
+        am_diversity_wait, src/decode.c:507-554) and carry no payload."""
+        n_frames = p1.shape[0]
+        for f in range(n_frames):
+            if f >= skip:
+                for b in range(8):
+                    self.frame.push_frame(p1[f, b], TF.P1)
+                if p3 is not None:
+                    self.frame.push_frame(p3[f], TF.P3)
+            for b in range(8):
+                blk = f * 8 + b
+                if blk < pids.shape[0]:
+                    self.pids.frame_push(pids[blk])
+                self.output.advance()
 
     def consume(self, p1, margins, pids, px1=None, px2=None):
         n_frames = p1.shape[0]
@@ -91,13 +109,16 @@ class _StationTransport:
 
 
 class MultiStationReceiver:
-    """Serve ``n_stations`` FM stations from one chip.
+    """Serve ``n_stations`` stations from one chip (``mode="fm"`` or
+    ``"am"``).
 
     callback(station: int, event: Event) receives every transport event
     (HDC, AUDIO, ID3, SIS, LOT, ...) tagged with its station index.
 
-    ``push(station, samples)`` takes complex64 baseband at 744,187.5 S/s
-    (or an rc float32 [..., 2] array, already FM-conjugated); a device
+    ``push(station, samples)`` takes complex64 baseband at the internal
+    rate (744,187.5 S/s FM / 46,511.7 AM), an rc float32 [..., 2] array
+    (already ingest-conjugated for FM), or — with
+    ``input_format="cs16"`` — raw interleaved int16 I/Q; a device
     dispatch fires whenever every station has a dispatch's worth of
     samples buffered.  Call :meth:`flush` at end of stream to drain the
     in-flight pipeline.
@@ -107,45 +128,70 @@ class MultiStationReceiver:
                                                            None],
                  frames_per_dispatch: int = 2, psmi: int = 1,
                  depth: int = 2, hdc_factory=None, first_bc: int = 0,
-                 input_format: str = "cf32"):
+                 input_format: str = "cf32", mode: str = "fm",
+                 ma3: bool = False):
         import jax
         import jax.numpy as jnp
 
+        from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
         from nrsc5_tpu.pipeline import scan_chain_rc as rcc
 
         assert input_format in ("cf32", "cs16")
+        assert mode in ("fm", "am")
         self._jnp, self._rcc = jnp, rcc
+        self.mode = mode
         self.n_stations = n_stations
-        self.n_blocks = frames_per_dispatch * C.P1_FM_BLOCKS
         self.psmi = psmi
         self.depth = max(depth, 1)
-        self._needed = rcc.buffer_len(self.n_blocks)
         # per-station sample queues as chunk lists (no giant re-concats)
         self._chunks: list[list] = [[] for _ in range(n_stations)]
         self._sizes = [0] * n_stations
         self._cs16 = input_format == "cs16"
         self._dtype = np.int16 if self._cs16 else np.float32
-        self._carries = jax.jit(lambda: jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_stations,) + x.shape),
-            rcc.chain_rc_init_carry(psmi=psmi)))()
         self._packed = jax.default_backend() != "cpu"
         self._first_bc = first_bc
-        nb, ps, fb, pk = self.n_blocks, psmi, first_bc, self._packed
+        self._pending: list = []
 
-        def _chain(s, c):
-            if self._cs16:
-                # cs16 wire format (the reference's internal rate): scale
-                # on device, halving the host->device transfer
-                s = s.astype(jnp.float32) * (1.0 / 32768.0)
-            return rcc.fm_chain_batch_rc(s, c, nb, ps, fb, pk)
+        def bcast(tree):
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n_stations,) + x.shape),
+                tree)
+
+        if mode == "fm":
+            self.n_blocks = frames_per_dispatch * C.P1_FM_BLOCKS
+            self._needed = rcc.buffer_len(self.n_blocks)
+            self._carries = jax.jit(
+                lambda: bcast(rcc.chain_rc_init_carry(psmi=psmi)))()
+            nb, ps, fb, pk = self.n_blocks, psmi, first_bc, self._packed
+
+            def _chain(s, c):
+                if self._cs16:
+                    # cs16 wire format (the reference's internal rate):
+                    # scale on device — half the host->device transfer
+                    s = s.astype(jnp.float32) * (1.0 / 32768.0)
+                return rcc.fm_chain_batch_rc(s, c, nb, ps, fb, pk)
+        else:
+            self.n_frames = frames_per_dispatch
+            self._needed = scar.am_buffer_len(self.n_frames)
+            self._carries = jax.jit(
+                lambda: bcast(scar.am_chain_rc_init_carry()))()
+            nf, pk = self.n_frames, self._packed
+            # diversity-delay warm-up frames carry no payload
+            # (reference: am_diversity_wait, src/decode.c:507-554)
+            self._am_skip = 3
+
+            def _chain(s, c):
+                if self._cs16:
+                    s = s.astype(jnp.float32) * (1.0 / 32768.0)
+                return scar.am_chain_batch_rc(s, c, nf, ma3, pk)
 
         self._step = jax.jit(_chain)
-        self._pending: list = []
-        self.transports = [_StationTransport(i, callback, hdc_factory)
+        self.transports = [_StationTransport(i, callback, hdc_factory,
+                                             mode_fm=mode == "fm")
                            for i in range(n_stations)]
         # PX warm-up: frames decoded before one full interleaver-IV cycle
         # are garbage (reference `ready` flag, src/decode.c:355-359)
-        fl1, fl2 = rcc._px_frame_lens(psmi)
+        fl1, fl2 = rcc._px_frame_lens(psmi) if mode == "fm" else (0, 0)
         from nrsc5_tpu.ops import interleavers as IL
         self._px_warmup = {
             "px1": IL.p3_iv_tables(fl1)[2] if fl1 else 0,
@@ -158,29 +204,38 @@ class MultiStationReceiver:
         [..., 2] array of the configured dtype, or (cs16 format) raw
         interleaved int16 I/Q bytes/arrays."""
         s = np.asarray(samples)
+        conj = self.mode == "fm"  # the FM ingest convention negates Q
         if s.dtype.kind == "c":
             # complex64 memory IS [re, im] float32 pairs: conjugate once
-            # (the FM ingest convention negates Q) and reinterpret —
-            # one pass instead of a strided stack (measured 10x faster)
-            s = np.conj(s.astype(np.complex64, copy=False))
+            # and reinterpret — one pass instead of a strided stack
+            # (measured 10x faster)
+            s = s.astype(np.complex64, copy=not conj)
+            if conj:
+                s = np.conj(s)
             s = s.view(np.float32).reshape(-1, 2)
             if self._cs16:
                 s = np.clip(s * 32767.0, -32768, 32767).astype(np.int16)
-        elif s.ndim == 1:  # interleaved int16 I/Q: conjugate Q
+        elif s.ndim == 1:  # interleaved int16 I/Q
             s = s.reshape(-1, 2).astype(self._dtype)
-            q = s[:, 1]
-            # negate without the int16 -32768 overflow
-            s[:, 1] = np.where(q == -32768, 32767, -q) if self._cs16 \
-                else -q
+            if conj:
+                q = s[:, 1]
+                # negate without the int16 -32768 overflow
+                s[:, 1] = np.where(q == -32768, 32767, -q) if self._cs16 \
+                    else -q
         s = np.ascontiguousarray(s, self._dtype)
         self._chunks[station].append(s)
         self._sizes[station] += len(s)
         self._pump()
 
     def flush(self):
-        """Drain every in-flight dispatch through the transports."""
+        """Drain every in-flight dispatch through the transports, then
+        the elastic-buffer tails (end of a finite capture; the session's
+        flush does the same, api/session.py)."""
         while self._pending:
             self._consume(self._pending.pop(0))
+        for tr in self.transports:
+            for _ in range(4):
+                tr.output.advance()
 
     # ------------------------------------------------------------------
     def _fill(self, station: int, out: np.ndarray):
@@ -229,6 +284,14 @@ class MultiStationReceiver:
                for k, v in out.items()}
         if self._packed:
             unpack_out(out)
+        if self.mode == "am":
+            skip = min(self._am_skip, self.n_frames)
+            self._am_skip -= skip
+            p1 = out["p1"].reshape(self.n_stations, self.n_frames, 8,
+                                   C.P1_FRAME_LEN_AM)
+            for i, tr in enumerate(self.transports):
+                tr.consume_am(p1[i], out["p3"][i], out["pids"][i], skip)
+            return
         for key in ("px1", "px2"):
             if key in out:
                 self._px_seen[key] += out[key].shape[1]

@@ -149,3 +149,50 @@ def test_multistation_cs16_input(rng):
     assert len(hdc & want) >= 64, len(hdc & want)
     assert any(e.type == EventType.ID3 and e.title == "CS16 Title"
                for e in events)
+
+
+def test_multistation_am(rng):
+    """AM mode through the serving API: MA1 audio PDUs reach the
+    per-station transport as bit-exact HDC packets after the
+    diversity-delay warm-up."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    n = 7
+    packets = []
+    p1_frames = []
+    for f in range(n):
+        sub = []
+        for b in range(8):
+            pkts = [rng.integers(0, 256, 100).astype(np.uint8).tobytes()
+                    for _ in range(4)]
+            packets.extend(pkts)
+            sub.append(build_p1_am_frame(pkts, 0, (f * 8 + b) % 8,
+                                         ((f * 8 + b) * 4) % 64))
+        p1_frames.append(np.stack(sub))
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1_frames[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+    buf = np.zeros(len(sig) + C.FFTCP_AM, np.complex64)
+    buf[C.FFTCP_AM // 2:C.FFTCP_AM // 2 + len(sig)] = sig
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=2, mode="am")
+    for lo in range(0, len(buf), 100000):
+        for i in range(2):
+            rx.push(i, buf[lo:lo + 100000])
+    rx.flush()
+
+    want = {bytes(p) for p in packets}
+    for i in range(2):
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want) >= 64, (i, len(hdc & want))
