@@ -163,7 +163,8 @@ def sharded_fm_chain_selfsync(mesh: Mesh, n_blocks: int, psmi: int = 1):
             frames = frames.reshape(n_frames, -1)
             p1, margin, _ = jax.vmap(
                 lambda m: p1_decode(m, chunked=True))(frames)
-            return p1, margin, first_bc, cfo, locked, diag["error"].sum()
+            return p1, margin, first_bc, cfo, locked, \
+                (diag["error_lb"] + diag["error_ub"]).sum()
 
         p1, margin, first_bc, cfo, locked, err = \
             jax.vmap(one_station)(ext)

@@ -277,6 +277,9 @@ def _am_finish(scanned, ma3: bool, packed: bool):
         outs["p1"] = pack_bits(
             outs["p1"].reshape(outs["p1"].shape[:-2] + (-1,)))
         outs["p3"] = pack_bits(outs["p3"])
+        # pids too (80 % 8 == 0), so every PACKED_KEYS entry present is
+        # packed and the host-side ops.bits.unpack_out inverse is exact
+        outs["pids"] = pack_bits(outs["pids"])
     return outs
 
 

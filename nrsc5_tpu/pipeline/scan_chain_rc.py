@@ -274,24 +274,29 @@ def frontend_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
             samperr_fb=out["samperr"], angle_fb=out["angle"])
         px = tuple(out[k] for k in ("px1", "px2") if k in out)
         return ncy, (out["pm"], out["samperr"],
-                     out["error_lb"] + out["error_ub"]) + px
+                     out["error_lb"], out["error_ub"]) + px
 
     carry, scanned = jax.lax.scan(
         step, carry, None, length=n_blocks,
         unroll=int(os.environ.get("NRSC5_BLOCK_UNROLL", "1")))
-    pm, samperr, err = scanned[:3]
-    return pm, {"samperr": samperr, "error": err}, scanned[3:], carry
+    pm, samperr, elb, eub = scanned[:4]
+    return pm, {"samperr": samperr, "error_lb": elb,
+                "error_ub": eub}, scanned[4:], carry
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "psmi", "first_bc",
-                                             "packed"))
+                                             "packed", "px"))
 def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
-                     psmi: int = 1, first_bc: int = 0, packed: bool = False):
+                     psmi: int = 1, first_bc: int = 0, packed: bool = False,
+                     px: bool = True):
     """samples: [buffer_len(n_blocks), 2] float32 rc at 744187.5 S/s,
     ALREADY conjugated (Im negated) for the FM ingest convention.
     Same outputs as fm_chain_scan, plus px1/px2 frames for extended
     service modes (decoded on device through the carried interleaver-IV
-    state; requires first_bc even so block pairs align)."""
+    state; requires first_bc even so block pairs align).  ``px=False``
+    skips the PX interleaver-IV processing entirely (used by partial
+    frame-alignment dispatches that may be odd-length; the IV warm-up
+    dropping downstream absorbs the missed LLR history)."""
     fl1, fl2 = _px_frame_lens(psmi)
 
     pm, diag, px_scanned, carry = frontend_scan_rc(samples, carry,
@@ -314,7 +319,7 @@ def fm_chain_scan_rc(samples, carry: ChainCarryRC, n_blocks: int,
     # PX channels: interleaver-IV call per block pair, state carried
     # across dispatches (rc analog of pipeline/receiver.py _fine_step);
     # the decode itself is shared with the complex chain (px_scan_pairs)
-    if fl1 or fl2:
+    if (fl1 or fl2) and px:
         from nrsc5_tpu.pipeline.scan_chain import px_scan_pairs
         states = {k: (getattr(carry, f"{k}_internal"),
                       getattr(carry, f"{k}_phase"))

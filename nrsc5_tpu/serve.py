@@ -15,12 +15,15 @@ fetched to advance the host rings), and up to ``depth`` dispatches'
 decoded outputs are held in flight before the host transport consumes
 them — device execute overlaps host parsing.
 
-Steady-state contract: each station's stream must start at a P1 frame
-boundary minus FFTCP//2 samples (block count 0).  For a capture with
-unknown timing/CFO, lock first with
-:func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` and feed
-``samples[lock["offset"]:]`` with ``psmi=lock["psmi"]`` — the same
-cold-start flow the bench's coldstart row gates.
+Stream contract: each station's stream must start at an L1 block
+boundary minus FFTCP//2 samples.  Streams starting at block count 0
+(a P1 frame boundary) need nothing else; for a capture with unknown
+timing/CFO, lock first with
+:func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc`, pass the lock
+dicts as ``locks=`` (seeding the carried CFO/phase state and the
+per-station ``first_bc`` alignment), and feed
+``samples[lock["offset"]:]`` — the same cold-start flow the bench's
+coldstart row gates.
 
 Measured on the tunneled v5e chip of this environment: decode compute
 supports 750-918× real time (bench.py e2e/fm rows, inputs resident on
@@ -61,9 +64,30 @@ class _StationTransport:
             self.output,
             on_audio_service=lambda info: self._emit(
                 make(EventType.AUDIO_SERVICE, **info)))
+        self._mer_acc = [0.0, 0.0]
+        self._mer_cnt = 0
 
     def _emit(self, event: Event):
         self._cb(self.station, event)
+
+    def mer_push(self, error_lb, error_ub, psmi: int):
+        """Per-block sideband error powers -> MER event every 16 blocks,
+        same aggregation as the session path (reference src/sync.c:486-501)."""
+        for elb, eub in zip(np.atleast_1d(error_lb), np.atleast_1d(error_ub)):
+            self._mer_acc[0] += float(elb)
+            self._mer_acc[1] += float(eub)
+            self._mer_cnt += 1
+            if self._mer_cnt == 16:
+                ppb = C.partitions_per_band(psmi)
+                signal = 2 * C.BLKSZ * ppb * C.PARTITION_DATA_CARRIERS * 16
+                self._emit(make(
+                    EventType.MER,
+                    lower=10 * np.log10(signal / self._mer_acc[0])
+                    if self._mer_acc[0] > 0 else 0.0,
+                    upper=10 * np.log10(signal / self._mer_acc[1])
+                    if self._mer_acc[1] > 0 else 0.0))
+                self._mer_acc = [0.0, 0.0]
+                self._mer_cnt = 0
 
     def consume_am(self, p1, p3, pids, skip: int):
         """p1 [F, 8, 3750], p3 [F, p3_len], pids [F*8, 80]; ``skip``
@@ -82,7 +106,7 @@ class _StationTransport:
                     self.pids.frame_push(pids[blk])
                 self.output.advance()
 
-    def consume(self, p1, margins, pids, px1=None, px2=None):
+    def consume(self, p1, bit_errors, pids, px1=None, px2=None):
         n_frames = p1.shape[0]
 
         def px_rows(bits, f):
@@ -97,6 +121,10 @@ class _StationTransport:
             return bits[f * per:(f + 1) * per]
 
         for f in range(n_frames):
+            # channel BER from the device re-encode comparison, the same
+            # source as the session path (reference src/decode.c:234-277)
+            self._emit(make(EventType.BER, cber=float(bit_errors[f])
+                            / C.P1_FRAME_LEN_ENCODED_FM))
             self.frame.push_frame(p1[f], TF.P1)
             for bits, lc in ((px1, TF.P3), (px2, TF.P4)):
                 for row in px_rows(bits, f):
@@ -117,11 +145,23 @@ class MultiStationReceiver:
 
     ``push(station, samples)`` takes complex64 baseband at the internal
     rate (744,187.5 S/s FM / 46,511.7 AM), an rc float32 [..., 2] array
-    (already ingest-conjugated for FM), or — with
-    ``input_format="cs16"`` — raw interleaved int16 I/Q; a device
-    dispatch fires whenever every station has a dispatch's worth of
-    samples buffered.  Call :meth:`flush` at end of stream to drain the
+    (already ingest-conjugated for FM), raw ``bytes``/``bytearray``
+    (complex64 wire bytes, or interleaved int16 I/Q with
+    ``input_format="cs16"``; partial trailing pairs are carried to the
+    next push), or a 1-D interleaved int16 array; a device dispatch
+    fires whenever every station has a dispatch's worth of samples
+    buffered.  Call :meth:`flush` at end of stream to drain the
     in-flight pipeline.
+
+    Cold start (FM): for captures with unknown timing/CFO, lock each
+    station with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc`
+    and pass the lock dicts via ``locks=`` (one per station, or one
+    shared); then feed ``samples[lock["offset"]:]``.  The locked carry
+    (integer/fractional CFO) seeds the chain, and each station's
+    ``first_bc`` is consumed by a one-time per-station alignment
+    dispatch that decodes PIDS over the partial leading frame, after
+    which every steady-state dispatch is frame-aligned.  All locks must
+    agree on ``psmi`` (one fused program serves the batch).
     """
 
     def __init__(self, n_stations: int, callback: Callable[[int, Event],
@@ -129,7 +169,8 @@ class MultiStationReceiver:
                  frames_per_dispatch: int = 2, psmi: int = 1,
                  depth: int = 2, hdc_factory=None, first_bc: int = 0,
                  input_format: str = "cf32", mode: str = "fm",
-                 ma3: bool = False):
+                 ma3: bool = False, locks=None,
+                 packed: bool | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -138,19 +179,42 @@ class MultiStationReceiver:
 
         assert input_format in ("cf32", "cs16")
         assert mode in ("fm", "am")
-        self._jnp, self._rcc = jnp, rcc
+        self._jnp, self._jax, self._rcc = jnp, jax, rcc
         self.mode = mode
         self.n_stations = n_stations
-        self.psmi = psmi
         self.depth = max(depth, 1)
         # per-station sample queues as chunk lists (no giant re-concats)
         self._chunks: list[list] = [[] for _ in range(n_stations)]
         self._sizes = [0] * n_stations
+        self._leftover = [b""] * n_stations  # partial I/Q pair byte tails
         self._cs16 = input_format == "cs16"
         self._dtype = np.int16 if self._cs16 else np.float32
-        self._packed = jax.default_backend() != "cpu"
-        self._first_bc = first_bc
+        # device-side 8x bit packing of decoded frames (ops/bits.py):
+        # on by default off-CPU; override for tests / unusual transports
+        self._packed = (jax.default_backend() != "cpu") if packed is None \
+            else packed
         self._pending: list = []
+
+        init_carries = None
+        first_bcs = [first_bc] * n_stations
+        if locks is not None:
+            assert mode == "fm", "cold-start locks are an FM flow"
+            if isinstance(locks, dict):
+                locks = [locks] * n_stations
+            assert len(locks) == n_stations
+            psmis = {lk["psmi"] for lk in locks}
+            assert len(psmis) == 1, \
+                f"all stations must share one service mode, got {psmis}"
+            psmi = psmis.pop()
+            first_bcs = [int(lk["first_bc"]) for lk in locks]
+            init_carries = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[lk["carry"] for lk in locks])
+        self.psmi = psmi
+        # blocks of the partial leading frame each station must consume
+        # (PIDS-only alignment dispatch) before frame-aligned steady state
+        self._align = [(C.P1_FM_BLOCKS - bc) % C.P1_FM_BLOCKS
+                       for bc in first_bcs] if mode == "fm" \
+            else [0] * n_stations
 
         def bcast(tree):
             return jax.tree.map(
@@ -160,16 +224,19 @@ class MultiStationReceiver:
         if mode == "fm":
             self.n_blocks = frames_per_dispatch * C.P1_FM_BLOCKS
             self._needed = rcc.buffer_len(self.n_blocks)
-            self._carries = jax.jit(
-                lambda: bcast(rcc.chain_rc_init_carry(psmi=psmi)))()
-            nb, ps, fb, pk = self.n_blocks, psmi, first_bc, self._packed
+            self._carries = init_carries if init_carries is not None \
+                else jax.jit(
+                    lambda: bcast(rcc.chain_rc_init_carry(psmi=psmi)))()
+            nb, ps, pk = self.n_blocks, psmi, self._packed
 
             def _chain(s, c):
                 if self._cs16:
                     # cs16 wire format (the reference's internal rate):
                     # scale on device — half the host->device transfer
                     s = s.astype(jnp.float32) * (1.0 / 32768.0)
-                return rcc.fm_chain_batch_rc(s, c, nb, ps, fb, pk)
+                # steady state is always frame-aligned (first_bc handled
+                # once per station by the alignment dispatch)
+                return rcc.fm_chain_batch_rc(s, c, nb, ps, 0, pk)
         else:
             self.n_frames = frames_per_dispatch
             self._needed = scar.am_buffer_len(self.n_frames)
@@ -199,10 +266,21 @@ class MultiStationReceiver:
         self._px_seen = {"px1": 0, "px2": 0}
 
     # ------------------------------------------------------------------
-    def push(self, station: int, samples: np.ndarray):
+    def push(self, station: int, samples):
         """Append samples for one station: complex64 baseband, an rc
-        [..., 2] array of the configured dtype, or (cs16 format) raw
-        interleaved int16 I/Q bytes/arrays."""
+        [..., 2] array of the configured dtype, a 1-D interleaved int16
+        I/Q array, or raw bytes (complex64 wire format, or int16 pairs
+        when ``input_format="cs16"``; trailing partial pairs are carried
+        to the next push)."""
+        if isinstance(samples, (bytes, bytearray, memoryview)):
+            buf = self._leftover[station] + bytes(samples)
+            pair = 4 if self._cs16 else 8  # bytes per I/Q pair on the wire
+            n = len(buf) - (len(buf) % pair)
+            self._leftover[station] = buf[n:]
+            if n == 0:
+                return
+            samples = np.frombuffer(buf[:n], np.int16) if self._cs16 \
+                else np.frombuffer(buf[:n], np.complex64)
         s = np.asarray(samples)
         conj = self.mode == "fm"  # the FM ingest convention negates Q
         if s.dtype.kind == "c":
@@ -216,13 +294,22 @@ class MultiStationReceiver:
             if self._cs16:
                 s = np.clip(s * 32767.0, -32768, 32767).astype(np.int16)
         elif s.ndim == 1:  # interleaved int16 I/Q
-            s = s.reshape(-1, 2).astype(self._dtype)
+            if s.dtype == np.int16 and not self._cs16:
+                # int16 wire samples into a float chain: restore unit scale
+                s = s.reshape(-1, 2).astype(np.float32) * (1.0 / 32768.0)
+            else:
+                s = s.reshape(-1, 2).astype(self._dtype)  # fresh copy
             if conj:
                 q = s[:, 1]
                 # negate without the int16 -32768 overflow
                 s[:, 1] = np.where(q == -32768, 32767, -q) if self._cs16 \
                     else -q
+        else:
+            # rc [..., 2]: snapshot — callers may reuse their read buffer
+            # while this chunk is still queued for a future dispatch
+            s = np.array(s, dtype=self._dtype)
         s = np.ascontiguousarray(s, self._dtype)
+        assert s.ndim == 2 and s.shape[1] == 2, s.shape
         self._chunks[station].append(s)
         self._sizes[station] += len(s)
         self._pump()
@@ -259,8 +346,50 @@ class MultiStationReceiver:
                 n = 0
         self._sizes[station] = sum(len(c) for c in chunks)
 
+    def _align_station(self, i: int, blocks: int):
+        """One-time PIDS-only dispatch over station ``i``'s partial
+        leading frame (``first_bc != 0``, e.g. from a cold-start lock):
+        advances the carried chain state to the next P1 frame boundary so
+        every steady-state dispatch decodes whole frames.  The partial
+        frame's PIDS blocks are decoded and consumed here; its P1 soft
+        bits are inherently undecodable (a Viterbi frame needs all 16
+        blocks — the reference likewise discards pre-lock blocks via its
+        bc gate, src/decode.c:389-399)."""
+        jax, jnp, rcc = self._jax, self._jnp, self._rcc
+        from nrsc5_tpu.ops.bits import unpack_out
+        buf = np.empty((rcc.buffer_len(blocks), 2), self._dtype)
+        self._fill(i, buf)
+        s = jnp.asarray(buf)
+        if self._cs16:
+            s = s.astype(jnp.float32) * (1.0 / 32768.0)
+        carry_i = jax.tree.map(lambda x: x[i], self._carries)
+        out, carry = rcc.fm_chain_scan_rc(
+            s, carry_i, blocks, self.psmi,
+            (C.P1_FM_BLOCKS - blocks) % C.P1_FM_BLOCKS,
+            self._packed, px=False)
+        self._drop(i, int(np.asarray(carry.offset)))
+        carry = carry._replace(offset=carry.offset - carry.offset)
+        self._carries = jax.tree.map(
+            lambda x, v: x.at[i].set(v), self._carries, carry)
+        self._align[i] = 0
+        out = {k: np.asarray(v) if not isinstance(v, dict) else v
+               for k, v in out.items()}
+        if self._packed:
+            unpack_out(out)
+        tr = self.transports[i]
+        for b in range(blocks):
+            tr.pids.frame_push(out["pids"][b])
+            tr.output.advance()
+        tr.mer_push(np.asarray(out["diag"]["error_lb"]),
+                    np.asarray(out["diag"]["error_ub"]), self.psmi)
+
     def _pump(self):
         jnp = self._jnp
+        for i, a in enumerate(self._align):
+            if a and self._sizes[i] >= self._rcc.buffer_len(a):
+                self._align_station(i, a)
+        if any(self._align):
+            return  # some station still buffering its alignment samples
         while min(self._sizes) >= self._needed:
             batch = np.empty((self.n_stations, self._needed, 2),
                              self._dtype)
@@ -295,6 +424,8 @@ class MultiStationReceiver:
         for key in ("px1", "px2"):
             if key in out:
                 self._px_seen[key] += out[key].shape[1]
+        elb = np.asarray(out["diag"]["error_lb"])
+        eub = np.asarray(out["diag"]["error_ub"])
         for i, tr in enumerate(self.transports):
             px = {}
             for key in ("px1", "px2"):
@@ -306,5 +437,6 @@ class MultiStationReceiver:
                 done_before = self._px_seen[key] - bits.shape[0]
                 skip = max(0, self._px_warmup[key] - done_before)
                 px[key] = bits[skip:] if skip < bits.shape[0] else None
-            tr.consume(out["p1"][i], out["p1_margin"][i], out["pids"][i],
-                       px["px1"], px["px2"])
+            tr.mer_push(elb[i], eub[i], self.psmi)
+            tr.consume(out["p1"][i], out["p1_bit_errors"][i],
+                       out["pids"][i], px["px1"], px["px2"])

@@ -21,8 +21,8 @@ def _id3(title: str) -> bytes:
     return b"ID3\x03\x00\x00" + ss + fr
 
 
-def _station_stream(rng, title, n_frames=3):
-    """Steady-state rc stream (frame-aligned, bc 0) + its HDC packets."""
+def _station_mats(rng, title, n_frames=3):
+    """PM matrices + HDC packets for n_frames steady-state P1 frames."""
     packets = [rng.integers(0, 256, 280).astype(np.uint8).tobytes()
                for _ in range(n_frames * 32)]
     psd = aas_frame(0x5100, 0, _id3(title))
@@ -30,6 +30,12 @@ def _station_stream(rng, title, n_frames=3):
         build_p1_fm_frame(packets[f * 32:(f + 1) * 32], 0, f % 8,
                           (f * 32) % 64, psd=psd),
         np.zeros((16, 80), np.uint8)) for f in range(n_frames)]
+    return mats, packets
+
+
+def _station_stream(rng, title, n_frames=3):
+    """Steady-state rc stream (frame-aligned, bc 0) + its HDC packets."""
+    mats, packets = _station_mats(rng, title, n_frames)
     sig = modulate_fm(np.concatenate(mats),
                       np.tile(np.arange(16), n_frames), 1)
     buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
@@ -149,6 +155,158 @@ def test_multistation_cs16_input(rng):
     assert len(hdc & want) >= 64, len(hdc & want)
     assert any(e.type == EventType.ID3 and e.title == "CS16 Title"
                for e in events)
+
+
+def test_multistation_packed_outputs(rng):
+    """packed=True (the accelerator default) through both modes on the
+    CPU backend: the host-side unpack must invert exactly what each
+    chain packed — regression for the AM chain packing p1/p3 but not
+    pids (unpack_out then corrupted 80-bit PIDS frames into 640)."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    sig, packets = _station_stream(rng, "Packed Title")
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=1, packed=True)
+    rx.push(0, sig)
+    rx.flush()
+    hdc = {e.data for e in events
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & {bytes(p) for p in packets}) >= 64
+    assert any(e.type == EventType.ID3 and e.title == "Packed Title"
+               for e in events)
+
+    # AM: same stream build as test_multistation_am, packed path
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    n = 7
+    am_packets, p1_frames = [], []
+    for f in range(n):
+        sub = []
+        for b in range(8):
+            pkts = [rng.integers(0, 256, 100).astype(np.uint8).tobytes()
+                    for _ in range(4)]
+            am_packets.extend(pkts)
+            sub.append(build_p1_am_frame(pkts, 0, (f * 8 + b) % 8,
+                                         ((f * 8 + b) * 4) % 64))
+        p1_frames.append(np.stack(sub))
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1_frames[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    am_sig = modulate_am(mats, pids_codes, ref, False)
+    am_buf = np.zeros(len(am_sig) + C.FFTCP_AM, np.complex64)
+    am_buf[C.FFTCP_AM // 2:C.FFTCP_AM // 2 + len(am_sig)] = am_sig
+
+    am_events = []
+    rx = MultiStationReceiver(1, lambda st, ev: am_events.append(ev),
+                              frames_per_dispatch=2, mode="am",
+                              packed=True)
+    rx.push(0, am_buf)
+    rx.flush()
+    hdc = {e.data for e in am_events
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & {bytes(p) for p in am_packets}) >= 64
+
+
+def test_multistation_coldstart_locks(rng):
+    """The documented cold-start flow end to end: unknown timing +
+    integer/fractional CFO -> cold_start_rc lock -> locks= seeds the
+    carried CFO state and first_bc drives a one-time alignment dispatch
+    -> steady dispatches decode whole frames (regression: first_bc was
+    re-applied every dispatch, losing one frame per dispatch, and the
+    locked CFO carry could not be injected at all)."""
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    mats, packets = _station_mats(rng, "Cold Start Title", n_frames=3)
+    # prepend a partial frame (2 trailing blocks of a dummy frame) so the
+    # lock lands mid-frame: first_bc = 14
+    dummy = build_pm_matrix(
+        build_p1_fm_frame(
+            [rng.integers(0, 256, 280).astype(np.uint8).tobytes()
+             for _ in range(32)], 0, 7, 0),
+        np.zeros((16, 80), np.uint8))
+    matrix = np.concatenate([dummy[14 * 32:]] + mats)
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), 3)])
+    full = modulate_fm(matrix, bc_seq, 1)
+    capture = np.zeros(len(full) + C.FFTCP_FM, np.complex64)
+    capture[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(full)] = full
+    bin_hz = C.SAMPLE_RATE_CS16_FM / C.FFT_FM
+    capture = ch.impair(capture, sample_offset=1234,
+                        cfo_hz=3 * bin_hz + 29.0, snr_db=25.0, rng=rng)
+
+    rcs = np.stack([capture.real, -capture.imag], -1).astype(np.float32)
+    lock = rcc.cold_start_rc(rcs)
+    assert lock is not None and lock["first_bc"] == 14, lock and {
+        k: lock[k] for k in ("offset", "first_bc", "psmi", "cfo")}
+
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=1, locks=lock)
+    tail = np.concatenate(
+        [capture[lock["offset"]:], np.zeros(3 * C.FFTCP_FM, np.complex64)])
+    for lo in range(0, len(tail), 200000):
+        rx.push(0, tail[lo:lo + 200000])
+    rx.flush()
+
+    hdc = {e.data for e in events
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & {bytes(p) for p in packets}) >= 64, len(hdc)
+    assert any(e.type == EventType.ID3 and e.title == "Cold Start Title"
+               for e in events)
+    # signal-quality observability (parity with the session path)
+    bers = [e.cber for e in events if e.type == EventType.BER]
+    assert bers and max(bers) < 0.1, bers
+    assert any(e.type == EventType.MER and e.lower > 5 for e in events)
+
+
+def test_multistation_bytes_and_buffer_reuse(rng):
+    """push() byte-stream ingestion (odd-sized chunks; partial I/Q pairs
+    carry across pushes) and caller-buffer snapshotting (the rc [...,2]
+    path must copy — callers stream into one reused read buffer)."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    sig, packets = _station_stream(rng, "Bytes Title")
+    want = {bytes(p) for p in packets}
+    iq = np.empty(2 * len(sig), np.int16)
+    iq[0::2] = np.clip(sig.real * 32767, -32768, 32767).astype(np.int16)
+    iq[1::2] = np.clip(sig.imag * 32767, -32768, 32767).astype(np.int16)
+    wire = iq.tobytes()
+
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=1, input_format="cs16")
+    chunk = 99991  # prime: every split lands mid-pair
+    for lo in range(0, len(wire), chunk):
+        rx.push(0, wire[lo:lo + chunk])
+    rx.flush()
+    hdc = {e.data for e in events
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & want) >= 64, len(hdc & want)
+
+    # rc-array path with an aggressively reused caller buffer
+    rc = np.stack([sig.real, -sig.imag], -1).astype(np.float32)
+    events2 = []
+    rx = MultiStationReceiver(1, lambda st, ev: events2.append(ev),
+                              frames_per_dispatch=1)
+    buf = np.empty((150000, 2), np.float32)
+    for lo in range(0, len(rc), len(buf)):
+        part = rc[lo:lo + len(buf)]
+        buf[:len(part)] = part
+        rx.push(0, buf[:len(part)])
+        buf[:] = -1.0  # clobber: serve must have snapshotted
+    rx.flush()
+    hdc2 = {e.data for e in events2
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc2 & want) >= 64, len(hdc2 & want)
 
 
 def test_multistation_am(rng):
