@@ -72,10 +72,10 @@ def _halfband(x: jax.Array, tail: jax.Array):
     xe = xx[..., 0::2]
     xo = xx[..., 1::2]
     y = h[7] * jax.lax.slice_in_dim(xo, 3, 3 + n_out, axis=-1) \
-        .astype(jnp.complex64)
+        .astype(x.dtype)
     for j in range(8):
         y = y + he[j] * jax.lax.slice_in_dim(xe, j, j + n_out, axis=-1)
-    return y.astype(jnp.complex64), xx[..., -(HB_NTAPS - 1):]
+    return y.astype(x.dtype), xx[..., -(HB_NTAPS - 1):]
 
 
 def fm_decimate(x: jax.Array, state: FrontendState):
@@ -109,3 +109,37 @@ def decimate_batch(x: jax.Array, state: FrontendState, stages: int):
         y, tail = _halfband(y, state.tails[s])
         tails.append(tail)
     return y, FrontendState(tails=tuple(tails))
+
+
+# ---------------------------------------------------------------------------
+# real-valued (rc) variants for the accelerator serving path — some
+# backends (axon) implement no complex ops at all, and the halfband taps
+# are real, so I and Q filter independently as a trailing [..., 2] axis.
+# ---------------------------------------------------------------------------
+
+def halfband_rc(x: jax.Array, tail: jax.Array):
+    """One ÷2 halfband stage on rc data: x [..., N, 2] (N even),
+    tail [..., 14, 2] → (y [..., N//2, 2], new_tail)."""
+    y, t = _halfband(jnp.moveaxis(x, -1, -2), jnp.moveaxis(tail, -1, -2))
+    return jnp.moveaxis(y, -1, -2), jnp.moveaxis(t, -1, -2)
+
+
+def rc_overlap(stages: int) -> int:
+    """Input samples of overlap a stateless ``stages``-deep halfband
+    cascade consumes: 14·(2^stages − 1).  A caller keeping
+    ``rc_overlap(stages) // 2`` samples of history ahead of its logical
+    stream position gets ZERO net group delay (each stage's symmetric
+    15-tap filter delays by 7 of its input samples)."""
+    return (HB_NTAPS - 1) * ((1 << stages) - 1)
+
+
+def decimate_overlap_rc(x: jax.Array, stages: int) -> jax.Array:
+    """Stateless overlap-save cascade for streaming ingest:
+    x [..., L, 2] rc with L = rc_overlap(stages) + 2^stages · n_out →
+    [..., n_out, 2].  The caller carries the overlap in its sample queue
+    (serve.py) instead of threading FIR-tail state through the jit."""
+    y = x
+    for _ in range(stages):
+        y, _ = halfband_rc(y[..., HB_NTAPS - 1:, :],
+                           y[..., :HB_NTAPS - 1, :])
+    return y

@@ -32,8 +32,11 @@ is input-bound by the tunnel's ~35 MB/s fresh-buffer upload: 16
 stations sustain ~4× real time as complex64 and **~11× as cs16**
 (``input_format="cs16"``: half the bytes, scaled to float on device).
 On hardware with host DMA measured in GB/s the upload ceases to bind;
-prefer cs16 ingestion regardless — it is the reference's native wire
+prefer cs16 ingestion regardless — it is the reference's internal wire
 format (include/nrsc5.h:54) and quantization sits ~90 dB under signal.
+``input_format="cu8"`` ingests the reference's native 1.488 MS/s
+device format (include/nrsc5.h:53 — what rtl_tcp delivers) at the same
+bytes/s as cs16, running the ÷2/÷32 halfband cascade on device.
 """
 
 from __future__ import annotations
@@ -146,12 +149,16 @@ class MultiStationReceiver:
     ``push(station, samples)`` takes complex64 baseband at the internal
     rate (744,187.5 S/s FM / 46,511.7 AM), an rc float32 [..., 2] array
     (already ingest-conjugated for FM), raw ``bytes``/``bytearray``
-    (complex64 wire bytes, or interleaved int16 I/Q with
-    ``input_format="cs16"``; partial trailing pairs are carried to the
-    next push), or a 1-D interleaved int16 array; a device dispatch
-    fires whenever every station has a dispatch's worth of samples
-    buffered.  Call :meth:`flush` at end of stream to drain the
-    in-flight pipeline.
+    (partial trailing pairs are carried to the next push), or a 1-D
+    interleaved array at the wire dtype; a device dispatch fires
+    whenever every station has a dispatch's worth of samples buffered.
+    ``input_format`` selects the wire: ``"cf32"`` (complex64 at the
+    internal rate), ``"cs16"`` (interleaved int16 I/Q at the internal
+    rate, scaled to float on device), or ``"cu8"`` — the reference's
+    native 1,488,375 S/s unsigned-8 format (nrsc5.h:53, what rtl_tcp
+    delivers), with the ÷2 FM / ÷32 AM halfband cascade running on
+    device inside the dispatch.  Call :meth:`flush` at end of stream to
+    drain the in-flight pipeline.
 
     Cold start (FM): for captures with unknown timing/CFO, lock each
     station with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc`
@@ -174,21 +181,55 @@ class MultiStationReceiver:
         import jax
         import jax.numpy as jnp
 
+        from nrsc5_tpu.ops import frontend as FE
         from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
         from nrsc5_tpu.pipeline import scan_chain_rc as rcc
 
-        assert input_format in ("cf32", "cs16")
+        assert input_format in ("cf32", "cs16", "cu8")
         assert mode in ("fm", "am")
         self._jnp, self._jax, self._rcc = jnp, jax, rcc
         self.mode = mode
         self.n_stations = n_stations
         self.depth = max(depth, 1)
-        # per-station sample queues as chunk lists (no giant re-concats)
-        self._chunks: list[list] = [[] for _ in range(n_stations)]
-        self._sizes = [0] * n_stations
-        self._leftover = [b""] * n_stations  # partial I/Q pair byte tails
         self._cs16 = input_format == "cs16"
-        self._dtype = np.int16 if self._cs16 else np.float32
+        self._cu8 = input_format == "cu8"
+        self._dtype = np.int16 if self._cs16 \
+            else np.uint8 if self._cu8 else np.float32
+        # cu8 is the reference's 1.488 MS/s wire format (nrsc5.h:53): the
+        # ÷2 (FM) / ÷32 (AM) halfband cascade runs ON DEVICE inside the
+        # dispatch (reference analog: src/input.c:52-90).  The queue then
+        # holds raw-rate samples: `_rate` raw per chain sample, plus a
+        # carried `_overlap` history window so the stateless cascade has
+        # zero net group delay (ops/frontend.rc_overlap).
+        stages = (1 if mode == "fm" else FE.AM_STAGES) if self._cu8 else 0
+        self._rate = 1 << stages
+        self._overlap = FE.rc_overlap(stages)
+        # per-station sample queues as chunk lists (no giant re-concats)
+        self._chunks: list[list] = [
+            [np.full((self._overlap // 2, 2), 127, np.uint8)]
+            if self._cu8 else [] for _ in range(n_stations)]
+        self._sizes = [self._overlap // 2 if self._cu8 else 0
+                       ] * n_stations
+        self._leftover = [b""] * n_stations  # partial I/Q pair byte tails
+
+        def ingest(s):
+            """Device-side wire→chain-input conversion (shared by the
+            steady batch dispatch and the alignment dispatch)."""
+            if self._cs16:
+                # half the host->device transfer; scale on device
+                return s.astype(jnp.float32) * (1.0 / 32768.0)
+            if self._cu8:
+                f = (s.astype(jnp.float32) - 127.0) * (64.0 / 32767.0)
+                if mode == "fm":
+                    # the FM ingest convention negates Q (spectral flip)
+                    f = f * jnp.asarray(np.array([1.0, -1.0], np.float32))
+                    return FE.decimate_overlap_rc(f, 1)
+                # reference scales AM input by 1/16 before the cascade
+                # (src/input.c:62-66)
+                return FE.decimate_overlap_rc(f * (1.0 / 16.0),
+                                              FE.AM_STAGES)
+            return s
+        self._ingest = ingest
         # device-side 8x bit packing of decoded frames (ops/bits.py):
         # on by default off-CPU; override for tests / unusual transports
         self._packed = (jax.default_backend() != "cpu") if packed is None \
@@ -223,23 +264,21 @@ class MultiStationReceiver:
 
         if mode == "fm":
             self.n_blocks = frames_per_dispatch * C.P1_FM_BLOCKS
-            self._needed = rcc.buffer_len(self.n_blocks)
+            self._needed = self._overlap \
+                + self._rate * rcc.buffer_len(self.n_blocks)
             self._carries = init_carries if init_carries is not None \
                 else jax.jit(
                     lambda: bcast(rcc.chain_rc_init_carry(psmi=psmi)))()
             nb, ps, pk = self.n_blocks, psmi, self._packed
 
             def _chain(s, c):
-                if self._cs16:
-                    # cs16 wire format (the reference's internal rate):
-                    # scale on device — half the host->device transfer
-                    s = s.astype(jnp.float32) * (1.0 / 32768.0)
                 # steady state is always frame-aligned (first_bc handled
                 # once per station by the alignment dispatch)
-                return rcc.fm_chain_batch_rc(s, c, nb, ps, 0, pk)
+                return rcc.fm_chain_batch_rc(ingest(s), c, nb, ps, 0, pk)
         else:
             self.n_frames = frames_per_dispatch
-            self._needed = scar.am_buffer_len(self.n_frames)
+            self._needed = self._overlap \
+                + self._rate * scar.am_buffer_len(self.n_frames)
             self._carries = jax.jit(
                 lambda: bcast(scar.am_chain_rc_init_carry()))()
             nf, pk = self.n_frames, self._packed
@@ -248,9 +287,7 @@ class MultiStationReceiver:
             self._am_skip = 3
 
             def _chain(s, c):
-                if self._cs16:
-                    s = s.astype(jnp.float32) * (1.0 / 32768.0)
-                return scar.am_chain_batch_rc(s, c, nf, ma3, pk)
+                return scar.am_chain_batch_rc(ingest(s), c, nf, ma3, pk)
 
         self._step = jax.jit(_chain)
         self.transports = [_StationTransport(i, callback, hdc_factory,
@@ -274,36 +311,51 @@ class MultiStationReceiver:
         to the next push)."""
         if isinstance(samples, (bytes, bytearray, memoryview)):
             buf = self._leftover[station] + bytes(samples)
-            pair = 4 if self._cs16 else 8  # bytes per I/Q pair on the wire
+            # bytes per I/Q pair on the wire
+            pair = 2 if self._cu8 else 4 if self._cs16 else 8
             n = len(buf) - (len(buf) % pair)
             self._leftover[station] = buf[n:]
             if n == 0:
                 return
-            samples = np.frombuffer(buf[:n], np.int16) if self._cs16 \
-                else np.frombuffer(buf[:n], np.complex64)
+            samples = np.frombuffer(
+                buf[:n], np.uint8 if self._cu8 else
+                np.int16 if self._cs16 else np.complex64)
         s = np.asarray(samples)
         conj = self.mode == "fm"  # the FM ingest convention negates Q
         if s.dtype.kind == "c":
-            # complex64 memory IS [re, im] float32 pairs: conjugate once
-            # and reinterpret — one pass instead of a strided stack
-            # (measured 10x faster)
-            s = s.astype(np.complex64, copy=not conj)
-            if conj:
-                s = np.conj(s)
-            s = s.view(np.float32).reshape(-1, 2)
-            if self._cs16:
-                s = np.clip(s * 32767.0, -32768, 32767).astype(np.int16)
-        elif s.ndim == 1:  # interleaved int16 I/Q
-            if s.dtype == np.int16 and not self._cs16:
+            if self._cu8:
+                # quantize to the cu8 wire scale (tx.channel.to_cu8);
+                # conjugation happens on device in the ingest stage
+                s = s.astype(np.complex64, copy=False) \
+                    .view(np.float32).reshape(-1, 2)
+                s = np.clip(np.round(s * 128.0 + 127.0),
+                            0, 255).astype(np.uint8)
+            else:
+                # complex64 memory IS [re, im] float32 pairs: conjugate
+                # once and reinterpret — one pass instead of a strided
+                # stack (measured 10x faster)
+                s = s.astype(np.complex64, copy=not conj)
+                if conj:
+                    s = np.conj(s)
+                s = s.view(np.float32).reshape(-1, 2)
+                if self._cs16:
+                    s = np.clip(s * 32767.0, -32768,
+                                32767).astype(np.int16)
+        elif s.ndim == 1:  # interleaved I/Q at the wire dtype
+            if self._cu8:
+                s = s.reshape(-1, 2).astype(np.uint8)  # conj on device
+            elif s.dtype == np.int16 and not self._cs16:
                 # int16 wire samples into a float chain: restore unit scale
                 s = s.reshape(-1, 2).astype(np.float32) * (1.0 / 32768.0)
+                if conj:
+                    s[:, 1] = -s[:, 1]
             else:
                 s = s.reshape(-1, 2).astype(self._dtype)  # fresh copy
-            if conj:
-                q = s[:, 1]
-                # negate without the int16 -32768 overflow
-                s[:, 1] = np.where(q == -32768, 32767, -q) if self._cs16 \
-                    else -q
+                if conj:
+                    q = s[:, 1]
+                    # negate without the int16 -32768 overflow
+                    s[:, 1] = np.where(q == -32768, 32767, -q) \
+                        if self._cs16 else -q
         else:
             # rc [..., 2]: snapshot — callers may reuse their read buffer
             # while this chunk is still queued for a future dispatch
@@ -357,17 +409,17 @@ class MultiStationReceiver:
         bc gate, src/decode.c:389-399)."""
         jax, jnp, rcc = self._jax, self._jnp, self._rcc
         from nrsc5_tpu.ops.bits import unpack_out
-        buf = np.empty((rcc.buffer_len(blocks), 2), self._dtype)
+        buf = np.empty(
+            (self._overlap + self._rate * rcc.buffer_len(blocks), 2),
+            self._dtype)
         self._fill(i, buf)
-        s = jnp.asarray(buf)
-        if self._cs16:
-            s = s.astype(jnp.float32) * (1.0 / 32768.0)
+        s = self._ingest(jnp.asarray(buf))
         carry_i = jax.tree.map(lambda x: x[i], self._carries)
         out, carry = rcc.fm_chain_scan_rc(
             s, carry_i, blocks, self.psmi,
             (C.P1_FM_BLOCKS - blocks) % C.P1_FM_BLOCKS,
             self._packed, px=False)
-        self._drop(i, int(np.asarray(carry.offset)))
+        self._drop(i, self._rate * int(np.asarray(carry.offset)))
         carry = carry._replace(offset=carry.offset - carry.offset)
         self._carries = jax.tree.map(
             lambda x, v: x.at[i].set(v), self._carries, carry)
@@ -402,7 +454,7 @@ class MultiStationReceiver:
             self._carries = carries._replace(
                 offset=carries.offset - carries.offset)
             for i in range(self.n_stations):
-                self._drop(i, int(consumed[i]))
+                self._drop(i, self._rate * int(consumed[i]))
             self._pending.append(out)
             if len(self._pending) > self.depth:
                 self._consume(self._pending.pop(0))
