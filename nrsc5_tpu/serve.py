@@ -492,3 +492,78 @@ class MultiStationReceiver:
             tr.mer_push(elb[i], eub[i], self.psmi)
             tr.consume(out["p1"][i], out["p1_bit_errors"][i],
                        out["pids"][i], px["px1"], px["px2"])
+
+
+class RtlTcpFleet:
+    """Serve a fleet of rtl_tcp tuners on one accelerator chip.
+
+    The reference binds one session — one full decode chain — per dongle
+    (src/nrsc5.c:331-403); here N tuners share ONE fused batched device
+    program: a reader thread per tuner streams the native 1.488 MS/s cu8
+    wire format straight into a :class:`MultiStationReceiver`
+    (``input_format="cu8"``, decimation on device), and the per-station
+    transport events come back tagged with the tuner index.
+
+    ``addrs``: ``[(host, port), ...]`` one rtl_tcp server per station;
+    ``frequencies``: Hz per station.  ``gain_db=None`` leaves the
+    dongle's hardware AGC on; a dB value selects manual gain (snapped to
+    the tuner's gain table, reference src/rtltcp.c:100-154).  Extra
+    keyword arguments pass through to :class:`MultiStationReceiver`.
+    """
+
+    def __init__(self, addrs, frequencies, callback, gain_db=None,
+                 **rx_kwargs):
+        import threading
+
+        from nrsc5_tpu.io.rtltcp import RtlTcpClient
+
+        assert len(addrs) == len(frequencies)
+        rx_kwargs.setdefault("input_format", "cu8")
+        assert rx_kwargs["input_format"] == "cu8", \
+            "rtl_tcp delivers cu8; other wire formats make no sense here"
+        self.rx = MultiStationReceiver(len(addrs), callback, **rx_kwargs)
+        self.clients = []
+        for (host, port), freq in zip(addrs, frequencies):
+            c = RtlTcpClient(host, port)
+            c.set_sample_rate(int(C.SAMPLE_RATE_CU8))
+            if gain_db is None:
+                c.set_gain_mode(False)  # dongle hardware AGC
+            else:
+                c.set_gain(gain_db)
+            c.set_frequency(int(freq))
+            self.clients.append(c)
+        # one receiver, many readers: pushes (and the device dispatches
+        # they trigger) serialize on this lock; TCP backpressure holds
+        # the tuners off while a dispatch runs
+        self._lock = threading.Lock()
+        self._stopped = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._reader, args=(i,), daemon=True,
+                             name=f"rtltcp-fleet-{i}")
+            for i in range(len(addrs))]
+
+    def start(self):
+        for t in self._threads:
+            t.start()
+
+    def _reader(self, i: int):
+        client = self.clients[i]
+        while not self._stopped.is_set():
+            try:
+                data = client.read(65536)
+            except OSError:
+                break
+            with self._lock:
+                self.rx.push(i, data)
+
+    def stop(self, flush: bool = True):
+        """Disconnect every tuner and (by default) drain the in-flight
+        dispatch pipeline through the transports."""
+        self._stopped.set()
+        for c in self.clients:
+            c.close()
+        for t in self._threads:
+            t.join(timeout=10)
+        if flush:
+            with self._lock:
+                self.rx.flush()

@@ -428,3 +428,53 @@ def test_multistation_am(rng):
         hdc = {e.data for e in events[i]
                if e.type == EventType.HDC and not e.crc_error}
         assert len(hdc & want) >= 64, (i, len(hdc & want))
+
+
+def test_rtltcp_fleet(rng):
+    """Fleet serving: two fake rtl_tcp servers stream looping cu8
+    captures; RtlTcpFleet tunes both and decodes each station's stream
+    through one batched receiver — per-station ID3 titles with no
+    cross-station leakage, tuner commands on the wire."""
+    import time
+
+    from nrsc5_tpu.io.rtltcp import (CMD_SET_FREQUENCY,
+                                     CMD_SET_SAMPLE_RATE)
+    from nrsc5_tpu.serve import RtlTcpFleet
+    from nrsc5_tpu.tx import channel as ch
+
+    from .test_rtltcp import FakeRtlTcp
+
+    titles = ["Fleet Station A", "Fleet Station B"]
+    servers = []
+    for t in titles:
+        sig, _ = _station_stream(rng, t)
+        servers.append(FakeRtlTcp(ch.to_cu8(ch.upsample2(sig)).tobytes()))
+        servers[-1].start()
+
+    events = {0: [], 1: []}
+    fleet = RtlTcpFleet(
+        [("127.0.0.1", s.port) for s in servers],
+        [88.5e6, 94.7e6],
+        lambda st, ev: events[st].append(ev),
+        gain_db=30.0, frames_per_dispatch=1)
+    fleet.start()
+    try:
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            got = [{e.title for e in events[i] if e.type == EventType.ID3}
+                   for i in range(2)]
+            if all(titles[i] in got[i] for i in range(2)):
+                break
+            time.sleep(0.5)
+    finally:
+        fleet.stop()
+        for s in servers:
+            s.stop.set()
+
+    for i in range(2):
+        got = {e.title for e in events[i] if e.type == EventType.ID3}
+        assert titles[i] in got, (i, got)
+        assert titles[1 - i] not in got
+        assert any(e.type == EventType.HDC for e in events[i])
+        ops = [c[0] for c in servers[i].commands]
+        assert CMD_SET_SAMPLE_RATE in ops and CMD_SET_FREQUENCY in ops
