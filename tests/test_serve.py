@@ -478,3 +478,54 @@ def test_rtltcp_fleet(rng):
         assert any(e.type == EventType.HDC for e in events[i])
         ops = [c[0] for c in servers[i].commands]
         assert CMD_SET_SAMPLE_RATE in ops and CMD_SET_FREQUENCY in ops
+
+
+def test_multistation_mixed_first_bc(rng):
+    """Two stations locking at DIFFERENT mid-frame positions: each gets
+    its own alignment dispatch (different block counts compile separate
+    one-time programs), after which one shared steady program serves
+    both frame-aligned."""
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    leads = [14, 11]  # first_bc per station -> align 2 and 5 blocks
+    titles = ["Mixed BC Zero", "Mixed BC One"]
+    locks, tails, want = [], [], []
+    for bc, title in zip(leads, titles):
+        mats, packets = _station_mats(rng, title, n_frames=3)
+        dummy = build_pm_matrix(
+            build_p1_fm_frame(
+                [rng.integers(0, 256, 280).astype(np.uint8).tobytes()
+                 for _ in range(32)], 0, 7, 0),
+            np.zeros((16, 80), np.uint8))
+        matrix = np.concatenate([dummy[bc * 32:]] + mats)
+        bc_seq = np.concatenate([np.arange(bc, 16),
+                                 np.tile(np.arange(16), 3)])
+        sig = modulate_fm(matrix, bc_seq, 1)
+        buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+        buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+        rcs = np.stack([buf.real, -buf.imag], -1).astype(np.float32)
+        lock = rcc.cold_start_rc(rcs)
+        assert lock is not None and lock["first_bc"] == bc, (bc, lock)
+        locks.append(lock)
+        tails.append(np.concatenate(
+            [buf[lock["offset"]:], np.zeros(3 * C.FFTCP_FM, np.complex64)]))
+        want.append({bytes(p) for p in packets})
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1, locks=locks)
+    pos = [0, 0]
+    while any(pos[i] < len(tails[i]) for i in range(2)):
+        for i in range(2):
+            rx.push(i, tails[i][pos[i]:pos[i] + 300000])
+            pos[i] += 300000
+    rx.flush()
+
+    for i in range(2):
+        got = {e.title for e in events[i] if e.type == EventType.ID3}
+        assert titles[i] in got, (i, got)
+        assert titles[1 - i] not in got
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want[i]) >= 64, (i, len(hdc & want[i]))
