@@ -24,4 +24,7 @@ def __getattr__(name):
     if name in ("Event", "EventType"):
         from nrsc5_tpu.api import events
         return getattr(events, name)
+    if name in ("MultiStationReceiver", "RtlTcpFleet"):
+        from nrsc5_tpu import serve
+        return getattr(serve, name)
     raise AttributeError(name)
