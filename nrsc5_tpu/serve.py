@@ -366,15 +366,70 @@ class MultiStationReceiver:
         self._sizes[station] += len(s)
         self._pump()
 
+    def drain(self):
+        """Consume every in-flight dispatch through the transports
+        WITHOUT the end-of-stream elastic-tail advances (use
+        :meth:`flush` for that) — the pipeline-empty point
+        :meth:`checkpoint` needs."""
+        while self._pending:
+            self._consume(self._pending.pop(0))
+
     def flush(self):
         """Drain every in-flight dispatch through the transports, then
         the elastic-buffer tails (end of a finite capture; the session's
         flush does the same, api/session.py)."""
-        while self._pending:
-            self._consume(self._pending.pop(0))
+        self.drain()
         for tr in self.transports:
             for _ in range(4):
                 tr.output.advance()
+
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> dict:
+        """Snapshot the receiver's decode state as a numpy pytree
+        (``utils.checkpoint.save_state``-compatible): the on-device
+        carried chain state, the host sample queues (incl. the cu8
+        decimator overlap history and partial byte pairs), and the
+        alignment / warm-up counters.  In-flight dispatches are drained
+        first.  Host TRANSPORT state (elastic buffers, partial SIS
+        messages, LOT fragments) is deliberately not captured — the
+        transport layer is self-synchronizing and relocks on the first
+        PDU after :meth:`restore`, like the reference recovering from a
+        dropped frame.  (The reference has no persistence at all —
+        SURVEY §5 checkpoint/resume is a new capability.)"""
+        self.drain()
+        import jax
+        state = {
+            "carries": jax.tree.map(np.asarray, self._carries),
+            "chunks": [[np.array(c) for c in ch] for ch in self._chunks],
+            "leftover": [np.frombuffer(b, np.uint8)
+                         for b in self._leftover],
+            "align": np.asarray(self._align, np.int64),
+            "px_seen": {k: np.asarray(v) for k, v in
+                        self._px_seen.items()},
+        }
+        if self.mode == "am":
+            state["am_skip"] = np.asarray(self._am_skip)
+        return state
+
+    def restore(self, state: dict):
+        """Install a :meth:`checkpoint` snapshot (taken from a receiver
+        constructed with the same parameters).  Call before any
+        :meth:`push`."""
+        jax, jnp = self._jax, self._jnp
+        assert not self._pending, "restore() before pushing samples"
+        self._carries = jax.tree.map(
+            lambda x, ref: jnp.asarray(np.asarray(x).astype(ref.dtype)),
+            state["carries"], jax.tree.map(np.asarray, self._carries))
+        self._chunks = [[np.array(c) for c in ch]
+                        for ch in state["chunks"]]
+        self._sizes = [sum(len(c) for c in ch) for ch in self._chunks]
+        self._leftover = [bytes(np.asarray(b).tobytes())
+                          for b in state["leftover"]]
+        self._align = [int(a) for a in np.asarray(state["align"])]
+        self._px_seen = {k: int(np.asarray(v))
+                         for k, v in state["px_seen"].items()}
+        if self.mode == "am":
+            self._am_skip = int(np.asarray(state["am_skip"]))
 
     # ------------------------------------------------------------------
     def _fill(self, station: int, out: np.ndarray):

@@ -529,3 +529,50 @@ def test_multistation_mixed_first_bc(rng):
         hdc = {e.data for e in events[i]
                if e.type == EventType.HDC and not e.crc_error}
         assert len(hdc & want[i]) >= 64, (i, len(hdc & want[i]))
+
+
+def test_multistation_checkpoint_resume(rng, tmp_path):
+    """Serving checkpoint/resume: device carried state + host queues
+    snapshot to a pytree (.npz-roundtripped through utils.checkpoint),
+    and a fresh receiver restored from it continues the decode — the
+    device chain bit-exactly (BER 0 on every post-resume frame), the
+    transport relocking within a frame."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.utils.checkpoint import load_state, save_state
+
+    sig, packets = _station_stream(rng, "Resume Title", n_frames=4)
+    want = {bytes(p) for p in packets}
+    split = int(len(sig) * 0.55)
+
+    ev1, ev2 = [], []
+    rx1 = MultiStationReceiver(1, lambda st, ev: ev1.append(ev),
+                               frames_per_dispatch=1)
+    for lo in range(0, split, 200000):
+        rx1.push(0, sig[lo:min(lo + 200000, split)])
+    state = rx1.checkpoint()
+
+    path = str(tmp_path / "serve_ckpt.npz")
+    save_state(path, state)
+    state = load_state(path, state)
+
+    rx2 = MultiStationReceiver(1, lambda st, ev: ev2.append(ev),
+                               frames_per_dispatch=1)
+    rx2.restore(state)
+    for lo in range(split, len(sig), 200000):
+        rx2.push(0, sig[lo:lo + 200000])
+    rx2.flush()
+
+    hdc1 = {e.data for e in ev1
+            if e.type == EventType.HDC and not e.crc_error}
+    hdc2 = {e.data for e in ev2
+            if e.type == EventType.HDC and not e.crc_error}
+    assert hdc1 & want and hdc2 & want
+    # transport state is not checkpointed: allow up to ~1 frame of
+    # elastic-buffer loss around the boundary, nothing more
+    assert len((hdc1 | hdc2) & want) >= len(want) - 40, \
+        (len(hdc1 & want), len(hdc2 & want), len(want))
+    # the post-resume device chain is bit-exact (re-encode BER 0)
+    bers = [e.cber for e in ev2 if e.type == EventType.BER]
+    assert bers and max(bers) == 0.0, bers
+    assert any(e.type == EventType.ID3 and e.title == "Resume Title"
+               for e in ev2)
