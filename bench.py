@@ -429,6 +429,95 @@ def run_bench_e2e(args) -> dict:
     }
 
 
+def run_bench_serve(args) -> dict:
+    """TRUE-streaming serving rate through the public serving surface:
+    fresh cu8 wire bytes are pushed into a MultiStationReceiver every
+    dispatch (host->device upload + on-device ÷2 decimation + chain +
+    host transport on every decoded frame), gated on HDC/ID3 events.
+    Unlike the fm/e2e rows (inputs resident on device), this row pays
+    the per-dispatch sample upload — on this environment's tunneled
+    chip that upload is the binding cost (docs/PERF.md)."""
+    jax = _bench_setup()
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind} mode=serve")
+    rng = np.random.default_rng(7)
+
+    title = "Bench Serve Title"
+    packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+               for _ in range(32)]
+    fr = (b"TIT2" + (len(title) + 1).to_bytes(4, "big") + b"\x00\x00"
+          + b"\x00" + title.encode())
+    size = len(fr)
+    psd = aas_frame(0x5100, 0, b"ID3\x03\x00\x00"
+                    + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F]) + fr)
+    mat = build_pm_matrix(build_p1_fm_frame(packets, 0, 0, 0, psd=psd),
+                          np.zeros((16, C.PIDS_FRAME_LEN), np.uint8))
+    sig = modulate_fm(np.concatenate([mat] * args.frames),
+                      np.tile(np.arange(16), args.frames), 1)
+    lead = np.zeros(C.FFTCP_FM // 2, np.complex64)
+    wire0 = ch.to_cu8(ch.upsample2(
+        np.concatenate([lead, sig]))).tobytes()
+    wire = ch.to_cu8(ch.upsample2(sig)).tobytes()
+
+    hdc = [0] * args.stations
+    titles = [set() for _ in range(args.stations)]
+
+    def cb(st, ev):
+        if ev.type == EventType.HDC and not ev.crc_error:
+            hdc[st] += 1
+        elif ev.type == EventType.ID3:
+            titles[st].add(ev.title)
+
+    rx = MultiStationReceiver(args.stations, cb,
+                              frames_per_dispatch=args.frames,
+                              input_format="cu8")
+    t_c0 = time.perf_counter()
+    # warm-up: two pushes per station so the first dispatch (compile)
+    # fires here, not inside the timed region
+    for i in range(args.stations):
+        rx.push(i, wire0)
+    for i in range(args.stations):
+        rx.push(i, wire)
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        for i in range(args.stations):
+            rx.push(i, wire)
+    rx.drain()
+    dt = time.perf_counter() - t0
+
+    # dispatches over the whole run = pushes - 1 (steady queue deficit)
+    want = (args.reps + 1) * args.frames * 32
+    for i in range(args.stations):
+        assert title in titles[i], f"serve gate: station {i} {titles[i]}"
+        # elastic warm-up + loop-splice symbol: allow <2 frames slack
+        assert hdc[i] >= want - 64, f"serve gate: {hdc[i]}/{want}"
+    log(f"# serve gate: PASSED ({sum(hdc)} HDC packets, ID3 on every "
+        f"station)")
+
+    n_cu8 = args.reps * args.stations * len(wire)  # bytes = cu8 samples*2
+    realtime = (n_cu8 / 2) / dt / C.SAMPLE_RATE_CU8
+    log(f"# stations={args.stations} frames={args.frames} reps={args.reps} "
+        f"wall={dt:.3f}s upload={n_cu8 / dt / 1e6:.1f} MB/s")
+    return {
+        "metric": "fm_serve_streaming_realtime_multiple_per_chip",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench(args) -> dict:
     if args.mode == "am":
         return run_bench_am(args)
@@ -438,6 +527,8 @@ def run_bench(args) -> dict:
         return run_bench_coldstart(args)
     if args.mode == "e2e":
         return run_bench_e2e(args)
+    if args.mode == "serve":
+        return run_bench_serve(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -574,11 +665,15 @@ def main():
     ap.add_argument("--threads", type=int, default=None,
                     help="concurrent dispatch streams (default: 4 on "
                          "accelerators, 1 on the CPU fallback)")
-    ap.add_argument("--mode", choices=("fm", "am", "mp3", "coldstart", "e2e"),
+    ap.add_argument("--mode",
+                    choices=("fm", "am", "mp3", "coldstart", "e2e",
+                             "serve"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
                          "additional gated rows; e2e = device chain + host "
-                         "transport, gated on HDC/ID3 events")
+                         "transport, gated on HDC/ID3 events; serve = "
+                         "true streaming (fresh cu8 uploads) through "
+                         "serve.MultiStationReceiver")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-fallback", action="store_true")
     ap.add_argument("--single", action="store_true",

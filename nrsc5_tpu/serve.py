@@ -36,7 +36,9 @@ prefer cs16 ingestion regardless — it is the reference's internal wire
 format (include/nrsc5.h:54) and quantization sits ~90 dB under signal.
 ``input_format="cu8"`` ingests the reference's native 1.488 MS/s
 device format (include/nrsc5.h:53 — what rtl_tcp delivers) at the same
-bytes/s as cs16, running the ÷2/÷32 halfband cascade on device.
+bytes/s as cs16, running the ÷2/÷32 halfband cascade on device:
+measured 13.6× real time for 16 true-streaming stations on the
+tunneled chip (``bench.py --mode serve``, upload-bound at ~40 MB/s).
 """
 
 from __future__ import annotations
