@@ -36,15 +36,18 @@ class AMChainCarryRC(NamedTuple):
     phase: jax.Array  # [2] float32
     prev_angle: jax.Array  # float32
     samperr_fb: jax.Array  # int32
+    cfo: jax.Array  # int32 accumulated integer CFO (bins)
     dec: AMDecodeState
 
 
-def am_chain_rc_init_carry(offset: int = 0) -> AMChainCarryRC:
+def am_chain_rc_init_carry(offset: int = 0,
+                           cfo: int = 0) -> AMChainCarryRC:
     return AMChainCarryRC(
         offset=jnp.asarray(offset, jnp.int32),
         phase=jnp.asarray(np.array([1.0, 0.0], np.float32)),
         prev_angle=jnp.asarray(0.0, jnp.float32),
         samperr_fb=jnp.asarray(0, jnp.int32),
+        cfo=jnp.asarray(cfo, jnp.int32),
         dec=am_decode_init_state(),
     )
 
@@ -231,19 +234,19 @@ def _am_frontend_gather_scan(samples, carry: AMChainCarryRC,
     docs/PERF.md batch-layout finding)."""
 
     def block_step(cy, _):
-        offset, phase, prev_angle, samperr_fb = cy
+        offset, phase, prev_angle, samperr_fb, cfo = cy
         window = jax.lax.dynamic_slice(samples, (offset, 0), (WINDOW_AM, 2))
         spectra, phase, prev_angle, samperr, keep, _ = acquire_am_fine_rc(
-            window, phase, prev_angle, samperr_fb,
-            jnp.asarray(0, jnp.int32))
+            window, phase, prev_angle, samperr_fb, cfo)
         out = sync_am_block_rc(spectra, ma3)
         consumed = WINDOW_AM - keep
-        return (offset + consumed, phase, prev_angle, out["samperr"]), out
+        return (offset + consumed, phase, prev_angle, out["samperr"],
+                cfo), out
 
     def frame_step(cy: AMChainCarryRC, _):
-        (offset, phase, prev_angle, samperr_fb), outs = jax.lax.scan(
+        (offset, phase, prev_angle, samperr_fb, _cfo), outs = jax.lax.scan(
             block_step, (cy.offset, cy.phase, cy.prev_angle,
-                         cy.samperr_fb), None, length=8)
+                         cy.samperr_fb, cy.cfo), None, length=8)
         pl = outs["pl"].reshape(-1)
         pu = outs["pu"].reshape(-1)
         s = outs["s"].reshape(-1)
@@ -251,7 +254,7 @@ def _am_frontend_gather_scan(samples, carry: AMChainCarryRC,
         p1_full, p3_full, dec = am_frame_gather(pl, pu, s, t, cy.dec, ma3)
         ncy = AMChainCarryRC(offset=offset, phase=phase,
                              prev_angle=prev_angle,
-                             samperr_fb=samperr_fb, dec=dec)
+                             samperr_fb=samperr_fb, cfo=cy.cfo, dec=dec)
         return ncy, {"p1_full": p1_full, "p3_full": p3_full,
                      "pids_syms": outs["pids"]}
 
@@ -305,3 +308,118 @@ def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False,
         lambda s, c: _am_frontend_gather_scan(s, c, n_frames, ma3)
     )(samples, carries)
     return _am_finish(scanned, ma3, packed), carries
+
+
+# ---------------------------------------------------------------------------
+# cold start (rc analog of the AMReceiver NONE->COARSE->FINE machine,
+# pipeline/receiver_am.py; reference: src/acquire.c:129-235 + the
+# find_block_am bc-history lock of src/sync.c:635-666)
+# ---------------------------------------------------------------------------
+
+def _am_coarse_timing_rc(buf):
+    """CP correlation over all 270 candidate timings, rc twin of
+    ops/acquire._coarse_timing(am=True) — raw (unfiltered) correlation;
+    the reference's pre-sync band filter would blind it to MA3 (see the
+    divergence note there).  buf: [WINDOW_AM, 2].
+    Returns (samperr int32, v_max [2])."""
+    from nrsc5_tpu.ops.acquire import _cp_window_idx, _shape_kernel
+    fftcp, fft, cp = C.FFTCP_AM, C.FFT_AM, C.CP_AM
+    nsym = C.ACQUIRE_SYMBOLS
+    a = buf[:fftcp * nsym].reshape(nsym, fftcp, 2)
+    b = buf[fft:fft + fftcp * nsym].reshape(nsym, fftcp, 2)
+    sums = rc.mul_conj(a, b).sum(axis=0)  # [fftcp, 2]
+    widx = jnp.asarray(_cp_window_idx(fftcp, cp))
+    kernel = jnp.asarray(_shape_kernel(fft, cp))
+    v = (sums[widx] * kernel[None, :, None]).sum(axis=-2)  # [fftcp, 2]
+    i_max = jnp.argmax(rc.abs2(v)).astype(jnp.int32)
+    return i_max, v[i_max]
+
+
+@functools.partial(jax.jit, static_argnames=("ma3",))
+def am_coldstart_block_rc(samples, offset, phase, prev_angle, cfo,
+                          ma3: bool = False):
+    """One COARSE probe block: CP-correlation timing + smoothed
+    fractional CFO + pilot-regression demodulation + sync, in a single
+    dispatch.  Returns everything the host lock loop needs."""
+    window = jax.lax.dynamic_slice(samples, (offset, 0), (WINDOW_AM, 2))
+    samperr, v = _am_coarse_timing_rc(window)
+    angle_diff = rc.angle(rc.mul(v, rc.exp_i(-prev_angle)))
+    factor = jnp.where(prev_angle != 0, 0.25, 1.0)
+    prev_angle = (prev_angle + angle_diff * factor).astype(jnp.float32)
+    spectra, phase, prev_angle, samperr, keep, mag_sums = _am_process_rc(
+        window, phase, samperr, prev_angle, cfo)
+    out = sync_am_block_rc(spectra, ma3)
+    return (out["ref_bits"], phase, prev_angle, samperr, keep, mag_sums)
+
+
+def cold_start_am_rc(samples_rc, max_blocks: int = 24) -> dict | None:
+    """Host-orchestrated AM cold start over an rc capture with unknown
+    timing, fractional and integer CFO (MA1 or MA3 — full-band
+    acquisition, unlike the reference whose pre-sync band filter cannot
+    lock MA3).
+
+    One device dispatch per probe block; needle matching / bc-history
+    logic on host, mirroring AMReceiver exactly: block alignment from
+    the fuzzy needle offset (find_ref_am), integer CFO from the
+    strongest bin near the carrier, lock when the block-count history
+    reads 5,6,7,0 — so the locking block IS a frame boundary.
+
+    Returns ``{"offset", "psmi", "ma3", "cfo", "carry"}`` ready for
+    :func:`am_chain_scan_rc` / :func:`am_chain_batch_rc` (feed
+    ``samples[offset:]``), or None when no lock was found."""
+    from nrsc5_tpu.ops.sync_am import find_block_am, find_ref_am
+    fftcp = C.FFTCP_AM
+    samples_rc = jnp.asarray(samples_rc)
+    phase = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    prev_angle = jnp.asarray(0.0, jnp.float32)
+    pos, cfo, keep_extra, cfo_wait = 0, 0, 0, 0
+    history = 0
+    psmi = C.SERVICE_MODE_MA1
+    for _ in range(max_blocks):
+        if pos + WINDOW_AM > samples_rc.shape[0]:
+            return None
+        ref_bits, phase, prev_angle, samperr_d, keep, mag_sums = \
+            am_coldstart_block_rc(samples_rc, jnp.asarray(pos, jnp.int32),
+                                  phase, prev_angle,
+                                  jnp.asarray(cfo, jnp.int32))
+        samperr = int(np.asarray(samperr_d))
+        # integer CFO: strongest bin near the carrier
+        # (reference: src/acquire.c:209-235)
+        lo = C.CENTER_AM - C.PIDS_OUTER_INDEX_AM
+        hi = C.CENTER_AM + C.PIDS_OUTER_INDEX_AM + 1
+        mags = np.asarray(mag_sums)[lo:hi]
+        cfo += int(np.argmax(mags)) + lo - C.CENTER_AM
+
+        ref = np.asarray(ref_bits)
+        if cfo_wait == 0:
+            off_sym = find_ref_am(ref)
+            if off_sym > 0:
+                keep_extra = ((C.BLKSZ - off_sym) % C.BLKSZ) * fftcp
+                cfo_wait = 8
+        else:
+            cfo_wait -= 1
+
+        found = find_block_am(ref)
+        if found is None:
+            history = 0
+        else:
+            bc, control = found
+            if control:
+                psmi = control["psmi"] or C.SERVICE_MODE_MA1
+            history = ((history << 4) | bc) & 0xFFFFFFFF
+        if (history & 0xFFFF) == 0x5670:
+            # this block is bc=0: the frame starts at its first symbol.
+            # The fused chain demodulates with samperr = FFTCP//2, i.e.
+            # expects the first symbol FFTCP//2 past the buffer start.
+            start = pos + samperr - fftcp // 2
+            if start < 0:
+                return None  # lock inside the warm-up guard; no earlier data
+            ma3 = psmi == C.SERVICE_MODE_MA3
+            carry = am_chain_rc_init_carry(cfo=cfo)._replace(
+                prev_angle=prev_angle.astype(jnp.float32))
+            return {"offset": start, "psmi": psmi, "ma3": ma3,
+                    "cfo": cfo, "carry": carry}
+        consumed = WINDOW_AM - (int(np.asarray(keep)) + keep_extra)
+        keep_extra = 0
+        pos += consumed
+    return None

@@ -162,15 +162,18 @@ class MultiStationReceiver:
     device inside the dispatch.  Call :meth:`flush` at end of stream to
     drain the in-flight pipeline.
 
-    Cold start (FM): for captures with unknown timing/CFO, lock each
-    station with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc`
+    Cold start: for captures with unknown timing/CFO, lock each station
+    with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` (FM) or
+    :func:`nrsc5_tpu.pipeline.scan_chain_am_rc.cold_start_am_rc` (AM)
     and pass the lock dicts via ``locks=`` (one per station, or one
     shared); then feed ``samples[lock["offset"]:]``.  The locked carry
-    (integer/fractional CFO) seeds the chain, and each station's
+    (integer/fractional CFO) seeds the chain.  FM: each station's
     ``first_bc`` is consumed by a one-time per-station alignment
     dispatch that decodes PIDS over the partial leading frame, after
-    which every steady-state dispatch is frame-aligned.  All locks must
-    agree on ``psmi`` (one fused program serves the batch).
+    which every steady-state dispatch is frame-aligned; all locks must
+    agree on ``psmi`` (one fused program serves the batch).  AM: locks
+    are frame-aligned by construction (the bc-history lock fires at
+    block count 0) and must agree on MA1-vs-MA3.
     """
 
     def __init__(self, n_stations: int, callback: Callable[[int, Event],
@@ -241,15 +244,23 @@ class MultiStationReceiver:
         init_carries = None
         first_bcs = [first_bc] * n_stations
         if locks is not None:
-            assert mode == "fm", "cold-start locks are an FM flow"
             if isinstance(locks, dict):
                 locks = [locks] * n_stations
             assert len(locks) == n_stations
-            psmis = {lk["psmi"] for lk in locks}
-            assert len(psmis) == 1, \
-                f"all stations must share one service mode, got {psmis}"
-            psmi = psmis.pop()
-            first_bcs = [int(lk["first_bc"]) for lk in locks]
+            if mode == "fm":
+                psmis = {int(lk["psmi"]) for lk in locks}
+                assert len(psmis) == 1, \
+                    f"all stations must share one service mode, got {psmis}"
+                psmi = psmis.pop()
+                first_bcs = [int(lk["first_bc"]) for lk in locks]
+            else:
+                # AM locks (cold_start_am_rc) are frame-aligned by
+                # construction (the bc-history lock fires at bc=0), so
+                # only the carry (CFO/angle) and the mode matter
+                ma3s = {bool(lk["ma3"]) for lk in locks}
+                assert len(ma3s) == 1, \
+                    "all stations must share one AM mode (MA1 vs MA3)"
+                ma3 = ma3s.pop()
             init_carries = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[lk["carry"] for lk in locks])
         self.psmi = psmi
@@ -281,8 +292,9 @@ class MultiStationReceiver:
             self.n_frames = frames_per_dispatch
             self._needed = self._overlap \
                 + self._rate * scar.am_buffer_len(self.n_frames)
-            self._carries = jax.jit(
-                lambda: bcast(scar.am_chain_rc_init_carry()))()
+            self._carries = init_carries if init_carries is not None \
+                else jax.jit(
+                    lambda: bcast(scar.am_chain_rc_init_carry()))()
             nf, pk = self.n_frames, self._packed
             # diversity-delay warm-up frames carry no payload
             # (reference: am_diversity_wait, src/decode.c:507-554)

@@ -424,3 +424,46 @@ def test_am_chain_batch_rc_matches_scan(rng):
                                   jax.tree.leaves(carry_s)):
             assert np.array_equal(np.asarray(leaf_b[i]),
                                   np.asarray(leaf_s))
+
+
+def test_am_cold_start_rc(rng):
+    """AM cold start on the rc chain: unknown timing + integer and
+    fractional CFO -> cold_start_am_rc locks (frame-aligned by the
+    bc-history rule) and the fused chain decodes every post-warm-up
+    subframe bit-exactly from the locked carry."""
+    import jax.numpy as jnp
+
+    from .capture_helpers import build_am_capture
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    bin_hz = C.SAMPLE_RATE_CS16_AM / C.FFT_AM
+    for ma3, cfo_hz, off in ((False, 2 * bin_hz + 31.0, 777),
+                             (True, -1 * bin_hz + 17.0, 500)):
+        sig, packets = build_am_capture(rng, n_frames=9, ma3=ma3)
+        imp = ch.impair(sig, sample_offset=off, cfo_hz=cfo_hz,
+                        snr_db=30.0, sample_rate=C.SAMPLE_RATE_CS16_AM,
+                        rng=rng)
+        rcs = np.stack([imp.real, imp.imag], -1).astype(np.float32)
+        lock = scar.cold_start_am_rc(rcs)
+        assert lock is not None and lock["ma3"] == ma3, (ma3, lock)
+        assert lock["cfo"] == round(cfo_hz / bin_hz), lock["cfo"]
+
+        n_frames = 5
+        need = scar.am_buffer_len(n_frames)
+        out, _ = scar.am_chain_scan_rc(
+            jnp.asarray(rcs[lock["offset"]:lock["offset"] + need]),
+            lock["carry"], n_frames, ma3)
+        p1 = np.asarray(out["p1"])
+        truth = []
+        for i, (f, pk) in enumerate(packets):
+            sub = i % 8
+            truth.append(build_p1_am_frame(pk, 0, pdu_seq=sub,
+                                           seq=((f * 8 + sub) * 4) % 64))
+        matches = sum(
+            1 for fi in range(n_frames) for sub in range(8)
+            if any(np.array_equal(p1[fi, sub], t) for t in truth))
+        # diversity warm-up blanks the first 3 frames (24 subframes);
+        # everything after must be bit-exact
+        assert matches == n_frames * 8 - 24, (ma3, matches)

@@ -576,3 +576,40 @@ def test_multistation_checkpoint_resume(rng, tmp_path):
     assert bers and max(bers) == 0.0, bers
     assert any(e.type == EventType.ID3 and e.title == "Resume Title"
                for e in ev2)
+
+
+def test_multistation_am_coldstart_locks(rng):
+    """AM cold-start flow through the serving API (both MA1 and MA3 —
+    the reference cannot cold-start MA3 at all, its pre-sync band
+    filter nulls the all-digital band): cold_start_am_rc locks an
+    impaired capture, locks= seeds the batched receiver, HDC packets
+    come out bit-exact."""
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    from .capture_helpers import build_am_capture
+
+    bin_hz = C.SAMPLE_RATE_CS16_AM / C.FFT_AM
+    for ma3 in (False, True):
+        sig, packets = build_am_capture(rng, n_frames=9, ma3=ma3)
+        imp = ch.impair(sig, sample_offset=641,
+                        cfo_hz=2 * bin_hz + 23.0, snr_db=30.0,
+                        sample_rate=C.SAMPLE_RATE_CS16_AM, rng=rng)
+        rcs = np.stack([imp.real, imp.imag], -1).astype(np.float32)
+        lock = scar.cold_start_am_rc(rcs)
+        assert lock is not None and lock["ma3"] == ma3
+
+        events = []
+        rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                                  frames_per_dispatch=2, mode="am",
+                                  ma3=ma3, locks=lock)
+        tail = imp[lock["offset"]:]
+        for lo in range(0, len(tail), 150000):
+            rx.push(0, tail[lo:lo + 150000])
+        rx.flush()
+
+        want = {bytes(b) for _, pk in packets for b in pk}
+        hdc = {e.data for e in events
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want) >= 48, (ma3, len(hdc & want))
