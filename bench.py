@@ -429,6 +429,82 @@ def run_bench_e2e(args) -> dict:
     }
 
 
+def run_bench_amcold(args) -> dict:
+    """AM cold-start row: unknown timing + integer/fractional CFO →
+    cold_start_am_rc lock (probe dispatches on-chip) + fused-chain
+    decode from the locked carry, gated bit-exact on the post-warm-up
+    subframes.  Reports the real-time multiple of the whole flow over
+    the signal consumed."""
+    jax = _bench_setup()
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.tx import channel as ch
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from capture_helpers import build_am_capture
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind} mode=amcold")
+    rng = np.random.default_rng(7)
+    n_frames = 9
+    sig, packets = build_am_capture(rng, n_frames=n_frames)
+    bin_hz = C.SAMPLE_RATE_CS16_AM / C.FFT_AM
+    imp = ch.impair(sig, sample_offset=777, cfo_hz=2 * bin_hz + 31.0,
+                    snr_db=30.0, sample_rate=C.SAMPLE_RATE_CS16_AM,
+                    rng=rng)
+    rcs = jnp.asarray(np.stack([imp.real, imp.imag], -1)
+                      .astype(np.float32))
+
+    def flow():
+        lock = scar.cold_start_am_rc(rcs)
+        assert lock is not None, "AM cold start failed to lock"
+        nf = 5
+        out, _ = scar.am_chain_scan_rc(
+            jax.lax.dynamic_slice_in_dim(
+                rcs, lock["offset"], scar.am_buffer_len(nf)),
+            lock["carry"], nf, lock["ma3"], packed=True)
+        return out, nf
+
+    t0 = time.perf_counter()
+    out, nf = flow()
+    from nrsc5_tpu.ops.bits import unpack_bits
+    p1 = unpack_bits(out["p1"]).reshape(nf, 8, C.P1_FRAME_LEN_AM)
+    log(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    truth = []
+    for i, (f, pk) in enumerate(packets):
+        sub = i % 8
+        truth.append(build_p1_am_frame(pk, 0, pdu_seq=sub,
+                                       seq=((f * 8 + sub) * 4) % 64))
+    matches = sum(1 for fi in range(nf) for sub in range(8)
+                  if any(np.array_equal(p1[fi, sub], t) for t in truth))
+    # diversity warm-up blanks 3 frames; the rest must be bit-exact
+    assert matches == nf * 8 - 24, f"amcold gate: {matches}/{nf * 8 - 24}"
+    log(f"# amcold gate: PASSED ({matches} bit-exact subframes)")
+
+    best = None
+    lock = scar.cold_start_am_rc(rcs)
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out, nf = flow()
+        np.asarray(out["p1"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    # signal consumed: probe blocks up to the lock + the decoded frames
+    secs = (lock["offset"] + scar.am_buffer_len(nf)) \
+        / C.SAMPLE_RATE_CS16_AM
+    realtime = secs / best
+    log(f"# frames={nf} best_wall={best:.3f}s over {secs:.1f}s of signal")
+    return {
+        "metric": "am_coldstart_lock_decode_realtime_multiple",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench_serve(args) -> dict:
     """TRUE-streaming serving rate through the public serving surface:
     fresh cu8 wire bytes are pushed into a MultiStationReceiver every
@@ -529,6 +605,8 @@ def run_bench(args) -> dict:
         return run_bench_e2e(args)
     if args.mode == "serve":
         return run_bench_serve(args)
+    if args.mode == "amcold":
+        return run_bench_amcold(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -667,7 +745,7 @@ def main():
                          "accelerators, 1 on the CPU fallback)")
     ap.add_argument("--mode",
                     choices=("fm", "am", "mp3", "coldstart", "e2e",
-                             "serve"),
+                             "serve", "amcold"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
                          "additional gated rows; e2e = device chain + host "
