@@ -335,12 +335,15 @@ def _am_coarse_timing_rc(buf):
     return i_max, v[i_max]
 
 
-@functools.partial(jax.jit, static_argnames=("ma3",))
-def am_coldstart_block_rc(samples, offset, phase, prev_angle, cfo,
-                          ma3: bool = False):
+@jax.jit
+def am_coldstart_block_rc(samples, offset, phase, prev_angle, cfo):
     """One COARSE probe block: CP-correlation timing + smoothed
     fractional CFO + pilot-regression demodulation + sync, in a single
-    dispatch.  Returns everything the host lock loop needs."""
+    dispatch.  Returns everything the host lock loop needs.  Probing
+    always uses MA1 sideband combining — the reference subcarriers are
+    complementary in both modes, so the ref bits (all the lock logic
+    reads) come out the same; the mode itself arrives via the bc=0
+    control word (find_block_am)."""
     window = jax.lax.dynamic_slice(samples, (offset, 0), (WINDOW_AM, 2))
     samperr, v = _am_coarse_timing_rc(window)
     angle_diff = rc.angle(rc.mul(v, rc.exp_i(-prev_angle)))
@@ -348,7 +351,7 @@ def am_coldstart_block_rc(samples, offset, phase, prev_angle, cfo,
     prev_angle = (prev_angle + angle_diff * factor).astype(jnp.float32)
     spectra, phase, prev_angle, samperr, keep, mag_sums = _am_process_rc(
         window, phase, samperr, prev_angle, cfo)
-    out = sync_am_block_rc(spectra, ma3)
+    out = sync_am_block_rc(spectra, False)
     return (out["ref_bits"], phase, prev_angle, samperr, keep, mag_sums)
 
 

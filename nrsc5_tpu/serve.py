@@ -162,6 +162,13 @@ class MultiStationReceiver:
     device inside the dispatch.  Call :meth:`flush` at end of stream to
     drain the in-flight pipeline.
 
+    Streams must be gap-free: the serving chain is the steady-state
+    (FINE-only) fast path, so a hole in a station's sample stream breaks
+    its lock permanently — monitor the per-frame BER events (a dead
+    carrier reads ~0.5) and re-lock that station via cold start, or use
+    the session API (`api.session.NRSC5`), whose NONE→COARSE→FINE
+    machine re-acquires automatically (reference src/input.c:172-188).
+
     Cold start: for captures with unknown timing/CFO, lock each station
     with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` (FM) or
     :func:`nrsc5_tpu.pipeline.scan_chain_am_rc.cold_start_am_rc` (AM)
@@ -319,10 +326,12 @@ class MultiStationReceiver:
     # ------------------------------------------------------------------
     def push(self, station: int, samples):
         """Append samples for one station: complex64 baseband, an rc
-        [..., 2] array of the configured dtype, a 1-D interleaved int16
-        I/Q array, or raw bytes (complex64 wire format, or int16 pairs
-        when ``input_format="cs16"``; trailing partial pairs are carried
-        to the next push)."""
+        [..., 2] array of the configured dtype, a 1-D interleaved array
+        at the wire dtype, or raw bytes at the wire format — complex64
+        by default, int16 I/Q pairs with ``input_format="cs16"``,
+        unsigned-8 I/Q pairs with ``input_format="cu8"``; trailing
+        partial pairs are carried to the next push.  Complex input to a
+        cu8 receiver is quantized to the cu8 wire scale."""
         if isinstance(samples, (bytes, bytearray, memoryview)):
             buf = self._leftover[station] + bytes(samples)
             # bytes per I/Q pair on the wire
@@ -445,6 +454,53 @@ class MultiStationReceiver:
         if self.mode == "am":
             self._am_skip = int(np.asarray(state["am_skip"]))
 
+    def save(self, path: str):
+        """Persist :meth:`checkpoint` to an ``.npz`` restorable in a
+        FRESH process: construct an identically-parameterized receiver
+        there and call :meth:`load`.  (The raw checkpoint pytree's
+        structure depends on queue contents, so the generic
+        ``utils.checkpoint.load_state`` — which needs a structure
+        template — cannot restore it cross-process; this flattens the
+        queues to one array per station and names every leaf.)"""
+        st = self.checkpoint()
+        jax = self._jax
+        out = {}
+        for i, leaf in enumerate(jax.tree.flatten(st["carries"])[0]):
+            out[f"carry_{i}"] = np.asarray(leaf)
+        for i in range(self.n_stations):
+            ch = st["chunks"][i]
+            out[f"queue_{i}"] = np.concatenate(ch, axis=0) if ch \
+                else np.zeros((0, 2), self._dtype)
+            out[f"leftover_{i}"] = st["leftover"][i]
+        out["align"] = st["align"]
+        out["px_seen"] = np.asarray([st["px_seen"]["px1"],
+                                     st["px_seen"]["px2"]])
+        if "am_skip" in st:
+            out["am_skip"] = st["am_skip"]
+        np.savez(path, **out)
+
+    def load(self, path: str):
+        """Install a :meth:`save` snapshot into this (freshly
+        constructed, identically parameterized) receiver."""
+        jax = self._jax
+        data = np.load(path)
+        leaves, treedef = jax.tree.flatten(self._carries)
+        state = {
+            "carries": jax.tree.unflatten(
+                treedef, [data[f"carry_{i}"]
+                          for i in range(len(leaves))]),
+            "chunks": [[data[f"queue_{i}"]]
+                       for i in range(self.n_stations)],
+            "leftover": [data[f"leftover_{i}"]
+                         for i in range(self.n_stations)],
+            "align": data["align"],
+            "px_seen": {"px1": data["px_seen"][0],
+                        "px2": data["px_seen"][1]},
+        }
+        if "am_skip" in data:
+            state["am_skip"] = data["am_skip"]
+        self.restore(state)
+
     # ------------------------------------------------------------------
     def _fill(self, station: int, out: np.ndarray):
         """Copy the first len(out) queued samples into ``out``."""
@@ -507,7 +563,8 @@ class MultiStationReceiver:
     def _pump(self):
         jnp = self._jnp
         for i, a in enumerate(self._align):
-            if a and self._sizes[i] >= self._rcc.buffer_len(a):
+            if a and self._sizes[i] >= self._overlap \
+                    + self._rate * self._rcc.buffer_len(a):
                 self._align_station(i, a)
         if any(self._align):
             return  # some station still buffering its alignment samples
@@ -606,6 +663,8 @@ class RtlTcpFleet:
         # the tuners off while a dispatch runs
         self._lock = threading.Lock()
         self._stopped = threading.Event()
+        self._dead = [False] * len(addrs)
+        self._cb = callback
         self._threads = [
             threading.Thread(target=self._reader, args=(i,), daemon=True,
                              name=f"rtltcp-fleet-{i}")
@@ -621,9 +680,35 @@ class RtlTcpFleet:
             try:
                 data = client.read(65536)
             except OSError:
+                # dead tuner: report it, then keep the fleet running —
+                # _pad_dead substitutes silence so the batched dispatch
+                # (gated on min queue depth) never stalls the LIVE
+                # stations, and the live queues don't grow unboundedly.
+                # (The reference's single-dongle analog: LOST_DEVICE +
+                # worker stop, src/nrsc5.c:197-201.)
+                if not self._stopped.is_set() and not self._dead[i]:
+                    self._dead[i] = True
+                    self._cb(i, make(EventType.LOST_DEVICE))
                 break
             with self._lock:
                 self.rx.push(i, data)
+                self._pad_dead()
+
+    def _pad_dead(self):
+        """Keep dead tuners' queues level with the deepest live queue
+        (cu8 silence = 127), so dispatches keep firing for everyone
+        else.  Called under the lock."""
+        if not any(self._dead):
+            return
+        live = [self.rx._sizes[k] for k in range(len(self._dead))
+                if not self._dead[k]]
+        if not live:
+            return
+        target = max(live)
+        for k, dead in enumerate(self._dead):
+            short = target - self.rx._sizes[k]
+            if dead and short > 0:
+                self.rx.push(k, np.full((short, 2), 127, np.uint8))
 
     def stop(self, flush: bool = True):
         """Disconnect every tuner and (by default) drain the in-flight

@@ -33,6 +33,7 @@ class FakeRtlTcp(threading.Thread):
         conn.sendall(b"RTL0" + struct.pack(">II", TUNER_R820T, 29))
         conn.setblocking(False)
         pos = 0
+        pending = b""
         while not self.stop.is_set():
             try:
                 cmd = conn.recv(5)
@@ -42,16 +43,24 @@ class FakeRtlTcp(threading.Thread):
                 pass
             except OSError:
                 break
-            chunk = self.capture[pos:pos + 65536]
-            if len(chunk) < 65536:
-                chunk = chunk + self.capture[:65536 - len(chunk)]
-                pos = (pos + 65536) % len(self.capture)
-            else:
-                pos += 65536
+            if not pending:
+                pending = self.capture[pos:pos + 65536]
+                if len(pending) < 65536:
+                    pending = pending + self.capture[:65536 - len(pending)]
+                    pos = (pos + 65536) % len(self.capture)
+                else:
+                    pos += 65536
             try:
-                conn.sendall(chunk)
-            except (BlockingIOError, OSError):
+                # non-blocking send: keep the unsent remainder so
+                # backpressure never punches holes in the sample stream
+                # (sendall on a non-blocking socket can partial-send
+                # then raise, silently dropping the rest of the chunk)
+                sent = conn.send(pending)
+                pending = pending[sent:]
+            except BlockingIOError:
                 time.sleep(0.01)
+            except OSError:
+                break
         conn.close()
 
 

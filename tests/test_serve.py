@@ -549,15 +549,20 @@ def test_multistation_checkpoint_resume(rng, tmp_path):
                                frames_per_dispatch=1)
     for lo in range(0, split, 200000):
         rx1.push(0, sig[lo:min(lo + 200000, split)])
-    state = rx1.checkpoint()
 
+    # in-process pytree roundtrip (needs a structure template) ...
+    state = rx1.checkpoint()
     path = str(tmp_path / "serve_ckpt.npz")
     save_state(path, state)
     state = load_state(path, state)
+    # ... and the cross-process flow: save() names every leaf so a FRESH
+    # identically-parameterized receiver can load() with no template
+    path2 = str(tmp_path / "serve_ckpt2.npz")
+    rx1.save(path2)
 
     rx2 = MultiStationReceiver(1, lambda st, ev: ev2.append(ev),
                                frames_per_dispatch=1)
-    rx2.restore(state)
+    rx2.load(path2)
     for lo in range(split, len(sig), 200000):
         rx2.push(0, sig[lo:lo + 200000])
     rx2.flush()
@@ -613,3 +618,101 @@ def test_multistation_am_coldstart_locks(rng):
         hdc = {e.data for e in events
                if e.type == EventType.HDC and not e.crc_error}
         assert len(hdc & want) >= 48, (ma3, len(hdc & want))
+
+
+def test_multistation_cu8_coldstart_locks(rng):
+    """cu8 wire + FM cold-start locks together: the alignment dispatch's
+    sample-queue gate must account for the raw rate and decimator
+    overlap (regression: it compared raw queue depth against the
+    chain-rate buffer length and underflowed)."""
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    mats, packets = _station_mats(rng, "CU8 Cold Title", n_frames=3)
+    dummy = build_pm_matrix(
+        build_p1_fm_frame(
+            [rng.integers(0, 256, 280).astype(np.uint8).tobytes()
+             for _ in range(32)], 0, 7, 0),
+        np.zeros((16, 80), np.uint8))
+    matrix = np.concatenate([dummy[14 * 32:]] + mats)
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), 3)])
+    full = modulate_fm(matrix, bc_seq, 1)
+    capture = np.zeros(len(full) + C.FFTCP_FM, np.complex64)
+    capture[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(full)] = full
+
+    # lock at the internal rate (the documented flow: decimate, lock,
+    # then stream the raw wire from 2x the lock offset)
+    rcs = np.stack([capture.real, -capture.imag], -1).astype(np.float32)
+    lock = rcc.cold_start_rc(rcs)
+    assert lock is not None and lock["first_bc"] == 14
+
+    wire = ch.to_cu8(ch.upsample2(np.concatenate(
+        [capture, np.zeros(3 * C.FFTCP_FM, np.complex64)])))
+    raw = wire.tobytes()[4 * lock["offset"]:]  # 2 samples x 2 bytes
+
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=1, locks=lock,
+                              input_format="cu8")
+    for lo in range(0, len(raw), 400001):
+        rx.push(0, raw[lo:lo + 400001])
+    rx.flush()
+    hdc = {e.data for e in events
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & {bytes(p) for p in packets}) >= 64, len(hdc)
+    assert any(e.type == EventType.ID3 and e.title == "CU8 Cold Title"
+               for e in events)
+
+
+def test_rtltcp_fleet_dead_tuner(rng):
+    """A dropped tuner must not stall the fleet: the dead station gets a
+    LOST_DEVICE event and silence padding; the live station keeps
+    decoding."""
+    import time
+
+    from nrsc5_tpu.serve import RtlTcpFleet
+    from nrsc5_tpu.tx import channel as ch
+
+    from .test_rtltcp import FakeRtlTcp
+
+    servers = []
+    for t in ("Live Station", "Doomed Station"):
+        sig, _ = _station_stream(rng, t)
+        servers.append(FakeRtlTcp(ch.to_cu8(ch.upsample2(sig)).tobytes()))
+        servers[-1].start()
+
+    events = {0: [], 1: []}
+    fleet = RtlTcpFleet(
+        [("127.0.0.1", s.port) for s in servers], [88.5e6, 94.7e6],
+        lambda st, ev: events[st].append(ev),
+        gain_db=30.0, frames_per_dispatch=1)
+    fleet.start()
+    try:
+        deadline = time.monotonic() + 240
+        # wait for first decode on both, then kill tuner 1
+        while time.monotonic() < deadline:
+            if all(any(e.type == EventType.HDC for e in events[i])
+                   for i in range(2)):
+                break
+            time.sleep(0.5)
+        servers[1].stop.set()
+        hdc_before = sum(1 for e in events[0]
+                         if e.type == EventType.HDC)
+        while time.monotonic() < deadline:
+            lost = any(e.type == EventType.LOST_DEVICE
+                       for e in events[1])
+            hdc_now = sum(1 for e in events[0]
+                          if e.type == EventType.HDC)
+            if lost and hdc_now >= hdc_before + 32:
+                break
+            time.sleep(0.5)
+    finally:
+        fleet.stop()
+        for s in servers:
+            s.stop.set()
+
+    assert any(e.type == EventType.LOST_DEVICE for e in events[1])
+    assert sum(1 for e in events[0] if e.type == EventType.HDC) \
+        >= hdc_before + 32, "live station stalled after tuner loss"
