@@ -162,12 +162,18 @@ class MultiStationReceiver:
     device inside the dispatch.  Call :meth:`flush` at end of stream to
     drain the in-flight pipeline.
 
-    Streams must be gap-free: the serving chain is the steady-state
-    (FINE-only) fast path, so a hole in a station's sample stream breaks
-    its lock permanently — monitor the per-frame BER events (a dead
-    carrier reads ~0.5) and re-lock that station via cold start, or use
-    the session API (`api.session.NRSC5`), whose NONE→COARSE→FINE
-    machine re-acquires automatically (reference src/input.c:172-188).
+    The serving chain is the steady-state (FINE-only) fast path, so a
+    hole in a station's sample stream breaks its lock.  With
+    ``relock=True`` (default, FM) a per-station BER watchdog detects the
+    dead carrier (channel BER > 15% for 2 consecutive frames — the same
+    threshold as the session path's watchdog), emits LOST_SYNC, and
+    re-acquires that station via cold start on its queued samples (SYNC
+    on success) while the other stations keep decoding — the serving
+    analog of the session's NONE→COARSE→FINE machine (reference
+    src/input.c:172-188).  In extended service modes the relocked
+    station's PX frames are garbage for one interleaver cycle
+    (CRC-flagged).  AM relock is not automatic — watch BER and re-lock
+    with :func:`~nrsc5_tpu.pipeline.scan_chain_am_rc.cold_start_am_rc`.
 
     Cold start: for captures with unknown timing/CFO, lock each station
     with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` (FM) or
@@ -189,7 +195,7 @@ class MultiStationReceiver:
                  depth: int = 2, hdc_factory=None, first_bc: int = 0,
                  input_format: str = "cf32", mode: str = "fm",
                  ma3: bool = False, locks=None,
-                 packed: bool | None = None):
+                 packed: bool | None = None, relock: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -247,6 +253,15 @@ class MultiStationReceiver:
         self._packed = (jax.default_backend() != "cpu") if packed is None \
             else packed
         self._pending: list = []
+        # per-station BER watchdog -> cold-start re-acquisition (FM)
+        self._relock = relock and mode == "fm"
+        self._bad_frames = [0] * n_stations
+        self._relocking = [False] * n_stations
+        self._seq = 0  # dispatch sequence number (tags pending outputs)
+        # watch only outputs issued at/after this seq — outputs already
+        # in the pipeline when a station relocks are pre-lock garbage
+        # and must not re-trip its watchdog
+        self._watch_after = [0] * n_stations
 
         init_carries = None
         first_bcs = [first_bc] * n_stations
@@ -395,7 +410,7 @@ class MultiStationReceiver:
         :meth:`flush` for that) — the pipeline-empty point
         :meth:`checkpoint` needs."""
         while self._pending:
-            self._consume(self._pending.pop(0))
+            self._consume(*self._pending.pop(0))
 
     def flush(self):
         """Drain every in-flight dispatch through the transports, then
@@ -560,14 +575,62 @@ class MultiStationReceiver:
         tr.mer_push(np.asarray(out["diag"]["error_lb"]),
                     np.asarray(out["diag"]["error_ub"]), self.psmi)
 
+    def _watch(self, i: int, bit_errors):
+        """Per-station link-quality watchdog: soft-decision rate-2/5 K=7
+        fails far below 15% channel BER, so anything above it is a dead
+        carrier (same threshold as the session path's watchdog) —
+        trigger cold-start re-acquisition."""
+        if self._relocking[i]:
+            return
+        for e in np.atleast_1d(bit_errors):
+            if float(e) / C.P1_FRAME_LEN_ENCODED_FM > 0.15:
+                self._bad_frames[i] += 1
+            else:
+                self._bad_frames[i] = 0
+        if self._bad_frames[i] >= 2:
+            self._bad_frames[i] = 0
+            self._relocking[i] = True
+            self.transports[i]._emit(make(EventType.LOST_SYNC))
+
+    def _try_relock(self, i: int):
+        """Cold-start re-acquisition of one station from its queued
+        samples (serving analog of the session's NONE→COARSE machine).
+        On lock: install the locked carry, drop to the locked offset,
+        and arm the frame-alignment dispatch; on no-lock: skip ahead a
+        few blocks and retry on the next pump."""
+        jax, jnp, rcc = self._jax, self._jnp, self._rcc
+        need = self._overlap + self._rate * rcc.buffer_len(6)
+        if self._sizes[i] < need:
+            return  # buffer more samples first
+        buf = np.empty((need, 2), self._dtype)
+        self._fill(i, buf)
+        rc = self._ingest(jnp.asarray(buf))
+        lock = rcc.cold_start_rc(rc)
+        if lock is None or int(lock["psmi"]) != self.psmi:
+            # nothing locked here (mid-gap, or a foreign service mode
+            # this batch's fused program cannot serve): advance and retry
+            self._drop(i, self._rate * rcc.buffer_len(4))
+            return
+        self._carries = jax.tree.map(
+            lambda x, v: x.at[i].set(v), self._carries, lock["carry"])
+        self._drop(i, self._rate * int(lock["offset"]))
+        self._align[i] = (C.P1_FM_BLOCKS - int(lock["first_bc"])) \
+            % C.P1_FM_BLOCKS
+        self._relocking[i] = False
+        self._watch_after[i] = self._seq
+        self.transports[i]._emit(make(EventType.SYNC, psmi=self.psmi))
+
     def _pump(self):
         jnp = self._jnp
+        for i, r in enumerate(self._relocking):
+            if r:
+                self._try_relock(i)
         for i, a in enumerate(self._align):
             if a and self._sizes[i] >= self._overlap \
                     + self._rate * self._rcc.buffer_len(a):
                 self._align_station(i, a)
-        if any(self._align):
-            return  # some station still buffering its alignment samples
+        if any(self._align) or any(self._relocking):
+            return  # some station still re-acquiring / aligning
         while min(self._sizes) >= self._needed:
             batch = np.empty((self.n_stations, self._needed, 2),
                              self._dtype)
@@ -581,11 +644,12 @@ class MultiStationReceiver:
                 offset=carries.offset - carries.offset)
             for i in range(self.n_stations):
                 self._drop(i, self._rate * int(consumed[i]))
-            self._pending.append(out)
+            self._pending.append((self._seq, out))
+            self._seq += 1
             if len(self._pending) > self.depth:
-                self._consume(self._pending.pop(0))
+                self._consume(*self._pending.pop(0))
 
-    def _consume(self, out):
+    def _consume(self, seq, out):
         from nrsc5_tpu.ops.bits import unpack_out
         out = {k: np.asarray(v) if not isinstance(v, dict) else v
                for k, v in out.items()}
@@ -618,6 +682,8 @@ class MultiStationReceiver:
             tr.mer_push(elb[i], eub[i], self.psmi)
             tr.consume(out["p1"][i], out["p1_bit_errors"][i],
                        out["pids"][i], px["px1"], px["px2"])
+            if self._relock and seq >= self._watch_after[i]:
+                self._watch(i, out["p1_bit_errors"][i])
 
 
 class RtlTcpFleet:

@@ -716,3 +716,48 @@ def test_rtltcp_fleet_dead_tuner(rng):
     assert any(e.type == EventType.LOST_DEVICE for e in events[1])
     assert sum(1 for e in events[0] if e.type == EventType.HDC) \
         >= hdc_before + 32, "live station stalled after tuner loss"
+
+
+def test_multistation_auto_relock(rng):
+    """Self-healing serving: a mid-stream sample gap breaks the FINE-only
+    lock; the per-station BER watchdog emits LOST_SYNC, cold-start
+    re-acquisition relocks (SYNC), and decode resumes bit-exact — while
+    the OTHER station keeps decoding its clean stream throughout."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    # recovery costs ~5 frames: 2 for the BER watchdog, 2 of pipeline
+    # lag (depth-2 outputs in flight), ~1 for the probe offset + frame
+    # alignment — give the post-gap stream enough runway to re-decode
+    good, good_packets = _station_stream(rng, "Clean Station",
+                                         n_frames=12)
+    pre, pre_packets = _station_stream(rng, "Before Gap", n_frames=3)
+    post, post_packets = _station_stream(rng, "After Gap", n_frames=9)
+    # timing jump mid-stream: drop a non-multiple-of-frame chunk
+    gappy = np.concatenate([pre[:len(pre) - 33333], post])
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1)
+    n = max(len(good), len(gappy))
+    for lo in range(0, n, 250000):
+        rx.push(0, good[lo:lo + 250000])
+        rx.push(1, gappy[lo:lo + 250000])
+    rx.flush()
+
+    # station 0 sailed through
+    hdc0 = {e.data for e in events[0]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc0 & {bytes(p) for p in good_packets}) >= 256
+    assert not any(e.type == EventType.LOST_SYNC for e in events[0])
+
+    # station 1: decode, break, relock, decode again
+    kinds = [e.type for e in events[1]]
+    assert EventType.LOST_SYNC in kinds and EventType.SYNC in kinds
+    assert kinds.index(EventType.LOST_SYNC) < len(kinds) - 1
+    hdc1 = {e.data for e in events[1]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc1 & {bytes(p) for p in pre_packets}) >= 32
+    assert len(hdc1 & {bytes(p) for p in post_packets}) >= 32, \
+        len(hdc1 & {bytes(p) for p in post_packets})
+    titles1 = {e.title for e in events[1] if e.type == EventType.ID3}
+    assert "After Gap" in titles1, titles1
