@@ -257,6 +257,11 @@ class MultiStationReceiver:
         self._relock = relock and mode == "fm"
         self._bad_frames = [0] * n_stations
         self._relocking = [False] * n_stations
+        self._pushed = [0] * n_stations  # lifetime samples pushed
+        # probe cooldown: pushed-samples watermark before the next
+        # cold-start attempt (samples-based, not dispatch-based — other
+        # stations' streams ending must not freeze the retry clock)
+        self._relock_next = [0] * n_stations
         self._seq = 0  # dispatch sequence number (tags pending outputs)
         # watch only outputs issued at/after this seq — outputs already
         # in the pipeline when a station relocks are pre-lock garbage
@@ -402,6 +407,7 @@ class MultiStationReceiver:
         assert s.ndim == 2 and s.shape[1] == 2, s.shape
         self._chunks[station].append(s)
         self._sizes[station] += len(s)
+        self._pushed[station] += len(s)
         self._pump()
 
     def drain(self):
@@ -444,6 +450,10 @@ class MultiStationReceiver:
             "align": np.asarray(self._align, np.int64),
             "px_seen": {k: np.asarray(v) for k, v in
                         self._px_seen.items()},
+            # watchdog state: a snapshot taken mid-relock must resume
+            # re-acquiring, not decode with the stale garbage carry
+            "relocking": np.asarray(self._relocking),
+            "bad_frames": np.asarray(self._bad_frames, np.int64),
         }
         if self.mode == "am":
             state["am_skip"] = np.asarray(self._am_skip)
@@ -466,6 +476,11 @@ class MultiStationReceiver:
         self._align = [int(a) for a in np.asarray(state["align"])]
         self._px_seen = {k: int(np.asarray(v))
                          for k, v in state["px_seen"].items()}
+        if "relocking" in state:
+            self._relocking = [bool(r)
+                               for r in np.asarray(state["relocking"])]
+            self._bad_frames = [int(b)
+                                for b in np.asarray(state["bad_frames"])]
         if self.mode == "am":
             self._am_skip = int(np.asarray(state["am_skip"]))
 
@@ -490,6 +505,8 @@ class MultiStationReceiver:
         out["align"] = st["align"]
         out["px_seen"] = np.asarray([st["px_seen"]["px1"],
                                      st["px_seen"]["px2"]])
+        out["relocking"] = st["relocking"]
+        out["bad_frames"] = st["bad_frames"]
         if "am_skip" in st:
             out["am_skip"] = st["am_skip"]
         np.savez(path, **out)
@@ -511,6 +528,8 @@ class MultiStationReceiver:
             "align": data["align"],
             "px_seen": {"px1": data["px_seen"][0],
                         "px2": data["px_seen"][1]},
+            "relocking": data["relocking"],
+            "bad_frames": data["bad_frames"],
         }
         if "am_skip" in data:
             state["am_skip"] = data["am_skip"]
@@ -575,30 +594,39 @@ class MultiStationReceiver:
         tr.mer_push(np.asarray(out["diag"]["error_lb"]),
                     np.asarray(out["diag"]["error_ub"]), self.psmi)
 
-    def _watch(self, i: int, bit_errors):
+    def _watch(self, i: int, bit_errors, margins):
         """Per-station link-quality watchdog: soft-decision rate-2/5 K=7
         fails far below 15% channel BER, so anything above it is a dead
-        carrier (same threshold as the session path's watchdog) —
-        trigger cold-start re-acquisition."""
+        carrier (same threshold as the session path's watchdog).  A
+        SILENT carrier fools the BER alone (zero LLRs re-encode
+        perfectly: cber 0), so a vanished Viterbi metric margin is the
+        second trigger (measured: clean signal ~500, zeros/noise 0.0).
+        Trips cold-start re-acquisition."""
         if self._relocking[i]:
             return
-        for e in np.atleast_1d(bit_errors):
-            if float(e) / C.P1_FRAME_LEN_ENCODED_FM > 0.15:
-                self._bad_frames[i] += 1
-            else:
-                self._bad_frames[i] = 0
+        for e, m in zip(np.atleast_1d(bit_errors),
+                        np.atleast_1d(margins)):
+            dead = (float(e) / C.P1_FRAME_LEN_ENCODED_FM > 0.15
+                    or float(m) < 1e-3)
+            self._bad_frames[i] = self._bad_frames[i] + 1 if dead else 0
         if self._bad_frames[i] >= 2:
             self._bad_frames[i] = 0
             self._relocking[i] = True
+            self._relock_next[i] = 0  # probe as soon as samples allow
             self.transports[i]._emit(make(EventType.LOST_SYNC))
 
     def _try_relock(self, i: int):
         """Cold-start re-acquisition of one station from its queued
         samples (serving analog of the session's NONE→COARSE machine).
         On lock: install the locked carry, drop to the locked offset,
-        and arm the frame-alignment dispatch; on no-lock: skip ahead a
-        few blocks and retry on the next pump."""
+        and arm the frame-alignment dispatch.  On no-lock the station
+        keeps flowing through the batched dispatches (garbage,
+        CRC-flagged) so a never-locking carrier cannot stall the other
+        stations or grow any queue; the probe retries at most once per
+        dispatch (the stream has advanced a dispatch's worth by then)."""
         jax, jnp, rcc = self._jax, self._jnp, self._rcc
+        if self._pushed[i] < self._relock_next[i]:
+            return  # cooldown: wait for fresh stream before re-probing
         need = self._overlap + self._rate * rcc.buffer_len(6)
         if self._sizes[i] < need:
             return  # buffer more samples first
@@ -607,9 +635,18 @@ class MultiStationReceiver:
         rc = self._ingest(jnp.asarray(buf))
         lock = rcc.cold_start_rc(rc)
         if lock is None or int(lock["psmi"]) != self.psmi:
-            # nothing locked here (mid-gap, or a foreign service mode
-            # this batch's fused program cannot serve): advance and retry
-            self._drop(i, self._rate * rcc.buffer_len(4))
+            # nothing locked here (mid-gap, silence, or a foreign
+            # service mode this batch's fused program cannot serve):
+            # retry after a dispatch's worth of fresh samples arrives
+            self._relock_next[i] = self._pushed[i] + self._needed
+            # hard-bound the queue: a garbage carry's samperr feedback
+            # can under-consume, so a never-locking station would
+            # otherwise leak memory slowly; its backlog is garbage —
+            # keep just a dispatch + a probe window of the freshest tail
+            excess = self._sizes[i] - (self._needed + need)
+            excess -= excess % self._rate  # keep cu8 pair/phase parity
+            if excess > 0:
+                self._drop(i, excess)
             return
         self._carries = jax.tree.map(
             lambda x, v: x.at[i].set(v), self._carries, lock["carry"])
@@ -629,8 +666,8 @@ class MultiStationReceiver:
             if a and self._sizes[i] >= self._overlap \
                     + self._rate * self._rcc.buffer_len(a):
                 self._align_station(i, a)
-        if any(self._align) or any(self._relocking):
-            return  # some station still re-acquiring / aligning
+        if any(self._align):
+            return  # a relocked station buffering its alignment samples
         while min(self._sizes) >= self._needed:
             batch = np.empty((self.n_stations, self._needed, 2),
                              self._dtype)
@@ -683,7 +720,8 @@ class MultiStationReceiver:
             tr.consume(out["p1"][i], out["p1_bit_errors"][i],
                        out["pids"][i], px["px1"], px["px2"])
             if self._relock and seq >= self._watch_after[i]:
-                self._watch(i, out["p1_bit_errors"][i])
+                self._watch(i, out["p1_bit_errors"][i],
+                            out["p1_margin"][i])
 
 
 class RtlTcpFleet:
@@ -754,6 +792,12 @@ class RtlTcpFleet:
                 # worker stop, src/nrsc5.c:197-201.)
                 if not self._stopped.is_set() and not self._dead[i]:
                     self._dead[i] = True
+                    with self._lock:
+                        # known-dead tuner: the silence padding would
+                        # otherwise trip the BER watchdog and burn a
+                        # futile relock probe every dispatch
+                        self.rx._relocking[i] = False
+                        self.rx._watch_after[i] = float("inf")
                     self._cb(i, make(EventType.LOST_DEVICE))
                 break
             with self._lock:

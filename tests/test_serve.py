@@ -700,12 +700,15 @@ def test_rtltcp_fleet_dead_tuner(rng):
         servers[1].stop.set()
         hdc_before = sum(1 for e in events[0]
                          if e.type == EventType.HDC)
+        # sustained decode well past the watchdog trip latency (2 bad
+        # frames + depth-2 pipeline lag): 4 more frames, not just 1 —
+        # a post-trip fleet stall would cap the live station earlier
         while time.monotonic() < deadline:
             lost = any(e.type == EventType.LOST_DEVICE
                        for e in events[1])
             hdc_now = sum(1 for e in events[0]
                           if e.type == EventType.HDC)
-            if lost and hdc_now >= hdc_before + 32:
+            if lost and hdc_now >= hdc_before + 128:
                 break
             time.sleep(0.5)
     finally:
@@ -715,7 +718,7 @@ def test_rtltcp_fleet_dead_tuner(rng):
 
     assert any(e.type == EventType.LOST_DEVICE for e in events[1])
     assert sum(1 for e in events[0] if e.type == EventType.HDC) \
-        >= hdc_before + 32, "live station stalled after tuner loss"
+        >= hdc_before + 128, "live station stalled after tuner loss"
 
 
 def test_multistation_auto_relock(rng):
@@ -761,3 +764,39 @@ def test_multistation_auto_relock(rng):
         len(hdc1 & {bytes(p) for p in post_packets})
     titles1 = {e.title for e in events[1] if e.type == EventType.ID3}
     assert "After Gap" in titles1, titles1
+
+
+def test_multistation_relock_never_locks(rng):
+    """A station whose carrier never comes back (noise after the gap)
+    must not stall the batch or grow queues without bound: the probe
+    retries at most once per dispatch while the station keeps flowing
+    through the dispatches, and the OTHER station decodes to the end."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    good, good_packets = _station_stream(rng, "Survivor", n_frames=9)
+    pre, _ = _station_stream(rng, "Doomed", n_frames=3)
+    noise = (rng.normal(0, 0.05, (len(good), 2))).astype(np.float32)
+    bad = np.concatenate([
+        np.stack([pre.real, -pre.imag], -1).astype(np.float32), noise])
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1)
+    for lo in range(0, len(bad), 250000):
+        rx.push(0, good[lo:lo + 250000])
+        rx.push(1, bad[lo:lo + 250000])
+        # loose in-flight sanity: the watchdog needs ~4 dispatches to
+        # trip, during which a garbage carry can under-consume
+        assert max(rx._sizes) < rx._needed + 6_000_000, rx._sizes
+    # once probing, a failed probe trims the garbage backlog: the
+    # never-locking station's queue is hard-bounded at a dispatch + a
+    # probe window
+    assert rx._sizes[1] < rx._needed + 800000, rx._sizes
+    rx.flush()
+
+    hdc0 = {e.data for e in events[0]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc0 & {bytes(p) for p in good_packets}) >= 256
+    kinds1 = [e.type for e in events[1]]
+    assert EventType.LOST_SYNC in kinds1
+    assert EventType.SYNC not in kinds1  # noise never relocks
