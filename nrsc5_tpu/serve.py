@@ -172,8 +172,13 @@ class MultiStationReceiver:
     analog of the session's NONE→COARSE→FINE machine (reference
     src/input.c:172-188).  In extended service modes the relocked
     station's PX frames are garbage for one interleaver cycle
-    (CRC-flagged).  AM relock is not automatic — watch BER and re-lock
-    with :func:`~nrsc5_tpu.pipeline.scan_chain_am_rc.cold_start_am_rc`.
+    (CRC-flagged).  AM relock is not automatic — watch for sustained
+    CRC-flagged HDC output and re-lock with
+    :func:`~nrsc5_tpu.pipeline.scan_chain_am_rc.cold_start_am_rc`.
+    (An AM watchdog would key on the K=9 Viterbi margin — measured ~4
+    on clean signal vs exactly 0 on noise/silence — but the 3-frame
+    diversity warm-up also reads 0, so it needs per-station warm-up
+    suppression; not built yet.)
 
     Cold start: for captures with unknown timing/CFO, lock each station
     with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` (FM) or
