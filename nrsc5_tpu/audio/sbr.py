@@ -55,8 +55,8 @@ def _pc(codes, bits):
     return PrefixCode(codes, bits)
 
 
-# value offset 60 ("LAV" center) for env tables, 30 for 3.0dB env,
-# 12/24 for balance, 31 noise, 12 noise balance
+# dpcm value offsets ("LAV" centers): 60 for 1.5dB env, 31 for 3.0dB env,
+# 12/24 for balance, 31 noise, 12 noise balance (ffmpeg/faad vlc_sbr_lav)
 HUFF_ENV15_T = _pc(T.T_HUFFMAN_ENV_1_5DB_CODES, T.T_HUFFMAN_ENV_1_5DB_BITS)
 HUFF_ENV15_F = _pc(T.F_HUFFMAN_ENV_1_5DB_CODES, T.F_HUFFMAN_ENV_1_5DB_BITS)
 HUFF_ENV30_T = _pc(T.T_HUFFMAN_ENV_3_0DB_CODES, T.T_HUFFMAN_ENV_3_0DB_BITS)
@@ -454,8 +454,10 @@ def parse_sbr_grid(br, d: SbrData):
         right = [nts + bord1]
         for r in rel1:
             right.append(right[-1] - r)
-        d.t_e = sorted(set(left + right[::-1]))
-        d.n_env = len(d.t_e) - 1
+        # spec order, no dedup: freq_res count and the lA pointer mapping
+        # both use the bitstream envelope count; a grid with coincident
+        # borders is malformed and gets rejected by the validator below
+        d.t_e = left + right[::-1]
         d.freq_res = [br.read1() for _ in range(d.n_env)]
         d.la = d.n_env + 1 - ptr if ptr > 0 else -1
     if d.n_env < 1 or len(d.t_e) != d.n_env + 1 or \
@@ -724,8 +726,11 @@ class SBRDecoder:
         self.header: SbrHeader | None = None
         self.tables: FreqTables | None = None
         self.prev_env: np.ndarray | None = None
-        self.prev_env_res: int = 1
         self.prev_noise: np.ndarray | None = None
+        # high bands whose sinusoid was signaled last frame (§4.6.18.7.5:
+        # a flagged harmonic only starts in envelopes >= lA the frame it
+        # first appears, then persists from envelope 0)
+        self.prev_harmonics: np.ndarray | None = None
         self.bw = np.zeros(5)
         self.x_low_tail = np.zeros((2, 32), np.complex128)  # LPC history
         self.noise_index = 0
@@ -746,6 +751,7 @@ class SBRDecoder:
             self.tables = derive_tables(hdr)
             self.prev_env = None
             self.prev_noise = None
+            self.prev_harmonics = None
 
     def process(self, core: np.ndarray, data: SbrData) -> np.ndarray:
         """Full SBR reconstruction for one channel/frame."""
@@ -763,8 +769,10 @@ class SBRDecoder:
         out = self.synthesis.run(X)
 
         self.prev_env = data.env[-1]
-        self.prev_env_res = data.freq_res[-1]
         self.prev_noise = data.noise[-1]
+        self.prev_harmonics = (
+            data.add_harmonic if data.add_harmonic is not None
+            else np.zeros(ft.n_high, bool))
         return out.astype(np.float32)
 
     # ------------------------------------------------------------------
@@ -850,21 +858,35 @@ class SBRDecoder:
                 q_orig[int(ft.f_noise[b]) - kx:
                        int(ft.f_noise[b + 1]) - kx] = data.noise_lin[qe][b]
 
-            # sinusoids: S present in a high band when flagged (placed at
-            # the band's center bin)
+            # sinusoids: S present in a high band when flagged (placed
+            # at the band's center bin).  A harmonic signaled for the
+            # FIRST time this frame is only active in envelopes >= lA;
+            # one carried over from the previous frame is active from
+            # envelope 0 (§4.6.18.7.5, faad s_index_mapped logic).
             s_mapped = np.zeros(m, bool)
             s_bins = np.zeros(m, bool)
             if data.add_harmonic is not None:
+                prev = self.prev_harmonics
+                if prev is None or len(prev) != ft.n_high:
+                    prev = np.zeros(ft.n_high, bool)
                 for b in range(ft.n_high):
-                    if data.add_harmonic[b]:
+                    if data.add_harmonic[b] and (e >= data.la or prev[b]):
                         blo = int(ft.f_high[b]) - kx
                         bhi = int(ft.f_high[b + 1]) - kx
                         s_mapped[blo:bhi] = True
                         s_bins[(blo + bhi) // 2] = True
 
-            # current energy estimate per bin over the envelope
+            # current energy estimate per bin over the envelope; with
+            # bs_interpol_freq off, the estimate is instead averaged over
+            # each SBR band of this envelope's resolution (§4.6.18.7.2)
+            # so gains are flat per band, matching the encoder's model
             seg = x_high[lo:hi]
             e_curr = (np.abs(seg) ** 2).mean(axis=0)
+            if not hdr.interpol_freq:
+                for b in range(len(bands) - 1):
+                    s = slice(int(bands[b]) - kx, int(bands[b + 1]) - kx)
+                    if s.stop > s.start:
+                        e_curr[s] = e_curr[s].mean()
 
             delta = 0.0 if e == data.la else 1.0  # noise off on transient
             q_frac = q_orig / (1.0 + q_orig)

@@ -105,6 +105,16 @@ class RtlTcpClient:
     def read(self, n: int) -> bytes:
         return self._read_exact(n)
 
+    def read_some(self, n: int) -> bytes:
+        """One ``recv`` of at most ``n`` bytes (never empty — a clean
+        close raises).  Unlike :meth:`read`, a socket timeout cannot lose
+        partially-read bytes (there is no partial buffer), so callers may
+        treat ``TimeoutError`` as a transient stall and retry."""
+        chunk = self.sock.recv(n)
+        if not chunk:
+            raise IOError("rtl_tcp connection closed")
+        return chunk
+
     def close(self):
         try:
             self.sock.close()

@@ -381,10 +381,13 @@ class MultiStationReceiver:
             else:
                 # complex64 memory IS [re, im] float32 pairs: conjugate
                 # once and reinterpret — one pass instead of a strided
-                # stack (measured 10x faster)
-                s = s.astype(np.complex64, copy=not conj)
+                # stack (measured 10x faster).  Both branches materialize
+                # a fresh array: the queued chunk must never alias the
+                # caller's (reusable) read buffer.
                 if conj:
-                    s = np.conj(s)
+                    s = np.conj(s.astype(np.complex64, copy=False))
+                else:
+                    s = s.astype(np.complex64, copy=True)
                 s = s.view(np.float32).reshape(-1, 2)
                 if self._cs16:
                     s = np.clip(s * 32767.0, -32768,
@@ -554,13 +557,13 @@ class MultiStationReceiver:
 
     def _drop(self, station: int, n: int):
         chunks = self._chunks[station]
+        self._sizes[station] -= n
         while n > 0:
             if len(chunks[0]) <= n:
                 n -= len(chunks.pop(0))
             else:
                 chunks[0] = chunks[0][n:]
                 n = 0
-        self._sizes[station] = sum(len(c) for c in chunks)
 
     def _align_station(self, i: int, blocks: int):
         """One-time PIDS-only dispatch over station ``i``'s partial
@@ -785,29 +788,45 @@ class RtlTcpFleet:
 
     def _reader(self, i: int):
         client = self.clients[i]
+        stalls = 0
         while not self._stopped.is_set():
             try:
-                data = client.read(65536)
+                data = client.read_some(65536)
+                stalls = 0
+            except TimeoutError:
+                # transient stall (server hiccup, network pause): the
+                # tuner is not dead — retry.  Three consecutive socket
+                # timeouts (~30 s of silence at the 10 s default) count
+                # as a broken connection.  read_some loses no partial
+                # bytes, so retrying preserves cu8 I/Q pair alignment.
+                stalls += 1
+                if stalls < 3:
+                    continue
+                self._mark_dead(i)
+                break
             except OSError:
-                # dead tuner: report it, then keep the fleet running —
-                # _pad_dead substitutes silence so the batched dispatch
-                # (gated on min queue depth) never stalls the LIVE
-                # stations, and the live queues don't grow unboundedly.
-                # (The reference's single-dongle analog: LOST_DEVICE +
-                # worker stop, src/nrsc5.c:197-201.)
-                if not self._stopped.is_set() and not self._dead[i]:
-                    self._dead[i] = True
-                    with self._lock:
-                        # known-dead tuner: the silence padding would
-                        # otherwise trip the BER watchdog and burn a
-                        # futile relock probe every dispatch
-                        self.rx._relocking[i] = False
-                        self.rx._watch_after[i] = float("inf")
-                    self._cb(i, make(EventType.LOST_DEVICE))
+                self._mark_dead(i)
                 break
             with self._lock:
                 self.rx.push(i, data)
                 self._pad_dead()
+
+    def _mark_dead(self, i: int):
+        """Dead tuner: report it, then keep the fleet running —
+        _pad_dead substitutes silence so the batched dispatch (gated on
+        min queue depth) never stalls the LIVE stations, and the live
+        queues don't grow unboundedly.  (The reference's single-dongle
+        analog: LOST_DEVICE + worker stop, src/nrsc5.c:197-201.)"""
+        if self._stopped.is_set() or self._dead[i]:
+            return
+        self._dead[i] = True
+        with self._lock:
+            # known-dead tuner: the silence padding would otherwise trip
+            # the BER watchdog and burn a futile relock probe every
+            # dispatch
+            self.rx._relocking[i] = False
+            self.rx._watch_after[i] = float("inf")
+        self._cb(i, make(EventType.LOST_DEVICE))
 
     def _pad_dead(self):
         """Keep dead tuners' queues level with the deepest live queue
