@@ -231,6 +231,10 @@ def filterbank_synthesis(coefs: np.ndarray, seq: int, shape: int,
             buf[start:start + 2 * SHORT_LEN] += blocks[w] * win
     else:
         buf = imdct(coefs) * build_window(seq, shape, prev_shape)
+    # spec IMDCT scale is 2/N with N = 2n (ISO 14496-3 §4.6.11.3);
+    # imdct() returns 2/n, so halve — pinned against libavcodec by
+    # test_hdc_external_oracle (without this, PCM is 2x FAAD2's)
+    buf *= 0.5
     out = overlap + buf[:n]
     return out.astype(np.float32), buf[n:].astype(np.float32)
 
@@ -238,7 +242,11 @@ def filterbank_synthesis(coefs: np.ndarray, seq: int, shape: int,
 def filterbank_analysis(frame2x: np.ndarray, seq: int, shape: int,
                         prev_shape: int) -> np.ndarray:
     """Encoder forward filterbank: 2048 time samples (previous frame +
-    current frame) -> 1024 MDCT coefficients (per-window order)."""
+    current frame) -> 1024 MDCT coefficients (per-window order).
+
+    The x2 mirrors the 0.5 in filterbank_synthesis: together they keep
+    decode(encode(x)) at unity while transmitting spectra at the ISO
+    scale an independent decoder (FAAD2/libavcodec) expects."""
     n = FRAME_LEN
     if seq == EIGHT_SHORT:
         wl = window(prev_shape, SHORT_LEN)
@@ -249,5 +257,5 @@ def filterbank_analysis(frame2x: np.ndarray, seq: int, shape: int,
                                   else wc[:SHORT_LEN], wc[SHORT_LEN:]])
             start = SHORT_OFF + w * SHORT_LEN
             out[w] = mdct(frame2x[start:start + 2 * SHORT_LEN] * win)
-        return out.reshape(-1)
-    return mdct(frame2x * build_window(seq, shape, prev_shape))
+        return 2.0 * out.reshape(-1)
+    return 2.0 * mdct(frame2x * build_window(seq, shape, prev_shape))

@@ -302,9 +302,14 @@ def _apply_scalefactors(ics: IcsInfo, quant: np.ndarray,
                 if cb == A.NOISE_HCB:
                     nrg = int(ics.scale_factors[g, b])
                     noise = rng.standard_normal(width).astype(np.float32)
-                    rms = np.sqrt((noise * noise).mean()) or 1.0
+                    # ISO/faad PNS scaling (faad2 pns.c gen_rand_vector):
+                    # the vector is normalized to UNIT TOTAL band energy
+                    # then scaled 2^(nrg/4) — per-bin-RMS normalization
+                    # is louder by sqrt(band width) (caught by the
+                    # libavcodec oracle, test_lc_pns_band_energy)
+                    etot = np.sqrt((noise * noise).sum()) or 1.0
                     spec[lo:lo + width] = \
-                        noise / rms * 2.0 ** (0.25 * nrg)
+                        noise / etot * 2.0 ** (0.25 * nrg)
                 elif cb != A.ZERO_HCB:
                     sf = int(ics.scale_factors[g, b])
                     spec[lo:lo + width] = A.dequant(
@@ -342,11 +347,18 @@ def _apply_ms_is(ics: IcsInfo, ics2: IcsInfo, left: np.ndarray,
 
 def _tns_lpc(coefs, coef_res, compress):
     """Transmitted TNS indices → direct-form LPC (ISO 14496-3 tns_decode_coef
-    via the tmp2 map, tables from aacdec.o)."""
+    via the tmp2 map, tables from aacdec.o).
+
+    The libavcodec tables store NEGATED reflection coefficients (ffmpeg
+    compensates with ``r = -coef`` inside compute_lpc_coefs); faad/ISO
+    use the positive convention this recursion expects, so negate here.
+    Caught by the external libavcodec oracle (test_hdc_external_oracle):
+    without it the decoded filter is the spec filter applied to the
+    sign-alternated spectrum — a π frequency shift of the TNS band."""
     tab = {(0, 0): T.TNS_TMP2_MAP_0_3, (0, 1): T.TNS_TMP2_MAP_1_3,
            (1, 0): T.TNS_TMP2_MAP_0_4, (1, 1): T.TNS_TMP2_MAP_1_4}[
                (coef_res, compress)]
-    tmp2 = [float(tab[c]) for c in coefs]
+    tmp2 = [-float(tab[c]) for c in coefs]
     a = np.zeros(len(coefs) + 1)
     a[0] = 1.0
     for m in range(1, len(coefs) + 1):
@@ -440,7 +452,28 @@ class HDCDecoder:
             # as a corrupt packet (reference: NeAACDecDecode error return)
             return None
 
-    def _decode(self, packet: bytes) -> np.ndarray:
+    def decode_float(self, packet: bytes, core: bool = False):
+        """Decode to float PCM [n, nch] (no int16 clip, no mono fanout).
+
+        ``core=True`` returns the 22050 Hz AAC-LC core output (1024
+        samples) before SBR/upsampling — the comparison point for the
+        external AAC-LC oracle (audio/oracle.py). Returns None on a
+        corrupt packet."""
+        try:
+            return self._decode(packet, core=core, as_float=True)
+        except Exception:
+            return None
+
+    def parse(self, packet: bytes):
+        """Host-side front half of the decode: bitstream parse through
+        spectral reconstruction (scalefactors, M/S-IS, TNS, PNS) plus
+        the SBR payload parse.  Returns (specs, ics1, sbr_data) where
+        specs is a list of per-channel float spectra[1024] ready for the
+        filterbank — the input contract of audio/batch.py's device
+        stage.  Raises on corrupt packets (callers wrap)."""
+        return self._parse(bytes(packet))
+
+    def _parse(self, packet: bytes):
         br = BitReader(bytes(packet))
         block_type = br.read(LEN_SE_ID)
         if block_type not in KNOWN_BLOCK_TYPES:
@@ -496,24 +529,30 @@ class HDCDecoder:
         if stereo:
             _apply_tns(ics2, right)
 
-        pcm_l, self._overlap[0] = A.filterbank_synthesis(
-            left, ics1.window_sequence, ics1.window_shape,
-            self._prev_shape[0], self._overlap[0])
-        chans = [pcm_l]
-        if stereo:
-            pcm_r, self._overlap[1] = A.filterbank_synthesis(
-                right, ics2.window_sequence, ics2.window_shape,
-                self._prev_shape[1], self._overlap[1])
-            chans.append(pcm_r)
-        self._prev_shape[0] = ics1.window_shape
-        if stereo:
-            self._prev_shape[1] = ics2.window_shape
-
-        # SBR / upsampling to 44100 (2048 samples per channel)
+        specs = [left, right] if stereo else [left]
         sbr_data = None
         if sbr_payload is not None:
             from nrsc5_tpu.audio.sbr import parse_sbr_payload
             sbr_data = parse_sbr_payload(sbr_payload, stereo, self._sbr)
+        return specs, ics1, sbr_data
+
+    def _decode(self, packet: bytes, core: bool = False,
+                as_float: bool = False) -> np.ndarray:
+        specs, ics1, sbr_data = self._parse(packet)
+        stereo = len(specs) == 2
+
+        chans = []
+        for i, spec in enumerate(specs):
+            pcm_i, self._overlap[i] = A.filterbank_synthesis(
+                spec, ics1.window_sequence, ics1.window_shape,
+                self._prev_shape[i], self._overlap[i])
+            chans.append(pcm_i)
+            self._prev_shape[i] = ics1.window_shape
+
+        if core:
+            return np.stack(chans, axis=-1).astype(np.float32)
+
+        # SBR / upsampling to 44100 (2048 samples per channel)
         if sbr_data is not None:
             self._had_sbr = True
             out = [self._sbr[i].process(chans[i], sbr_data[i])
@@ -522,6 +561,8 @@ class HDCDecoder:
             out = [self._sbr[i].upsample_only(chans[i])
                    for i in range(len(chans))]
 
+        if as_float:
+            return np.stack(out, axis=-1).astype(np.float32)
         if len(out) == 1:
             out = [out[0], out[0]]  # mono → both channels
         # internal full-scale is ±32768 (see tx/hdc_encoder.py)

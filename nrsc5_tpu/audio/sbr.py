@@ -200,12 +200,16 @@ class SbrHeader:
 
 
 def _start_min(fs: int) -> int:
+    # round(128*f/fs) at FULL scale (§4.6.18.3.2.1) — rounding the
+    # 64-scale value first and doubling gives 30 instead of 29 for
+    # stopMin at 44100 and desynchronizes the master table from every
+    # conformant decoder (caught by the libavcodec oracle)
     f = 3000 if fs < 32000 else (4000 if fs < 64000 else 5000)
-    return int(2 * round(f * 64.0 / fs))  # even-rounded per spec
+    return (f * 128 + fs // 2) // fs
 
 
 def _stop_min(fs: int) -> int:
-    return int(2 * round(64.0 * 10000 / fs)) if fs < 64000 else 16
+    return min(64, (10000 * 128 + fs // 2) // fs)
 
 
 def _offset_row(fs: int) -> int:

@@ -26,6 +26,8 @@ k-1, with a silent frame seeding the pipeline.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 from nrsc5_tpu.audio import aac_core as A
@@ -34,6 +36,33 @@ from nrsc5_tpu.audio.bitio import BitWriter
 from nrsc5_tpu.audio.hdc_decoder import (ID_FIL, LEN_SE_ID, SF_HUFF,
                                          SPEC_HUFF, IcsInfo, TnsInfo,
                                          _apply_tns)
+
+
+@dataclass
+class _ChPlan:
+    """One channel's fully-quantized frame (serializer input)."""
+    cbs: np.ndarray          # [max_sfb] codebook per band
+    sfs: np.ndarray          # [max_sfb] scalefactor / position / energy
+    quants: list             # per-band quantized coefficients
+    global_gain: int
+    tns_idxs: list | None    # 4-bit TNS reflection-coef indices, or None
+
+
+@dataclass
+class _FramePlan:
+    """Container-independent encoded frame: everything both the HDC and
+    the standard-AAC (ADTS) serializers need.  Separating the plan from
+    the bit writing lets the external-oracle tests emit the SAME spectral
+    content as a standard AAC-LC / HE-AAC stream for libavcodec."""
+    seq: int
+    max_sfb: int
+    use_ms: bool
+    chans: list              # [_ChPlan] per channel
+    env_rows: list | None    # SBR envelope rows per channel (None: no SBR)
+
+    @property
+    def short(self) -> bool:
+        return self.seq == A.EIGHT_SHORT
 
 # smallest codebook fully covering a given max |q| (unsigned books need
 # sign bits; the signed 4-dim book 2 wins at LAV 1)
@@ -100,8 +129,14 @@ class HDCEncoder:
         if sbr:
             from nrsc5_tpu.audio.sbr import (QMFAnalysis64, SbrHeader,
                                              derive_tables)
-            # crossover ≈5.9 kHz, stop ≈15.5 kHz (kx=17, k2=45)
-            self._sbr_hdr = SbrHeader(start_freq=8, stop_freq=7)
+            # crossover ≈6.5 kHz (kx=19), stop ≈15 kHz.  amp_res=0 and
+            # xover_band=2 keep every field of this header in the
+            # regime where our table derivation and libavcodec's agree
+            # band-for-band (test_hdc_external_oracle) — ffmpeg's
+            # master-table rounding departs from ours for some other
+            # start/stop combinations.
+            self._sbr_hdr = SbrHeader(start_freq=8, stop_freq=7,
+                                      amp_res=0, xover_band=2)
             self._sbr_ft = derive_tables(self._sbr_hdr)
             self._qmf64 = [QMFAnalysis64() for _ in range(channels)]
             self._in_delay = [np.zeros(self._CODEC_DELAY)
@@ -160,11 +195,32 @@ class HDCEncoder:
             cores.append(np.convolve(x, self.h, mode="valid")[::2])
         transient = self._detect_transient(sum(cores) / self.channels)
 
-        packet = self._encode_pending(next_transient=transient)
+        plan = self._plan_pending(next_transient=transient)
         self._pending = {"core": cores, "pcm": pcm, "transient": transient}
-        return packet
+        return self._write_hdc(plan)
 
-    def _encode_pending(self, next_transient: bool) -> bytes:
+    def encode_frame_dual(self, pcm: np.ndarray) -> tuple[bytes, bytes]:
+        """Like encode_frame, but also serializes the identical frame plan
+        as one standard AAC-LC / HE-AAC ADTS frame (for cross-validation
+        against an independent decoder such as libavcodec — the spectral
+        content, scalefactors, codebooks, TNS filters, M/S-IS decisions
+        and SBR envelopes are bit-for-bit the same decisions)."""
+        pcm = np.asarray(pcm, np.float64)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        assert pcm.shape == (2 * A.FRAME_LEN, self.channels)
+        pcm = pcm * 32768.0
+        cores = []
+        for ch in range(self.channels):
+            x = np.concatenate([self._dec_state[ch], pcm[:, ch]])
+            self._dec_state[ch] = x[-(len(self.h) - 1):]
+            cores.append(np.convolve(x, self.h, mode="valid")[::2])
+        transient = self._detect_transient(sum(cores) / self.channels)
+        plan = self._plan_pending(next_transient=transient)
+        self._pending = {"core": cores, "pcm": pcm, "transient": transient}
+        return self._write_hdc(plan), self._write_adts(plan)
+
+    def _plan_pending(self, next_transient: bool) -> _FramePlan:
         """Encode the pending (lookahead-delayed) frame; the window
         sequence must splice onto prev's right slope and, if the NEXT
         frame is short, end with a short right slope (ISO 14496-3
@@ -182,8 +238,6 @@ class HDCEncoder:
         self.seq_counts[seq] += 1
         short = seq == A.EIGHT_SHORT
 
-        bw = BitWriter()
-        bw.write(2 if self.channels == 2 else 0, LEN_SE_ID)  # block type
         specs = []
         for ch in range(self.channels):
             core = pend["core"][ch]
@@ -200,16 +254,7 @@ class HDCEncoder:
             specs.append(spec)
         self._prev_seq = seq
 
-        # shared compact ics header (hdc_data_frame)
         max_sfb = self._max_sfb_short if short else self._max_sfb
-        bw.write(0, 1)              # ics_reserved_bit
-        bw.write(0, 1)              # window_shape: sine
-        bw.write(seq, 2)            # window_sequence
-        if short:
-            bw.write(max_sfb, 4)
-            bw.write(0x7F, 7)       # grouping: one group of 8 windows
-        else:
-            bw.write(max_sfb, 6)
         # TNS (long windows; HDC's implicit n_filt=1): an order-4 LPC
         # along the coded spectrum whitens compact temporal envelopes.
         # It MUST run on the L/R spectra BEFORE the M/S transform: the
@@ -245,7 +290,6 @@ class HDCEncoder:
             if use_ms:
                 specs = [mid, side]
                 self.ms_frames += 1
-            bw.write(2 if use_ms else 0, 2)  # ms_mask_present
 
         # intensity stereo: correlated upper bands of the right channel
         # transmit only a position (scale exponent) relative to the left
@@ -277,51 +321,161 @@ class HDCEncoder:
             if not is_map:
                 is_map = None
 
+        chans = []
         for ch in range(self.channels):
-            if tns_idxs[ch] is None:
+            # no PNS inside M/S frames: the decoder skips the M/S
+            # butterfly for any band where either channel is NOISE_HCB
+            # (hdc_decoder._apply_ms_is), which would leave that band's
+            # L/R as raw mid/side noise instead of the reconstruction
+            chp = self._plan_channel(specs[ch], max_sfb, short,
+                                     is_map if ch == 1 else None,
+                                     allow_pns=not use_ms)
+            chp.tns_idxs = tns_idxs[ch]
+            chans.append(chp)
+        env_rows = self._plan_sbr(pend["pcm"]) if self.sbr else None
+        return _FramePlan(seq=seq, max_sfb=max_sfb, use_ms=use_ms,
+                          chans=chans, env_rows=env_rows)
+
+    # ------------------------------------------------------------------
+    # serializers: HDC packet / standard AAC ADTS frame
+    # ------------------------------------------------------------------
+    def _write_hdc(self, plan: _FramePlan) -> bytes:
+        """Serialize a frame plan in HDC packet syntax (the bitstream of
+        support/faad2-hdc-support.patch hdc_data_block)."""
+        short = plan.short
+        bw = BitWriter()
+        bw.write(2 if self.channels == 2 else 0, LEN_SE_ID)  # block type
+        # shared compact ics header (hdc_data_frame)
+        bw.write(0, 1)              # ics_reserved_bit
+        bw.write(0, 1)              # window_shape: sine
+        bw.write(plan.seq, 2)       # window_sequence
+        if short:
+            bw.write(plan.max_sfb, 4)
+            bw.write(0x7F, 7)       # grouping: one group of 8 windows
+        else:
+            bw.write(plan.max_sfb, 6)
+        if self.channels == 2:
+            bw.write(2 if plan.use_ms else 0, 2)  # ms_mask_present
+        for chp in plan.chans:
+            if chp.tns_idxs is None:
                 bw.write(0, 1)      # tns_data_present
                 continue
             bw.write(1, 1)          # tns_data_present
             # long window: n_filt implicit (patch:920-929)
             bw.write(1, 1)          # coef_res = 1 (4-bit coefficients)
             bw.write(A.num_swb(False), 6)  # length: whole coded spectrum
-            bw.write(len(tns_idxs[ch]), 5)  # order
+            bw.write(len(chp.tns_idxs), 5)  # order
             bw.write(0, 1)          # direction: forward
             bw.write(0, 1)          # compress: none
-            for c in tns_idxs[ch]:
+            for c in chp.tns_idxs:
                 bw.write(int(c), 4)
-        for ch in range(self.channels):
-            # no PNS inside M/S frames: the decoder skips the M/S
-            # butterfly for any band where either channel is NOISE_HCB
-            # (hdc_decoder._apply_ms_is), which would leave that band's
-            # L/R as raw mid/side noise instead of the reconstruction
-            self._encode_channel(bw, specs[ch], max_sfb, short,
-                                 is_map if ch == 1 else None,
-                                 allow_pns=not use_ms)
-        if self.sbr:
-            self._encode_sbr(bw, pend["pcm"])
+        for chp in plan.chans:
+            self._write_channel(bw, chp, plan.max_sfb, short)
+        if plan.env_rows is not None:
+            bw.write(ID_FIL, LEN_SE_ID)
+            bw.write(1, 1)          # SBR present (patch:826-830)
+            self._write_sbr_body(bw, plan.env_rows, hdc=True)
         return bw.getvalue()
 
+    def _write_adts(self, plan: _FramePlan) -> bytes:
+        """Serialize the same frame plan as one standard ISO 14496-3
+        AAC-LC raw_data_block in an ADTS frame (HE-AAC via the implicit
+        SBR fill element when the plan carries envelopes), so an
+        independent decoder (libavcodec) can decode identical spectral
+        content — the external PCM oracle for the clean-room codec."""
+        short = plan.short
+        stereo = self.channels == 2
+        bw = BitWriter()
+
+        def ics_info():
+            # standard ics_info field order (reserved, SEQUENCE, shape —
+            # HDC swaps shape/sequence)
+            bw.write(0, 1)          # ics_reserved_bit
+            bw.write(plan.seq, 2)   # window_sequence
+            bw.write(0, 1)          # window_shape: sine
+            if short:
+                bw.write(plan.max_sfb, 4)
+                bw.write(0x7F, 7)   # grouping
+            else:
+                bw.write(plan.max_sfb, 6)
+                bw.write(0, 1)      # predictor_data_present (LC: none)
+
+        if stereo:
+            bw.write(1, 3)          # id_syn_ele: CPE
+            bw.write(0, 4)          # element_instance_tag
+            bw.write(1, 1)          # common_window
+            ics_info()
+            bw.write(2 if plan.use_ms else 0, 2)  # ms_mask_present
+        else:
+            bw.write(0, 3)          # id_syn_ele: SCE
+            bw.write(0, 4)
+        for chp in plan.chans:
+            bw.write(chp.global_gain, 8)
+            if not stereo:
+                ics_info()          # SCE: ics_info inside the ics
+            self._write_sections(bw, chp, plan.max_sfb, short)
+            self._write_scalefactors(bw, chp, plan.max_sfb)
+            bw.write(0, 1)          # pulse_data_present
+            if chp.tns_idxs is None:
+                bw.write(0, 1)      # tns_data_present
+            else:
+                bw.write(1, 1)
+                bw.write(1, 2)      # n_filt (explicit in standard AAC)
+                bw.write(1, 1)      # coef_res = 1
+                bw.write(A.num_swb(False), 6)
+                bw.write(len(chp.tns_idxs), 5)
+                bw.write(0, 1)      # direction
+                bw.write(0, 1)      # compress
+                for c in chp.tns_idxs:
+                    bw.write(int(c), 4)
+            bw.write(0, 1)          # gain_control_data_present
+            self._write_spectral(bw, chp, plan.max_sfb)
+        if plan.env_rows is not None:
+            # FIL element carrying extension_payload(EXT_SBR_DATA)
+            sbr = BitWriter()
+            sbr.write(13, 4)        # extension_type: EXT_SBR_DATA
+            self._write_sbr_body(sbr, plan.env_rows, hdc=False)
+            cnt = (sbr.bit_length() + 7) // 8
+            bw.write(ID_FIL, LEN_SE_ID)
+            if cnt >= 15:
+                bw.write(15, 4)
+                bw.write(cnt - 15 + 1, 8)   # esc_count
+            else:
+                bw.write(cnt, 4)
+            payload = sbr.getvalue()
+            for byte in payload:
+                bw.write(byte, 8)
+            for _ in range(cnt - len(payload)):
+                bw.write(0, 8)
+        bw.write(7, 3)              # id_syn_ele: END
+        raw = bw.getvalue()
+        # ADTS fixed+variable header (no CRC): MPEG-4, AAC-LC, 22050 Hz
+        hdr = BitWriter()
+        hdr.write(0xFFF, 12)        # syncword
+        hdr.write(0, 1)             # ID: MPEG-4
+        hdr.write(0, 2)             # layer
+        hdr.write(1, 1)             # protection_absent
+        hdr.write(1, 2)             # profile: AAC-LC (object type 2 - 1)
+        hdr.write(A.SF_INDEX_22050, 4)
+        hdr.write(0, 1)             # private
+        hdr.write(self.channels, 3)  # channel_configuration
+        hdr.write(0, 1)             # original/copy
+        hdr.write(0, 1)             # home
+        hdr.write(0, 1)             # copyright_identification_bit
+        hdr.write(0, 1)             # copyright_identification_start
+        hdr.write(7 + len(raw), 13)  # aac_frame_length incl. header
+        hdr.write(0x7FF, 11)        # adts_buffer_fullness: VBR
+        hdr.write(0, 2)             # number_of_raw_data_blocks_in_frame
+        return hdr.getvalue() + raw
+
     # ------------------------------------------------------------------
-    def _encode_sbr(self, bw: BitWriter, pcm: np.ndarray):
-        """SBR fill element: header + FIXFIX 1-envelope data per channel.
+    def _plan_sbr(self, pcm: np.ndarray) -> list:
+        """Measure SBR FIXFIX 1-envelope rows per channel.
 
         Envelope energies are measured from the (delay-aligned) input
         through the 64-band analysis bank, so the decoder's HF adjustment
         reproduces the source's high-band spectral envelope."""
         ft = self._sbr_ft
-        bw.write(ID_FIL, LEN_SE_ID)
-        bw.write(1, 1)              # SBR present (patch:826-830)
-        bw.write(1, 1)              # bs_header_flag: every packet
-        h = self._sbr_hdr
-        bw.write(h.amp_res, 1)
-        bw.write(h.start_freq, 4)
-        bw.write(h.stop_freq, 4)
-        bw.write(h.xover_band, 3)
-        bw.write(0, 2)              # reserved
-        bw.write(0, 1)              # header_extra_1 (defaults)
-        bw.write(0, 1)              # header_extra_2 (defaults)
-
         env_rows = []
         for ch in range(self.channels):
             buf = np.concatenate([self._in_delay[ch], pcm[:, ch]])
@@ -335,6 +489,25 @@ class HDCEncoder:
                 row[b] = int(np.clip(round(2.0 * np.log2(max(e, 1e-9)
                                                          / 64.0)), 0, 127))
             env_rows.append(row)
+        return env_rows
+
+    def _write_sbr_body(self, bw: BitWriter, env_rows: list, hdc: bool):
+        """sbr_header + sbr_data (FIXFIX, 1 envelope, per channel).
+
+        The payload syntax is shared between HDC's fill element
+        (patch: hdc_sbr_data_block) and standard sbr_extension_data —
+        the only in-body divergence is one HDC extra bit in the mono
+        path (patch:577-582)."""
+        ft = self._sbr_ft
+        bw.write(1, 1)              # bs_header_flag: every packet
+        h = self._sbr_hdr
+        bw.write(h.amp_res, 1)
+        bw.write(h.start_freq, 4)
+        bw.write(h.stop_freq, 4)
+        bw.write(h.xover_band, 3)
+        bw.write(0, 2)              # reserved
+        bw.write(0, 1)              # header_extra_1 (defaults)
+        bw.write(0, 1)              # header_extra_2 (defaults)
 
         if self.channels == 2:
             bw.write(0, 1)          # bs_data_extra
@@ -356,7 +529,8 @@ class HDCEncoder:
             bw.write(0, 1)          # bs_extended_data
         else:
             bw.write(0, 1)          # bs_data_extra
-            bw.write(0, 1)          # HDC extra bit (patch:577-582)
+            if hdc:
+                bw.write(0, 1)      # HDC extra bit (patch:577-582)
             self._write_grid(bw)
             bw.write(0, 1)          # df_env
             bw.write(0, 1)          # df_noise
@@ -378,7 +552,13 @@ class HDCEncoder:
         bw.write(int(np.clip(row[0], 0, 127)), 7)  # amp_res 0 start
         prev = int(row[0])
         for b in range(1, len(row)):
-            delta = int(np.clip(int(row[b]) - prev, -60, 60))
+            # +-28, not the table's +-60: all f_huffman_env_1.5dB codes
+            # for |delta| <= 28 are <= 18 bits, the VLC depth real
+            # decoders resolve (ffmpeg get_vlc2 max_depth=2 = 9x2 bits;
+            # codes further out run 19-20 bits and are undecodable
+            # there) — a 28-step = 42 dB band-to-band swing loses
+            # nothing in practice
+            delta = int(np.clip(int(row[b]) - prev, -28, 28))
             HUFF_ENV15_F.encode(bw, delta + 60)
             prev += delta
 
@@ -417,16 +597,18 @@ class HDCEncoder:
         if r[0] / e < min_gain:
             return None
         # quantize reflection coefficients to the decoder's (coef_res=1,
-        # compress=0) table; the decoder rebuilds the identical predictor
+        # compress=0) table; the decoder rebuilds the identical predictor.
+        # The libavcodec-extracted table is negated vs the faad/ISO
+        # convention (_tns_lpc negates on read), so quantize -k
         tab = np.asarray(TBL.TNS_TMP2_MAP_0_4, np.float64)
-        idxs = [int(np.argmin(np.abs(tab - k))) for k in ks]
+        idxs = [int(np.argmin(np.abs(tab + k))) for k in ks]
         if all(abs(tab[i]) < 1e-9 for i in idxs):
             return None
         return idxs
 
-    def _encode_channel(self, bw: BitWriter, spec: np.ndarray, max_sfb: int,
-                        short: bool = False, is_map: dict | None = None,
-                        allow_pns: bool = True):
+    def _plan_channel(self, spec: np.ndarray, max_sfb: int,
+                      short: bool = False, is_map: dict | None = None,
+                      allow_pns: bool = True) -> _ChPlan:
         offs = A.swb_offsets(short)
         # EIGHT_SHORT uses one group of all 8 windows: each sfb's band is
         # the window-major concatenation (decoder scatter:
@@ -449,12 +631,13 @@ class HDCEncoder:
             if peak < 1e-6 or peak < frame_peak * self.floor:
                 # below the coding floor: substitute noise at the measured
                 # band energy (PNS, long windows) instead of silence —
-                # decoder fills with 2^(nrg/4)-RMS noise
-                # (hdc_decoder._apply_scalefactors NOISE_HCB branch)
-                rms = float(np.sqrt((band.astype(np.float64) ** 2).mean()))
-                if self.pns and allow_pns and not short and rms > 1e-3:
+                # decoder fills noise with TOTAL band energy 2^(nrg/2)
+                # (ISO/faad convention; hdc_decoder NOISE_HCB branch)
+                etot = float((band.astype(np.float64) ** 2).sum())
+                if self.pns and allow_pns and not short and \
+                        etot > 1e-6 * len(band):
                     cbs[b] = A.NOISE_HCB
-                    sfs[b] = int(np.clip(round(4 * np.log2(rms)),
+                    sfs[b] = int(np.clip(round(2 * np.log2(etot)),
                                          -100, 155))
                     self.pns_bands += 1
                 quants.append(np.zeros(len(band), np.int64))
@@ -489,9 +672,23 @@ class HDCEncoder:
         first = next((b for b in range(max_sfb)
                       if cbs[b] and cbs[b] < A.NOISE_HCB), None)
         global_gain = int(sfs[first]) if first is not None else 100
-        bw.write(global_gain, 8)
+        return _ChPlan(cbs=cbs, sfs=sfs, quants=quants,
+                       global_gain=global_gain, tns_idxs=None)
 
+    def _write_channel(self, bw: BitWriter, chp: _ChPlan, max_sfb: int,
+                       short: bool):
+        """HDC per-channel side info + spectral data (side_info with
+        scal_flag=1: global gain + sections + scalefactors)."""
+        bw.write(chp.global_gain, 8)
+        self._write_sections(bw, chp, max_sfb, short)
+        self._write_scalefactors(bw, chp, max_sfb)
+        self._write_spectral(bw, chp, max_sfb)
+
+    @staticmethod
+    def _write_sections(bw: BitWriter, chp: _ChPlan, max_sfb: int,
+                        short: bool):
         # section data: runs of equal codebook (3/5-bit lengths with esc)
+        cbs = chp.cbs
         sect_bits = 3 if short else 5
         esc = (1 << sect_bits) - 1
         b = 0
@@ -507,11 +704,14 @@ class HDCEncoder:
             bw.write(r, sect_bits)
             b += run
 
+    @staticmethod
+    def _write_scalefactors(bw: BitWriter, chp: _ChPlan, max_sfb: int):
         # scalefactors: huffman dpcm from global_gain; noise bands ride
         # their own chain (first: 9-bit PCM, then SF_HUFF deltas —
         # hdc_decoder._parse_scale_factors NOISE_HCB branch)
-        prev = global_gain
-        noise_prev, noise_pcm = global_gain - 90, True
+        cbs, sfs = chp.cbs, chp.sfs
+        prev = chp.global_gain
+        noise_prev, noise_pcm = chp.global_gain - 90, True
         is_prev = 0  # intensity-position chain seeds at 0
         for b in range(max_sfb):
             cb = int(cbs[b])
@@ -538,7 +738,9 @@ class HDCEncoder:
             SF_HUFF.encode(bw, int(sfs[b]) - prev + A.SF_CENTER)
             prev = int(sfs[b])
 
+    def _write_spectral(self, bw: BitWriter, chp: _ChPlan, max_sfb: int):
         # spectral data (noise bands carry none)
+        cbs, quants = chp.cbs, chp.quants
         for b in range(max_sfb):
             cb = int(cbs[b])
             if cb == 0 or cb >= A.NOISE_HCB:
