@@ -594,6 +594,81 @@ def run_bench_serve(args) -> dict:
     }
 
 
+def run_bench_audio(args) -> dict:
+    """Batched device HDC->PCM decode rate (audio/batch.py): the
+    filterbank + full SBR reconstruction for STATIONS programs runs as
+    one jitted dispatch per K-packet batch; the host keeps only the
+    bitstream parse.  Gated on PCM agreement with the host decoder
+    (>= 55 dB on a steady-state program).  Reference analog: one FAAD2
+    instance per subscribed program on the host CPU
+    (src/output.c:126-163; host numpy path: 4.3 ms/packet/core)."""
+    jax = _bench_setup()
+
+    from nrsc5_tpu.audio.batch import BatchedAudioDecoder
+    from nrsc5_tpu.audio.hdc_decoder import HDCDecoder
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind} mode=audio")
+    rng = np.random.default_rng(7)
+
+    P = args.stations
+    K = 8  # packets per program per dispatch (~0.37 s of audio)
+    fs = 44100
+    n = K * 2048
+    t = np.arange(n) / fs
+    streams = []
+    for p in range(P):
+        sig = (0.35 * np.sin(2 * np.pi * (240 + 31 * p) * t)
+               + 0.15 * np.sin(2 * np.pi * (2000 + 101 * p) * t)
+               + 0.05 * rng.standard_normal(n))
+        pcm = np.stack([sig, sig * 0.9], -1)
+        enc = HDCEncoder(channels=2, sbr=True, pns=False)
+        streams.append([enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+                        for k in range(K)])
+
+    bat = BatchedAudioDecoder(P)
+    t0 = time.time()
+    out0 = bat.decode(streams)  # compile + first run
+    log(f"# compile+first-run: {time.time() - t0:.1f}s")
+
+    reps = max(args.reps, 3)
+    t0 = time.time()
+    outs = None
+    for _ in range(reps):
+        outs = bat.decode(streams)
+    wall = time.time() - t0
+
+    # gate: host decoder fed the same (repeated) packet sequence for one
+    # program must agree with the LAST rep's output at steady state
+    host = HDCDecoder()
+    host_out = None
+    for _ in range(reps + 1):
+        host_out = np.concatenate(
+            [host.decode(pk).reshape(-1, 2) for pk in streams[0]])
+    a = host_out[2 * 2048:].astype(np.float64)
+    b = outs[0, 2 * 2048:].astype(np.float64)
+    snr = 10 * np.log10((a ** 2).sum()
+                        / max(((a - b) ** 2).sum(), 1e-30))
+    gate = snr >= 55.0
+    log(f"# decode gate: {'PASSED' if gate else 'FAILED'} "
+        f"({P} programs, SNR vs host decoder {snr:.1f} dB)")
+    if not gate:
+        raise SystemExit(f"audio decode gate failed: {snr:.1f} dB")
+
+    audio_seconds = P * K * reps * 2048.0 / fs
+    realtime = audio_seconds / wall
+    pkts = P * K * reps / wall
+    log(f"# stations={P} packets/dispatch={K} reps={reps} "
+        f"wall={wall:.3f}s packets/s={pkts:.0f}")
+    return {
+        "metric": "hdc_audio_decode_realtime_multiple_per_chip",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench(args) -> dict:
     if args.mode == "am":
         return run_bench_am(args)
@@ -607,6 +682,8 @@ def run_bench(args) -> dict:
         return run_bench_serve(args)
     if args.mode == "amcold":
         return run_bench_amcold(args)
+    if args.mode == "audio":
+        return run_bench_audio(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -745,7 +822,7 @@ def main():
                          "accelerators, 1 on the CPU fallback)")
     ap.add_argument("--mode",
                     choices=("fm", "am", "mp3", "coldstart", "e2e",
-                             "serve", "amcold"),
+                             "serve", "amcold", "audio"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
                          "additional gated rows; e2e = device chain + host "

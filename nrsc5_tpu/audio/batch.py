@@ -104,6 +104,22 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
+@functools.lru_cache(maxsize=None)
+def _long_window(seq: int, shape: int, prev: int) -> np.ndarray:
+    return A.build_window(seq, shape, prev).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _short_windows(shape: int, prev: int) -> np.ndarray:
+    wl = A.window(prev, A.SHORT_LEN)
+    wc = A.window(shape, A.SHORT_LEN)
+    out = np.empty((8, 256), np.float32)
+    for w in range(8):
+        out[w] = np.concatenate([wl[:128] if w == 0 else wc[:128],
+                                 wc[128:]])
+    return out
+
+
 # ----------------------------------------------------------------------
 # the jitted device stage
 # ----------------------------------------------------------------------
@@ -137,10 +153,12 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         BL = jnp.asarray(_imdct_long())        # [2048, 1024]
         BS = jnp.asarray(_imdct_short())       # [256, 128]
         long_buf = jnp.einsum("nkf,tf->nkt", spec, BL,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         long_buf = long_buf * inp["win_long"]  # [N, K, 2048]
         sh = jnp.einsum("nkwf,tf->nkwt", spec.reshape(N, K, 8, 128), BS,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         sh = sh * inp["win_short"]             # [N, K, 8, 256]
         short_buf = jnp.zeros_like(long_buf)
         for w in range(8):
@@ -161,7 +179,8 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         wins = ext[:, idx]                     # [N, S, 320]
         KA = jnp.asarray(_qmf_analysis_kernel())
         xl = jnp.einsum("nst,tk->nsk", wins, KA,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         xlr, xli = xl[..., :32], xl[..., 32:]  # [N, S, 32]
         new_qa_hist = ext[:, -288:]
 
@@ -245,7 +264,8 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         e2 = xhr * xhr + xhi * xhi             # [N, K, 32, m]
         cnt = env_seg.sum(axis=2)              # [N, K, MAXENV]
         e_curr = jnp.einsum("nkse,nksm->nkem", env_seg, e2,
-                            preferred_element_type=jnp.float32) \
+                            preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST) \
             / jnp.maximum(cnt, 1.0)[..., None]
 
         q_frac = q_orig / (1.0 + q_orig)
@@ -259,11 +279,14 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
                         jnp.sqrt(e_orig / (1.0 + q_orig)), 0.0)
 
         LS = jnp.asarray(lim_seg)              # [n_lim, m]
-        eo_sum = jnp.einsum("lm,nkem->nkel", LS, e_orig)
-        ec_sum = jnp.einsum("lm,nkem->nkel", LS, e_curr)
+        eo_sum = jnp.einsum("lm,nkem->nkel", LS, e_orig,
+                           precision=jax.lax.Precision.HIGHEST)
+        ec_sum = jnp.einsum("lm,nkem->nkel", LS, e_curr,
+                           precision=jax.lax.Precision.HIGHEST)
         g_max_l = jnp.minimum(
             lim_gain * jnp.sqrt((S.EPS + eo_sum) / (S.EPS + ec_sum)), 1e10)
-        g_max = jnp.einsum("lm,nkel->nkem", LS, g_max_l)
+        g_max = jnp.einsum("lm,nkel->nkem", LS, g_max_l,
+                           precision=jax.lax.Precision.HIGHEST)
         clipped = gain > g_max
         q_m = jnp.where(clipped, q_m * g_max / jnp.maximum(gain, S.EPS),
                         q_m)
@@ -271,17 +294,22 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         got = gain * gain * e_curr \
             + delta_e[..., None] * (q_m * q_m * (1.0 - s_mapped)) \
             + s_m * s_m
-        got_sum = jnp.einsum("lm,nkem->nkel", LS, got)
+        got_sum = jnp.einsum("lm,nkem->nkel", LS, got,
+                           precision=jax.lax.Precision.HIGHEST)
         boost_l = jnp.minimum(
             jnp.sqrt((S.EPS + eo_sum) / (S.EPS + got_sum)), S.MAX_BOOST)
-        boost = jnp.einsum("lm,nkel->nkem", LS, boost_l)
+        boost = jnp.einsum("lm,nkel->nkem", LS, boost_l,
+                           precision=jax.lax.Precision.HIGHEST)
         gain, q_m, s_m = gain * boost, q_m * boost, s_m * boost
 
         # expand per-envelope values to slots
-        gain_s = jnp.einsum("nkse,nkem->nksm", env_seg, gain)
+        gain_s = jnp.einsum("nkse,nkem->nksm", env_seg, gain,
+                           precision=jax.lax.Precision.HIGHEST)
         qm_s = jnp.einsum("nkse,nkem->nksm", env_seg,
-                          delta_e[..., None] * q_m * (1.0 - s_mapped))
-        sm_s = jnp.einsum("nkse,nkem->nksm", env_seg, s_m)
+                          delta_e[..., None] * q_m * (1.0 - s_mapped),
+                          precision=jax.lax.Precision.HIGHEST)
+        sm_s = jnp.einsum("nkse,nkem->nksm", env_seg, s_m,
+                          precision=jax.lax.Precision.HIGHEST)
         cover = env_seg.sum(axis=3)            # [N, K, NSLOT]
 
         # noise phasors from the running index (advances on covered slots)
@@ -313,9 +341,11 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         SMr, SMi = _synthesis_mod_ri()
         V = jnp.einsum("nksb,bt->nkst", Xr.reshape(N, K, NSLOT, 64),
                        jnp.asarray(SMr),
-                       preferred_element_type=jnp.float32) \
+                       preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST) \
             - jnp.einsum("nksb,bt->nkst", Xi, jnp.asarray(SMi),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         V = V.reshape(N, S_tot, 128)
         Vx = jnp.concatenate([state["syn_hist"], V], axis=1)
         cidx, W10 = _synthesis_taps()
@@ -369,6 +399,30 @@ class BatchedAudioDecoder:
                 "batched path supports bs_interpol_freq=1 headers only"
             self._ft = ft
             self._hdr = hdr
+            # static prep maps: band rows -> per-bin vectors as matmuls
+            m, kx = ft.m, ft.kx
+
+            def seg(bands, nb):
+                M = np.zeros((nb, m), np.float32)
+                for b in range(nb):
+                    M[b, int(bands[b]) - kx:int(bands[b + 1]) - kx] = 1.0
+                return M
+            self._b2b_high = seg(ft.f_high, ft.n_high)
+            self._b2b_low = seg(ft.f_low, ft.n_low)
+            self._b2b_noise = seg(ft.f_noise, ft.n_q)
+            # high-band center bins (sinusoid placement)
+            self._hb_lo = ft.f_high[:-1].astype(int) - kx
+            self._hb_hi = ft.f_high[1:].astype(int) - kx
+            self._hb_mid = (self._hb_lo + self._hb_hi) // 2
+            # per-patch-target chirp noise-band index
+            nb_t = np.zeros(m, np.int64)
+            for (t, src0, length) in ft.patches:
+                for q in range(length):
+                    tgt = t + q - kx
+                    if 0 <= tgt < m:
+                        nb_t[tgt] = min(max(int(np.searchsorted(
+                            ft.f_noise, t + q, "right") - 1), 0), 4)
+            self._nb_of_tgt = nb_t
             dev_fn = _make_device_fn(
                 ft, S.LIM_GAINS[hdr.limiter_gains],
                 interpol=bool(hdr.interpol_freq))
@@ -384,10 +438,12 @@ class BatchedAudioDecoder:
                 "syn_hist": z(N, 9, 128),
                 "tail_r": z(N, 2, 32), "tail_i": z(N, 2, 32)}
 
-    # ------------------------------------------------------------------
+    _BW_TAB = np.array([0.0, 0.75, 0.9, 0.98])
+
     def _prep_sbr(self, lane: int, d: S.SbrData | None, ft, out, k):
         """Fill one lane-packet's SBR arrays from parsed data (mirrors
-        sbr.SBRDecoder.process bookkeeping on the host side)."""
+        sbr.SBRDecoder.process bookkeeping on the host side; fully
+        vectorized — this runs per packet on the serving path)."""
         m = ft.m
         if d is None:
             # no SBR payload: HF stays zero, low band keeps 32 bands
@@ -396,58 +452,48 @@ class BatchedAudioDecoder:
             return
         out["nlow"][lane, k, :min(ft.kx, 32)] = 1.0
         # chirp smoothing (host-carried)
-        new_bw = np.array([(0.0, 0.75, 0.9, 0.98)[mo] for mo in
-                           d.invf_mode])
+        new_bw = self._BW_TAB[np.asarray(d.invf_mode, np.int64)]
         prev = self._bw[lane, :len(new_bw)]
         bw = np.where(new_bw < prev, 0.75 * new_bw + 0.25 * prev,
                       0.90625 * new_bw + 0.09375 * prev)
         bw = np.where(bw < 0.015625, 0.0, bw)
         self._bw[lane] = 0.0
         self._bw[lane, :len(bw)] = bw
-        # per-target chirp (patch target's noise band)
-        for (t, src0, length) in ft.patches:
-            for q in range(length):
-                tgt = t + q - ft.kx
-                if 0 <= tgt < m:
-                    nb = int(np.searchsorted(ft.f_noise, t + q,
-                                             "right") - 1)
-                    out["bwj"][lane, k, tgt] = \
-                        bw[min(max(nb, 0), len(bw) - 1)]
+        bw5 = self._bw[lane]
+        out["bwj"][lane, k] = bw5[self._nb_of_tgt]
         prev_h = self._prev_harm[lane]
         if prev_h is None or len(prev_h) != ft.n_high:
             prev_h = np.zeros(ft.n_high, bool)
+        harm = (np.asarray(d.add_harmonic, bool)
+                if d.add_harmonic is not None
+                else np.zeros(ft.n_high, bool))
+        ni = int(self._noise_index[lane])
         for e in range(d.n_env):
             lo = max(d.t_e[e] * S.RATE, 0)
             hi = min(d.t_e[e + 1] * S.RATE, NSLOT)
             if hi <= lo:
                 continue
             out["env_seg"][lane, k, lo:hi, e] = 1.0
-            row = d.env_lin[e]
-            bands = ft.f_high if d.freq_res[e] else ft.f_low
-            for b in range(len(bands) - 1):
-                out["e_orig"][lane, k, e, int(bands[b]) - ft.kx:
-                              int(bands[b + 1]) - ft.kx] = row[b]
+            b2b = self._b2b_high if d.freq_res[e] else self._b2b_low
+            out["e_orig"][lane, k, e] = \
+                np.asarray(d.env_lin[e], np.float32) @ b2b
             qe = 0 if d.n_noise_env == 1 or d.t_e[e] < d.t_q[1] else 1
-            for b in range(ft.n_q):
-                out["q_orig"][lane, k, e, int(ft.f_noise[b]) - ft.kx:
-                              int(ft.f_noise[b + 1]) - ft.kx] = \
-                    d.noise_lin[qe][b]
+            out["q_orig"][lane, k, e] = \
+                np.asarray(d.noise_lin[qe], np.float32) @ self._b2b_noise
             out["delta_e"][lane, k, e] = 0.0 if e == d.la else 1.0
-            if d.add_harmonic is not None:
-                for b in range(ft.n_high):
-                    if d.add_harmonic[b] and (e >= d.la or prev_h[b]):
-                        blo = int(ft.f_high[b]) - ft.kx
-                        bhi = int(ft.f_high[b + 1]) - ft.kx
-                        out["s_mapped"][lane, k, e, blo:bhi] = 1.0
-                        out["s_bins"][lane, k, e, (blo + bhi) // 2] = 1.0
+            if harm.any():
+                act = harm & ((e >= d.la) | prev_h)
+                if act.any():
+                    out["s_mapped"][lane, k, e] = \
+                        act.astype(np.float32) @ self._b2b_high
+                    out["s_bins"][lane, k, e, self._hb_mid[act]] = 1.0
             # noise index advance for covered slots
-            for sl in range(lo, hi):
-                out["noise_start"][lane, k, sl] = self._noise_index[lane]
-                self._noise_index[lane] = \
-                    (self._noise_index[lane] + m) & 0x7FFFFFFF
-        self._prev_harm[lane] = (
-            np.asarray(d.add_harmonic, bool) if d.add_harmonic is not None
-            else np.zeros(ft.n_high, bool))
+            ns = hi - lo
+            out["noise_start"][lane, k, lo:hi] = \
+                (ni + m * np.arange(ns)) & 0x7FFFFFFF
+            ni = (ni + m * ns) & 0x7FFFFFFF
+        self._noise_index[lane] = ni
+        self._prev_harm[lane] = harm
 
     # ------------------------------------------------------------------
     def decode(self, packets: list[list[bytes]]) -> np.ndarray:
@@ -510,16 +556,11 @@ class BatchedAudioDecoder:
                     inp["spec"][lane, k] = spec
                     if seq == A.EIGHT_SHORT:
                         inp["short"][lane, k] = True
-                        wl = A.window(prev, A.SHORT_LEN)
-                        wc = A.window(shape, A.SHORT_LEN)
-                        for w in range(8):
-                            win = np.concatenate(
-                                [wl[:128] if w == 0 else wc[:128],
-                                 wc[128:]])
-                            inp["win_short"][lane, k, w] = win
+                        inp["win_short"][lane, k] = \
+                            _short_windows(shape, prev)
                     else:
                         inp["win_long"][lane, k] = \
-                            A.build_window(seq, shape, prev)
+                            _long_window(seq, shape, prev)
                     self._prev_shape[lane] = shape
                     dch = None
                     if sd is not None:

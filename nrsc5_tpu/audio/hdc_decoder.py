@@ -286,13 +286,21 @@ def _parse_spectral(br: BitReader, ics: IcsInfo) -> np.ndarray:
 # ----------------------------------------------------------------------
 def _apply_scalefactors(ics: IcsInfo, quant: np.ndarray,
                         rng: np.random.Generator) -> np.ndarray:
+    """Dequantize + PNS-fill a whole channel.
+
+    Vectorized over bins (one |q|^(4/3) and one 2^((sf-100)/4) pass):
+    the per-band loop was a serving-path hot spot (26k numpy calls per
+    16-station packet batch)."""
     offs = ics.swb_offset
     spec = np.zeros(A.FRAME_LEN, np.float32)
+    # per-bin scalefactor gain for regular codebooks
+    gain_bin = np.zeros(A.FRAME_LEN)
     win_base = 0
+    noise_bands = []  # (lo, width, nrg)
     for g in range(ics.num_window_groups):
         for b in range(ics.max_sfb):
             cb = int(ics.sfb_cb[g, b])
-            if cb in (A.INTENSITY_HCB, A.INTENSITY_HCB2):
+            if cb in (A.INTENSITY_HCB, A.INTENSITY_HCB2, A.ZERO_HCB):
                 continue
             width = int(offs[b + 1] - offs[b])
             for wi in range(ics.group_len[g]):
@@ -300,21 +308,25 @@ def _apply_scalefactors(ics: IcsInfo, quant: np.ndarray,
                 lo = (w * A.SHORT_LEN + int(offs[b])) if ics.short \
                     else int(offs[b])
                 if cb == A.NOISE_HCB:
-                    nrg = int(ics.scale_factors[g, b])
-                    noise = rng.standard_normal(width).astype(np.float32)
-                    # ISO/faad PNS scaling (faad2 pns.c gen_rand_vector):
-                    # the vector is normalized to UNIT TOTAL band energy
-                    # then scaled 2^(nrg/4) — per-bin-RMS normalization
-                    # is louder by sqrt(band width) (caught by the
-                    # libavcodec oracle, test_lc_pns_band_energy)
-                    etot = np.sqrt((noise * noise).sum()) or 1.0
-                    spec[lo:lo + width] = \
-                        noise / etot * 2.0 ** (0.25 * nrg)
-                elif cb != A.ZERO_HCB:
-                    sf = int(ics.scale_factors[g, b])
-                    spec[lo:lo + width] = A.dequant(
-                        quant[lo:lo + width], sf)
+                    noise_bands.append(
+                        (lo, width, int(ics.scale_factors[g, b])))
+                else:
+                    gain_bin[lo:lo + width] = 2.0 ** (
+                        0.25 * (int(ics.scale_factors[g, b])
+                                - A.SF_OFFSET))
         win_base += ics.group_len[g]
+    nz = gain_bin != 0.0
+    if nz.any():
+        q = quant[nz].astype(np.float64)
+        spec[nz] = (np.sign(q) * np.abs(q) ** (4.0 / 3.0)) * gain_bin[nz]
+    for (lo, width, nrg) in noise_bands:
+        # ISO/faad PNS scaling (faad2 pns.c gen_rand_vector): the vector
+        # is normalized to UNIT TOTAL band energy then scaled 2^(nrg/4)
+        # — per-bin-RMS normalization is louder by sqrt(band width)
+        # (caught by the libavcodec oracle, test_lc_pns_band_energy)
+        noise = rng.standard_normal(width).astype(np.float32)
+        etot = np.sqrt((noise * noise).sum()) or 1.0
+        spec[lo:lo + width] = noise / etot * 2.0 ** (0.25 * nrg)
     return spec
 
 
@@ -394,26 +406,16 @@ def _apply_tns(ics: IcsInfo, spec: np.ndarray, decode: bool = True):
                 continue
             a = _tns_lpc(coefs, ics.tns.coef_res[w], compress)
             base = w * size
-            idx = range(start, end) if not direction \
-                else range(end - 1, start - 1, -1)
-            inc = 1 if not direction else -1
             s = spec[base:base + size]
-            # decode: all-pole y[i] = x[i] - Σ a[j]·y[i−j] (in place, reads
-            # already-updated outputs); encode: the exact inverse is the
-            # all-zero x[i] = y[i] + Σ a[j]·y[i−j] over the ORIGINAL values
-            orig = None if decode else s.copy()
-            src = s if decode else orig
-            for i in idx:
-                acc = 0.0
-                for j in range(1, order + 1):
-                    k = i - inc * j
-                    if (inc == 1 and k < start) or (inc == -1 and k > end - 1):
-                        break
-                    acc += a[j] * src[k]
-                if decode:
-                    s[i] -= acc
-                else:
-                    s[i] += acc
+            seg = s[start:end] if not direction else s[start:end][::-1]
+            # decode: all-pole y[i] = x[i] - Σ a[j]·y[i−j]; encode: the
+            # exact inverse all-zero x[i] = y[i] + Σ a[j]·y[i−j] over the
+            # ORIGINAL values.  Zero initial state == the reference's
+            # break-at-boundary recursion.
+            from scipy.signal import lfilter
+            out = lfilter([1.0], a, seg) if decode \
+                else lfilter(a, [1.0], seg)
+            s[start:end] = out if not direction else out[::-1]
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Batched device audio decode (audio/batch.py) vs the host decoder.
+
+The device stage must be a drop-in numerical twin of hdc_decoder +
+sbr.SBRDecoder: same packets, same PCM (float32 arithmetic vs the
+host's float64 — bounds are SNR, not bit-equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from numpy.fft import irfft, rfft
+
+from nrsc5_tpu.audio.batch import BatchedAudioDecoder
+from nrsc5_tpu.audio.hdc_decoder import HDCDecoder
+from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+
+FS = 44100
+
+
+def _packets(n_frames, seed=3, sbr=True, channels=2, transients=False,
+             pns=False):
+    rng = np.random.default_rng(seed)
+    n = n_frames * 2048
+    t = np.arange(n) / FS
+    S2 = rfft(rng.standard_normal(n))
+    f = np.arange(len(S2)) * FS / n
+    sig = 0.4 * np.sin(2 * np.pi * (300 + 37 * seed) * t) + \
+        0.1 * irfft(np.where((f > 4000) & (f < 13000), S2, 0), n)
+    pcm = np.stack([sig, sig * 0.85], -1)[:, :channels] * 0.7
+    if transients:
+        for hit in range(2, n_frames, 3):
+            pcm[hit * 2048 + 400:hit * 2048 + 800] += \
+                rng.standard_normal((400, channels)) * 0.5
+    enc = HDCEncoder(channels=channels, sbr=sbr, pns=pns)
+    return [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(n_frames)]
+
+
+def _host_decode(pkts):
+    dec = HDCDecoder()
+    return np.concatenate(
+        [dec.decode(p).reshape(-1, 2) for p in pkts]).astype(np.float64)
+
+
+def _snr(a, b):
+    e = ((a - b) ** 2).sum()
+    return 10 * np.log10((a ** 2).sum() / max(e, 1e-30))
+
+
+def test_batch_matches_host_sbr():
+    P, K = 2, 8
+    all_pkts = [_packets(K, seed=3 + p) for p in range(P)]
+    bat = BatchedAudioDecoder(P)
+    out = bat.decode(all_pkts).astype(np.float64)
+    for p in range(P):
+        host = _host_decode(all_pkts[p])
+        # skip the first two (near-silent ramp-in) packets
+        assert _snr(host[2 * 2048:], out[p, 2 * 2048:]) > 60.0
+
+
+def test_batch_matches_host_core_only():
+    pkts = _packets(8, sbr=False)
+    bat = BatchedAudioDecoder(1)
+    out = bat.decode([pkts]).astype(np.float64)[0]
+    host = _host_decode(pkts)
+    assert _snr(host[2 * 2048:], out[2 * 2048:]) > 60.0
+
+
+def test_batch_short_windows_and_mono():
+    pkts = _packets(9, seed=5, channels=1, transients=True)
+    bat = BatchedAudioDecoder(1)
+    out = bat.decode([pkts]).astype(np.float64)[0]
+    host = _host_decode(pkts)
+    assert _snr(host[2 * 2048:], out[2 * 2048:]) > 55.0
+
+
+def test_batch_streaming_state_carry():
+    """Two K=4 calls must equal one K=8 call (carried state exactness)."""
+    pkts = _packets(8, seed=9)
+    one = BatchedAudioDecoder(1).decode([pkts]).astype(np.int64)[0]
+    bat = BatchedAudioDecoder(1)
+    two = np.concatenate([bat.decode([pkts[:4]])[0],
+                          bat.decode([pkts[4:]])[0]]).astype(np.int64)
+    assert np.abs(one - two).max() <= 1  # int16 rounding of f32 ties
+
+
+def test_batch_corrupt_packet_isolated():
+    P, K = 2, 6
+    good = [_packets(K, seed=11 + p) for p in range(P)]
+    bad = [list(g) for g in good]
+    pkt = bytearray(bad[0][3])
+    pkt[len(pkt) // 2] ^= 0xFF
+    bad[0][3] = bytes(pkt)
+    bat = BatchedAudioDecoder(P)
+    out = bat.decode(bad)
+    # program 1 untouched: must still match its host decode
+    host1 = _host_decode(good[1])
+    assert _snr(host1[2 * 2048:], out[1, 2 * 2048:].astype(np.float64)) \
+        > 60.0
+
+
+def test_batch_pns_no_crash():
+    rng = np.random.default_rng(2)
+    n = 6 * 2048
+    t = np.arange(n) / FS
+    pcm = (0.4 * np.sin(2 * np.pi * 500 * t)
+           + 0.002 * rng.standard_normal(n)).reshape(-1, 1)
+    pcm = np.repeat(pcm, 2, axis=1)
+    enc = HDCEncoder(channels=2, sbr=True, pns=True, floor_db=-40.0)
+    pkts = [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(6)]
+    out = BatchedAudioDecoder(1).decode([pkts])
+    assert out.shape == (1, 6 * 2048, 2)
+    assert np.abs(out[0, 4096:]).max() > 100  # non-silent
