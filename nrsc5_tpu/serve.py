@@ -164,21 +164,20 @@ class MultiStationReceiver:
 
     The serving chain is the steady-state (FINE-only) fast path, so a
     hole in a station's sample stream breaks its lock.  With
-    ``relock=True`` (default, FM) a per-station BER watchdog detects the
-    dead carrier (channel BER > 15% for 2 consecutive frames — the same
-    threshold as the session path's watchdog), emits LOST_SYNC, and
-    re-acquires that station via cold start on its queued samples (SYNC
-    on success) while the other stations keep decoding — the serving
-    analog of the session's NONE→COARSE→FINE machine (reference
-    src/input.c:172-188).  In extended service modes the relocked
-    station's PX frames are garbage for one interleaver cycle
-    (CRC-flagged).  AM relock is not automatic — watch for sustained
-    CRC-flagged HDC output and re-lock with
-    :func:`~nrsc5_tpu.pipeline.scan_chain_am_rc.cold_start_am_rc`.
-    (An AM watchdog would key on the K=9 Viterbi margin — measured ~4
-    on clean signal vs exactly 0 on noise/silence — but the 3-frame
-    diversity warm-up also reads 0, so it needs per-station warm-up
-    suppression; not built yet.)
+    ``relock=True`` (default) a per-station link watchdog detects the
+    dead carrier, emits LOST_SYNC, and re-acquires that station via
+    cold start on its queued samples (SYNC on success) while the other
+    stations keep decoding — the serving analog of the session's
+    NONE→COARSE→FINE machine (reference src/input.c:172-188).  FM keys
+    on channel BER > 15% or a vanished K=7 Viterbi margin for 2
+    consecutive frames (the session path's thresholds); AM keys on the
+    per-frame P3 K=9 margin (2 on a clean carrier, 0 on gap/noise),
+    with per-station diversity warm-up suppression so the 3 unprimed
+    frames after a (re)lock cannot re-trip it.  In extended FM service
+    modes the relocked station's PX frames are garbage for one
+    interleaver cycle (CRC-flagged); a relocked AM station re-arms its
+    3-frame diversity warm-up (reference am_diversity_wait,
+    src/decode.c:507-554).
 
     Cold start: for captures with unknown timing/CFO, lock each station
     with :func:`nrsc5_tpu.pipeline.scan_chain_rc.cold_start_rc` (FM) or
@@ -258,8 +257,9 @@ class MultiStationReceiver:
         self._packed = (jax.default_backend() != "cpu") if packed is None \
             else packed
         self._pending: list = []
-        # per-station BER watchdog -> cold-start re-acquisition (FM)
-        self._relock = relock and mode == "fm"
+        # per-station link watchdog -> cold-start re-acquisition
+        # (FM: BER + K=7 margin; AM: K=9 margin)
+        self._relock = relock
         self._bad_frames = [0] * n_stations
         self._relocking = [False] * n_stations
         self._pushed = [0] * n_stations  # lifetime samples pushed
@@ -329,8 +329,11 @@ class MultiStationReceiver:
                     lambda: bcast(scar.am_chain_rc_init_carry()))()
             nf, pk = self.n_frames, self._packed
             # diversity-delay warm-up frames carry no payload
-            # (reference: am_diversity_wait, src/decode.c:507-554)
-            self._am_skip = 3
+            # (reference: am_diversity_wait, src/decode.c:507-554);
+            # per-station so a mid-stream relock re-arms only its own
+            self._am_skip = [3] * n_stations
+            self._scar = scar
+            self._ma3 = ma3
 
             def _chain(s, c):
                 return scar.am_chain_batch_rc(ingest(s), c, nf, ma3, pk)
@@ -490,7 +493,10 @@ class MultiStationReceiver:
             self._bad_frames = [int(b)
                                 for b in np.asarray(state["bad_frames"])]
         if self.mode == "am":
-            self._am_skip = int(np.asarray(state["am_skip"]))
+            sk = np.atleast_1d(np.asarray(state["am_skip"]))
+            if sk.size == 1:  # pre-round-3 scalar snapshots
+                sk = np.full(self.n_stations, int(sk[0]))
+            self._am_skip = [int(v) for v in sk]
 
     def save(self, path: str):
         """Persist :meth:`checkpoint` to an ``.npz`` restorable in a
@@ -623,6 +629,56 @@ class MultiStationReceiver:
             self._relock_next[i] = 0  # probe as soon as samples allow
             self.transports[i]._emit(make(EventType.LOST_SYNC))
 
+    def _watch_am(self, i: int, margins, skip: int):
+        """AM link watchdog on the per-frame P3 K=9 Viterbi margin: a
+        clean carrier's hard-symbol metrics keep a margin of 2 (one
+        parity-flip quantum) through every chunk; gap/noise/silence
+        collapse it to 0.  (The P1 margin is useless here: its shorter
+        chunked subframes tie to exactly 0 even on clean signal.)
+        Reference analog: the bc-history loss of src/sync.c:649-666.
+        Diversity warm-up frames after a (re)lock are excluded — their
+        delayed bit planes are unprimed even on a clean carrier."""
+        if self._relocking[i]:
+            return
+        for f in range(skip, margins.shape[0]):
+            dead = float(margins[f]) < 0.5
+            self._bad_frames[i] = self._bad_frames[i] + 1 if dead else 0
+        if self._bad_frames[i] >= 2:
+            self._bad_frames[i] = 0
+            self._relocking[i] = True
+            self._relock_next[i] = 0
+            self.transports[i]._emit(make(EventType.LOST_SYNC))
+
+    def _try_relock_am(self, i: int):
+        """AM cold-start re-acquisition (MA1/MA3) of one station from
+        its queued samples.  AM locks are frame-aligned by construction
+        (the bc-history lock fires at bc=0) so there is no alignment
+        dispatch; the station's diversity warm-up re-arms instead."""
+        jax, jnp, scar = self._jax, self._jnp, self._scar
+        if self._pushed[i] < self._relock_next[i]:
+            return
+        need = self._overlap + self._rate * scar.am_buffer_len(3)
+        if self._sizes[i] < need:
+            return
+        buf = np.empty((need, 2), self._dtype)
+        self._fill(i, buf)
+        rc = self._ingest(jnp.asarray(buf))
+        lock = scar.cold_start_am_rc(rc)
+        if lock is None or bool(lock["ma3"]) != self._ma3:
+            self._relock_next[i] = self._pushed[i] + self._needed
+            excess = self._sizes[i] - (self._needed + need)
+            excess -= excess % self._rate
+            if excess > 0:
+                self._drop(i, excess)
+            return
+        self._carries = jax.tree.map(
+            lambda x, v: x.at[i].set(v), self._carries, lock["carry"])
+        self._drop(i, self._rate * int(lock["offset"]))
+        self._am_skip[i] = 3  # diversity delay re-primes from scratch
+        self._relocking[i] = False
+        self._watch_after[i] = self._seq
+        self.transports[i]._emit(make(EventType.SYNC, psmi=lock["psmi"]))
+
     def _try_relock(self, i: int):
         """Cold-start re-acquisition of one station from its queued
         samples (serving analog of the session's NONE→COARSE machine).
@@ -633,6 +689,8 @@ class MultiStationReceiver:
         stations or grow any queue; the probe retries at most once per
         dispatch (the stream has advanced a dispatch's worth by then)."""
         jax, jnp, rcc = self._jax, self._jnp, self._rcc
+        if self.mode == "am":
+            return self._try_relock_am(i)
         if self._pushed[i] < self._relock_next[i]:
             return  # cooldown: wait for fresh stream before re-probing
         need = self._overlap + self._rate * rcc.buffer_len(6)
@@ -688,6 +746,13 @@ class MultiStationReceiver:
             self._carries = carries._replace(
                 offset=carries.offset - carries.offset)
             for i in range(self.n_stations):
+                if self.mode == "am" and self._relocking[i]:
+                    # AM cold start needs a probe window wider than one
+                    # dispatch (the bc-history lock spans up to ~2
+                    # frames): keep the queue so it can accumulate —
+                    # the station redecodes its (garbage) head
+                    # meanwhile, and a failed probe trims the backlog
+                    continue
                 self._drop(i, self._rate * int(consumed[i]))
             self._pending.append((self._seq, out))
             self._seq += 1
@@ -701,12 +766,22 @@ class MultiStationReceiver:
         if self._packed:
             unpack_out(out)
         if self.mode == "am":
-            skip = min(self._am_skip, self.n_frames)
-            self._am_skip -= skip
             p1 = out["p1"].reshape(self.n_stations, self.n_frames, 8,
                                    C.P1_FRAME_LEN_AM)
+            margins = np.asarray(out["p3_margin"]).reshape(
+                self.n_stations, self.n_frames)
             for i, tr in enumerate(self.transports):
+                # outputs issued before a relock are pre-lock garbage
+                # (CRC-flagged downstream); they must not consume the
+                # diversity warm-up skip armed for the POST-lock frames
+                gated = seq >= self._watch_after[i]
+                skip = min(self._am_skip[i], self.n_frames) if gated \
+                    else self.n_frames
+                if gated:
+                    self._am_skip[i] -= skip
                 tr.consume_am(p1[i], out["p3"][i], out["pids"][i], skip)
+                if self._relock and gated:
+                    self._watch_am(i, margins[i], skip)
             return
         for key in ("px1", "px2"):
             if key in out:

@@ -800,3 +800,104 @@ def test_multistation_relock_never_locks(rng):
     kinds1 = [e.type for e in events[1]]
     assert EventType.LOST_SYNC in kinds1
     assert EventType.SYNC not in kinds1  # noise never relocks
+
+
+def _am_stream(rng, n_frames):
+    """Steady-state MA1 stream (frame-aligned lead-in) + HDC packets."""
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    packets = []
+    p1_frames = []
+    for f in range(n_frames):
+        sub = []
+        for b in range(8):
+            pkts = [rng.integers(0, 256, 100).astype(np.uint8).tobytes()
+                    for _ in range(4)]
+            packets.extend(pkts)
+            sub.append(build_p1_am_frame(pkts, 0, (f * 8 + b) % 8,
+                                         ((f * 8 + b) * 4) % 64))
+        p1_frames.append(np.stack(sub))
+    p3 = rng.integers(0, 2, (n_frames, C.P3_FRAME_LEN_MA1)) \
+        .astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1_frames[f]) for f in range(n_frames)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n_frames)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8))
+        for _ in range(n_frames * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1)
+                    for b in range(n_frames * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+    buf = np.zeros(len(sig) + C.FFTCP_AM, np.complex64)
+    buf[C.FFTCP_AM // 2:C.FFTCP_AM // 2 + len(sig)] = sig
+    return buf, packets
+
+
+def test_multistation_am_auto_relock(rng):
+    """AM twin of test_multistation_auto_relock: a mid-stream sample gap
+    kills the lock; the K=9-margin watchdog emits LOST_SYNC, AM
+    cold-start re-acquisition relocks (SYNC), the diversity warm-up
+    re-arms, and decode resumes bit-exact — while the other station
+    keeps decoding throughout (VERDICT r2 item 3; reference analog:
+    src/decode.c:507-554 am_diversity_wait + src/sync.c:649-666)."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    # budget after the gap: ~2 frames watchdog + ~2 in flight + 3 probe
+    # buffer + 3 diversity warm-up + >=2 decoded
+    good, good_packets = _am_stream(rng, 16)
+    pre, pre_packets = _am_stream(rng, 4)
+    post, post_packets = _am_stream(rng, 12)
+    gappy = np.concatenate([pre[:len(pre) - 7777], post])
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1, mode="am")
+    n = max(len(good), len(gappy))
+    for lo in range(0, n, 50000):
+        rx.push(0, good[lo:lo + 50000])
+        rx.push(1, gappy[lo:lo + 50000])
+    rx.flush()
+
+    hdc0 = {e.data for e in events[0]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc0 & {bytes(p) for p in good_packets}) >= 128
+    assert not any(e.type == EventType.LOST_SYNC for e in events[0])
+
+    kinds = [e.type for e in events[1]]
+    assert EventType.LOST_SYNC in kinds and EventType.SYNC in kinds
+    hdc1 = {e.data for e in events[1]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc1 & {bytes(p) for p in pre_packets}) >= 8
+    assert len(hdc1 & {bytes(p) for p in post_packets}) >= 8, \
+        len(hdc1 & {bytes(p) for p in post_packets})
+
+
+def test_multistation_am_relock_never_locks(rng):
+    """AM twin of test_multistation_relock_never_locks: a carrier that
+    never returns (noise) trips LOST_SYNC, never SYNCs, keeps its queue
+    hard-bounded, and does not stall the surviving station."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    good, good_packets = _am_stream(rng, 10)
+    pre, _ = _am_stream(rng, 4)
+    noise = (rng.normal(0, 0.05, (len(good), 2))).astype(np.float32)
+    bad = np.concatenate([
+        np.stack([pre.real, pre.imag], -1).astype(np.float32), noise])
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1, mode="am")
+    for lo in range(0, len(bad), 50000):
+        rx.push(0, good[lo:lo + 50000])
+        rx.push(1, bad[lo:lo + 50000])
+    assert rx._sizes[1] < rx._needed + 600000, rx._sizes
+    rx.flush()
+
+    hdc0 = {e.data for e in events[0]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc0 & {bytes(p) for p in good_packets}) >= 128
+    kinds1 = [e.type for e in events[1]]
+    assert EventType.LOST_SYNC in kinds1
+    assert EventType.SYNC not in kinds1
