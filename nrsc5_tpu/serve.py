@@ -550,6 +550,15 @@ class MultiStationReceiver:
         self.restore(state)
 
     # ------------------------------------------------------------------
+    def _fill_padded(self, station: int, out: np.ndarray):
+        """Copy whatever the queue holds (without consuming) and pad
+        the tail with neutral samples — input for a station riding the
+        batch with a frozen carry (its outputs are discarded)."""
+        have = min(self._sizes[station], len(out))
+        if have:
+            self._fill(station, out[:have])
+        out[have:] = 127 if self._cu8 else 0
+
     def _fill(self, station: int, out: np.ndarray):
         """Copy the first len(out) queued samples into ``out``."""
         n, pos = len(out), 0
@@ -724,7 +733,7 @@ class MultiStationReceiver:
         self.transports[i]._emit(make(EventType.SYNC, psmi=self.psmi))
 
     def _pump(self):
-        jnp = self._jnp
+        jax, jnp = self._jax, self._jnp
         for i, r in enumerate(self._relocking):
             if r:
                 self._try_relock(i)
@@ -732,20 +741,40 @@ class MultiStationReceiver:
             if a and self._sizes[i] >= self._overlap \
                     + self._rate * self._rcc.buffer_len(a):
                 self._align_station(i, a)
-        if any(self._align):
-            return  # a relocked station buffering its alignment samples
-        while min(self._sizes) >= self._needed:
+        while True:
+            # a station buffering its one-time alignment dispatch must
+            # not pause the fleet (head-of-line stall): it rides the
+            # batch with padded samples and a FROZEN carry (the
+            # alignment math needs the carry exactly at its lock
+            # point), and its outputs are discarded
+            waiting = frozenset(i for i, a in enumerate(self._align)
+                                if a)
+            ready = [self._sizes[i] for i in range(self.n_stations)
+                     if i not in waiting]
+            if not ready or min(ready) < self._needed:
+                break
             batch = np.empty((self.n_stations, self._needed, 2),
                              self._dtype)
             for i in range(self.n_stations):
-                self._fill(i, batch[i])
+                if i in waiting:
+                    self._fill_padded(i, batch[i])
+                else:
+                    self._fill(i, batch[i])
+            saved = {i: jax.tree.map(lambda x: x[i], self._carries)
+                     for i in waiting}
             out, carries = self._step(jnp.asarray(batch), self._carries)
             # only the consumed-sample counts come back to the host here;
             # the carried state feeds the next dispatch on-device
             consumed = np.asarray(carries.offset)
-            self._carries = carries._replace(
+            carries = carries._replace(
                 offset=carries.offset - carries.offset)
+            for i in waiting:
+                carries = jax.tree.map(
+                    lambda x, v: x.at[i].set(v), carries, saved[i])
+            self._carries = carries
             for i in range(self.n_stations):
+                if i in waiting:
+                    continue  # queue preserved for the alignment dispatch
                 if self.mode == "am" and self._relocking[i]:
                     # AM cold start needs a probe window wider than one
                     # dispatch (the bc-history lock spans up to ~2
@@ -754,12 +783,12 @@ class MultiStationReceiver:
                     # meanwhile, and a failed probe trims the backlog
                     continue
                 self._drop(i, self._rate * int(consumed[i]))
-            self._pending.append((self._seq, out))
+            self._pending.append((self._seq, out, waiting))
             self._seq += 1
             if len(self._pending) > self.depth:
                 self._consume(*self._pending.pop(0))
 
-    def _consume(self, seq, out):
+    def _consume(self, seq, out, skip_stations=frozenset()):
         from nrsc5_tpu.ops.bits import unpack_out
         out = {k: np.asarray(v) if not isinstance(v, dict) else v
                for k, v in out.items()}
@@ -771,6 +800,8 @@ class MultiStationReceiver:
             margins = np.asarray(out["p3_margin"]).reshape(
                 self.n_stations, self.n_frames)
             for i, tr in enumerate(self.transports):
+                if i in skip_stations:
+                    continue  # rode the batch with a frozen carry
                 # outputs issued before a relock are pre-lock garbage
                 # (CRC-flagged downstream); they must not consume the
                 # diversity warm-up skip armed for the POST-lock frames
@@ -789,6 +820,8 @@ class MultiStationReceiver:
         elb = np.asarray(out["diag"]["error_lb"])
         eub = np.asarray(out["diag"]["error_ub"])
         for i, tr in enumerate(self.transports):
+            if i in skip_stations:
+                continue  # rode the batch with a frozen carry
             px = {}
             for key in ("px1", "px2"):
                 if key not in out:
@@ -825,12 +858,13 @@ class RtlTcpFleet:
     """
 
     def __init__(self, addrs, frequencies, callback, gain_db=None,
-                 **rx_kwargs):
+                 stall_timeouts: int = 3, **rx_kwargs):
         import threading
 
         from nrsc5_tpu.io.rtltcp import RtlTcpClient
 
         assert len(addrs) == len(frequencies)
+        self._stall_timeouts = max(int(stall_timeouts), 1)
         rx_kwargs.setdefault("input_format", "cu8")
         assert rx_kwargs["input_format"] == "cu8", \
             "rtl_tcp delivers cu8; other wire formats make no sense here"
@@ -870,12 +904,20 @@ class RtlTcpFleet:
                 stalls = 0
             except TimeoutError:
                 # transient stall (server hiccup, network pause): the
-                # tuner is not dead — retry.  Three consecutive socket
-                # timeouts (~30 s of silence at the 10 s default) count
-                # as a broken connection.  read_some loses no partial
-                # bytes, so retrying preserves cu8 I/Q pair alignment.
+                # tuner is not dead — retry.  ``stall_timeouts``
+                # consecutive socket timeouts (default 3 ≈ 30 s at the
+                # 10 s socket default) count as a broken connection.
+                # read_some loses no partial bytes, so retrying
+                # preserves cu8 I/Q pair alignment.  Meanwhile pad THIS
+                # tuner's queue with silence so the min-queue-gated
+                # batched dispatch keeps firing for the live stations
+                # (advisor r2): when real samples resume, the inserted
+                # silence breaks this station's lock and the relock
+                # watchdog re-acquires it.
                 stalls += 1
-                if stalls < 3:
+                if stalls < self._stall_timeouts:
+                    with self._lock:
+                        self._pad_station(i)
                     continue
                 self._mark_dead(i)
                 break
@@ -903,21 +945,27 @@ class RtlTcpFleet:
             self.rx._watch_after[i] = float("inf")
         self._cb(i, make(EventType.LOST_DEVICE))
 
-    def _pad_dead(self):
-        """Keep dead tuners' queues level with the deepest live queue
-        (cu8 silence = 127), so dispatches keep firing for everyone
-        else.  Called under the lock."""
-        if not any(self._dead):
-            return
-        live = [self.rx._sizes[k] for k in range(len(self._dead))
-                if not self._dead[k]]
+    def _pad_station(self, k: int):
+        """Level one tuner's queue with the deepest live queue (cu8
+        silence = 127) so the min-queue-gated dispatch keeps firing.
+        Called under the lock."""
+        live = [self.rx._sizes[j] for j in range(len(self._dead))
+                if not self._dead[j] and j != k]
         if not live:
             return
-        target = max(live)
+        short = max(live) - self.rx._sizes[k]
+        if short > 0:
+            self.rx.push(k, np.full((short, 2), 127, np.uint8))
+
+    def _pad_dead(self):
+        """Keep dead tuners' queues level with the deepest live queue,
+        so dispatches keep firing for everyone else.  Called under the
+        lock."""
+        if not any(self._dead):
+            return
         for k, dead in enumerate(self._dead):
-            short = target - self.rx._sizes[k]
-            if dead and short > 0:
-                self.rx.push(k, np.full((short, 2), 127, np.uint8))
+            if dead:
+                self._pad_station(k)
 
     def stop(self, flush: bool = True):
         """Disconnect every tuner and (by default) drain the in-flight

@@ -901,3 +901,66 @@ def test_multistation_am_relock_never_locks(rng):
     kinds1 = [e.type for e in events[1]]
     assert EventType.LOST_SYNC in kinds1
     assert EventType.SYNC not in kinds1
+
+
+def test_align_wait_does_not_stall_fleet(rng):
+    """A station buffering its one-time alignment dispatch must not
+    pause the batched dispatches for the rest of the fleet (round-2
+    head-of-line stall): it rides the batch with a frozen carry until
+    its alignment samples arrive, and its own decode is unharmed."""
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+
+    good, good_packets = _station_stream(rng, "Fleet Flows", n_frames=6)
+
+    # station 1 locks mid-frame -> needs a 2-block alignment dispatch
+    bc, title = 14, "Late Joiner"
+    mats, late_packets = _station_mats(rng, title, n_frames=4)
+    dummy = build_pm_matrix(
+        build_p1_fm_frame(
+            [rng.integers(0, 256, 280).astype(np.uint8).tobytes()
+             for _ in range(32)], 0, 7, 0),
+        np.zeros((16, 80), np.uint8))
+    matrix = np.concatenate([dummy[bc * 32:]] + mats)
+    bc_seq = np.concatenate([np.arange(bc, 16),
+                             np.tile(np.arange(16), 4)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+    buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+    rcs = np.stack([buf.real, -buf.imag], -1).astype(np.float32)
+    lock = rcc.cold_start_rc(rcs)
+    assert lock is not None and lock["first_bc"] == bc
+    late = np.concatenate(
+        [buf[lock["offset"]:], np.zeros(3 * C.FFTCP_FM, np.complex64)])
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1,
+                              locks=[rcc.cold_start_rc(
+                                  np.stack([good.real, -good.imag], -1)
+                                  .astype(np.float32)), lock])
+    # phase 1: station 0 streams fully, station 1 sends almost nothing
+    # (not even its alignment window) — station 0 must decode anyway
+    rx.push(1, late[:1000])
+    for lo in range(0, len(good), 300000):
+        rx.push(0, good[lo:lo + 300000])
+    rx.drain()
+    hdc0 = {e.data for e in events[0]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc0 & {bytes(p) for p in good_packets}) >= 96, \
+        "fleet stalled behind an aligning station"
+
+    # phase 2: the late joiner's stream arrives; its alignment (frozen
+    # carry) must still be intact and its decode bit-exact.  Station
+    # 0's capture has ended — pad it with silence so the fused batch
+    # keeps firing (what RtlTcpFleet._pad_dead does for dead tuners)
+    for lo in range(1000, len(late), 300000):
+        rx.push(1, late[lo:lo + 300000])
+        rx.push(0, np.zeros(300000, np.complex64))
+    rx.flush()
+    hdc1 = {e.data for e in events[1]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc1 & {bytes(p) for p in late_packets}) >= 64
+    titles1 = {e.title for e in events[1] if e.type == EventType.ID3}
+    assert title in titles1
