@@ -234,3 +234,71 @@ def sharded_am_chain(mesh: Mesh, n_frames: int, ma3: bool = False):
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def sharded_fm_chain_px(mesh: Mesh, n_blocks: int, psmi: int = 3):
+    """Extended-mode (PX / interleaver-IV) receive across time shards.
+
+    The interleaver-IV's internal two-frame delay (decode.h:9-17 in the
+    reference) means a time shard cannot decode its first IV cycle of
+    PX frames from its own samples: each shard prepends a LEFT halo —
+    two whole P1 frames ppermuted from the previous time shard — to
+    re-prime the IV state, then drops the warm-up outputs
+    (recompute-overlap handoff, the same halo contract as the FIR /
+    acquire tails; SURVEY §2 parallelism item 2).  Shard 0's dropped
+    warm-up frames are the stream's own cold-start warm-up.
+
+    samples: [S, n_time * shard_chunk_len(n_blocks)] complex64, chunks
+    frame-aligned at the steady offset.  Returns (p1 [S, n_time*F,
+    146176], px1 [S, n_time*Fpx, fl1], quality).
+    """
+    from nrsc5_tpu.ops import interleavers as IL
+    n_time = mesh.shape["time"]
+    chunk = shard_chunk_len(n_blocks)
+    assert n_blocks % C.P1_FM_BLOCKS == 0
+    fl1, _ = sc.px_frame_lens(psmi)
+    assert fl1, f"psmi {psmi} has no PX1 channel"
+    warm_px = IL.p3_iv_tables(fl1)[2]           # PX warm-up frames
+    left_blocks = 2 * warm_px                   # one PX frame per pair
+    left_blocks += (-left_blocks) % C.P1_FM_BLOCKS  # whole P1 frames
+    left = left_blocks * C.BLKSZ * C.FFTCP_FM
+    warm_p1 = left_blocks // C.P1_FM_BLOCKS
+    dec_blocks = n_blocks + left_blocks
+
+    def local_step(samples_loc, tail_loc):
+        head = samples_loc[:, :HALO]
+        ltail = samples_loc[:, -left:]
+        if n_time > 1:
+            recv = jax.lax.ppermute(
+                head, "time", [(j, j - 1) for j in range(1, n_time)])
+            recv_left = jax.lax.ppermute(
+                ltail, "time", [(j, j + 1) for j in range(n_time - 1)])
+        else:
+            recv = jnp.zeros_like(head)
+            recv_left = jnp.zeros_like(ltail)
+        t_idx = jax.lax.axis_index("time")
+        recv = jnp.where(t_idx == n_time - 1, tail_loc, recv)
+        recv_left = jnp.where(t_idx == 0, jnp.zeros_like(recv_left),
+                              recv_left)
+        ext = jnp.concatenate([recv_left, samples_loc, recv], axis=1)
+
+        def one_station(s):
+            out, _ = sc.fm_chain_scan(
+                s, sc.chain_init_carry(), dec_blocks, psmi, 0,
+                px_state=sc.px_init_state(psmi))
+            return (out["p1"][warm_p1:],      # drop left-halo P1 frames
+                    out["px1"][warm_px:])     # drop IV warm-up PX frames
+
+        p1, px1 = jax.vmap(one_station)(ext)
+        err = jnp.zeros((), jnp.float32)
+        quality = jax.lax.psum(err, ("station", "time"))
+        return p1, px1, quality
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("station", "time"), P("station", None)),
+        out_specs=(P("station", "time"), P("station", "time"), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
