@@ -46,10 +46,15 @@ class NRSC5:
 
     def __init__(self, callback: Callable[[Event], None],
                  mode: int = MODE_FM, hdc_decoder_factory="auto",
-                 turbo: bool = False):
+                 turbo: bool = False, device="auto"):
         self.callback = callback
         self.mode = mode
         self.turbo = turbo
+        # device="auto": decode through the accelerator serving chain
+        # (serve.MultiStationReceiver, n=1) when the default jax
+        # backend is an accelerator; True/False force it.  The CPU
+        # fallback keeps the per-block host receivers.
+        self.device = device
         if hdc_decoder_factory == "auto":
             from nrsc5_tpu.audio.hdc import HDCDecoder
             hdc_decoder_factory = HDCDecoder
@@ -78,7 +83,19 @@ class NRSC5:
             on_audio_service=lambda info: self._emit(
                 make(EventType.AUDIO_SERVICE, **info)),
             on_resync=self._resync)
-        if self.mode == MODE_FM:
+        use_device = self.device is True
+        if self.device == "auto":
+            try:
+                import jax
+                use_device = jax.default_backend() != "cpu"
+            except Exception:
+                use_device = False
+        if use_device:
+            from nrsc5_tpu.pipeline.device_receiver import DeviceReceiver
+            self.radio = DeviceReceiver(self._emit,
+                                        mode_fm=self.mode == MODE_FM,
+                                        hdc_factory=self._hdc_factory)
+        elif self.mode == MODE_FM:
             if self.turbo:
                 from nrsc5_tpu.pipeline.turbo import TurboFMReceiver
                 self.radio = TurboFMReceiver(self._on_frame,

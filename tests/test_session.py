@@ -484,3 +484,73 @@ def test_fm_session_two_audio_programs(rng):
         peak_hz = np.fft.rfftfreq(len(seg), 1 / sr)[int(np.argmax(spec))]
         assert abs(peak_hz - f0) < 20, \
             f"program {p}: dominant {peak_hz:.0f} Hz, want {f0}"
+
+
+def test_fm_session_device_backend(rng):
+    """The session surface routed through the accelerator serving chain
+    (device=True -> serve.MultiStationReceiver n=1, VERDICT r2 item 8):
+    cold start from unknown offset/CFO, then the same golden-path
+    assertions as the host-receiver session; CPU fallback untouched."""
+    n_frames = 3
+    all_packets = []
+    p1_frames = []
+    for f in range(n_frames):
+        packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                   for _ in range(32)]
+        all_packets.append(packets)
+        psd = aas_frame(0x5100, f, _id3(TITLE))
+        p1_frames.append(build_p1_fm_frame(
+            packets, program=0, pdu_seq=f % 8, seq=(f * 32) % 64, psd=psd))
+    sis = _sis_station_name_frame()
+    pids = np.broadcast_to(sis, (16, 80))
+    mats = [build_pm_matrix(p1_frames[f], pids) for f in range(n_frames)]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    sig = ch.impair(sig, sample_offset=4321, cfo_hz=150.0, snr_db=23.0,
+                    rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM, device=True)
+    from nrsc5_tpu.pipeline.device_receiver import DeviceReceiver
+    assert isinstance(radio.radio, DeviceReceiver)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+    radio.flush()
+
+    kinds = {e.type for e in events}
+    assert EventType.SYNC in kinds
+    titles = [e.title for e in events if e.type == EventType.ID3]
+    assert TITLE in titles, f"ID3 titles: {titles}"
+    names = [e.name for e in events if e.type == EventType.STATION_NAME]
+    assert "KTPU-FM" in names
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    want = {p for f in (0, 1) for p in all_packets[f]}
+    missing = want - hdc
+    assert not missing, f"{len(missing)} HDC packets missing of {len(want)}"
+    assert EventType.AUDIO_SERVICE in kinds
+
+
+def test_am_session_device_backend(rng):
+    """AM twin: device-backed session cold-starts MA1 from a cs16-style
+    complex stream and decodes bit-exact HDC packets post warm-up."""
+    from .capture_helpers import build_am_capture
+
+    from nrsc5_tpu.api.session import MODE_AM
+    sig, packets = build_am_capture(rng, n_frames=8)
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_AM, device=True)
+    for i in range(0, len(sig), 50000):
+        radio.pipe_samples_cs16(sig[i:i + 50000])
+    radio.flush()
+    kinds = {e.type for e in events}
+    assert EventType.SYNC in kinds
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    want = {bytes(p) for f, pk in packets for p in pk}
+    assert len(hdc & want) >= 48, len(hdc & want)
