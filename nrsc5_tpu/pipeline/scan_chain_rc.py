@@ -364,8 +364,21 @@ def fm_chain_batch_rc(samples, carries: ChainCarryRC, n_blocks: int,
     if n_frames > 0:
         frames = pm[:, skip: skip + n_frames * C.P1_FM_BLOCKS]
         flat = frames.reshape(n_stations * n_frames, -1)
+        B = flat.shape[0]
+        # XLA hits a layout pathology for flat Viterbi batches in
+        # [58, 71]: ~100 ms/dispatch on v5e where 56 takes 57 ms and 72
+        # takes 46 ms (measured sweep, docs/PERF.md round-3 note).  Pad
+        # through the window — the padded frames are decoded and
+        # discarded, and 72 is still 2x faster than 64 in absolute
+        # terms.
+        pad = 72 - B if 56 < B < 72 else 0
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)])
         p1, margin, errors = jax.vmap(
             lambda m: p1_decode(m, chunked=True))(flat)
+        if pad:
+            p1, margin, errors = p1[:B], margin[:B], errors[:B]
         out["p1"] = p1.reshape(n_stations, n_frames, -1)
         out["p1_margin"] = margin.reshape(n_stations, n_frames)
         out["p1_bit_errors"] = errors.reshape(n_stations, n_frames)
