@@ -113,3 +113,65 @@ def test_batch_pns_no_crash():
     out = BatchedAudioDecoder(1).decode([pkts])
     assert out.shape == (1, 6 * 2048, 2)
     assert np.abs(out[0, 4096:]).max() > 100  # non-silent
+
+
+def test_fleet_audio_through_serving(rng):
+    """End-to-end: modulated FM stations -> MultiStationReceiver ->
+    FleetAudioDecoder -> batched device PCM, matching the host-codec
+    session PCM for the same stream."""
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+
+    # audio content -> HDC packets -> P1 frames
+    t = np.arange(12 * 2048) / FS
+    tone = np.stack([0.4 * np.sin(2 * np.pi * 440 * t)] * 2, -1)
+    enc = HDCEncoder(channels=2, sbr=True, pns=False)
+    hdc_pkts = [enc.encode_frame(tone[k * 2048:(k + 1) * 2048])
+                for k in range(12)]
+    # 2 HDC packets per L1 block, 32 per P1 frame -> pad the list
+    per_frame = 32
+    n_frames = 3
+    pool = (hdc_pkts * ((n_frames * per_frame) // len(hdc_pkts) + 1))
+    mats = []
+    for f in range(n_frames):
+        pkts = pool[f * per_frame:(f + 1) * per_frame]
+        p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=f % 8,
+                               seq=(f * 32) % 64)
+        mats.append(build_pm_matrix(p1, np.zeros((16, 80), np.uint8)))
+    sig = modulate_fm(np.concatenate(mats),
+                      np.tile(np.arange(16), n_frames), 1)
+    buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+    buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+
+    events = {0: [], 1: []}
+    fleet = FleetAudioDecoder(
+        2, lambda st, ev: events[st].append(ev), k=4)
+    rx = MultiStationReceiver(2, fleet.wrap, frames_per_dispatch=1,
+                              hdc_factory=None)
+    for lo in range(0, len(buf), 300000):
+        for i in range(2):
+            rx.push(i, buf[lo:lo + 300000])
+    rx.flush()
+    fleet.flush()
+
+    for i in range(2):
+        audio = [e for e in events[i] if e.type == EventType.AUDIO]
+        assert len(audio) >= 48, len(audio)
+        pcm = np.concatenate([np.asarray(e.samples) for e in audio])
+        assert np.abs(pcm).max() > 1000, "silent fleet audio"
+        # host-codec reference for the same packet stream
+        host = HDCDecoder()
+        hdcs = [e.data for e in events[i]
+                if e.type == EventType.HDC and not e.crc_error]
+        ref = np.concatenate(
+            [host.decode(p).reshape(-1) for p in hdcs[:len(audio)]])
+        a = pcm[8 * 4096:min(len(pcm), len(ref))].astype(np.float64)
+        b = ref[8 * 4096:min(len(pcm), len(ref))].astype(np.float64)
+        snr = 10 * np.log10((b ** 2).sum()
+                            / max(((a - b) ** 2).sum(), 1e-30))
+        assert snr > 50.0, snr
