@@ -223,8 +223,9 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         t0r, t0i = _cmul(a1r, a1i, p12r, -p12i)
         a0r = jnp.where(p_ok, -(p01r + t0r) / pp, 0.0)
         a0i = jnp.where(p_ok, -(p01i + t0i) / pp, 0.0)
-        big = (jnp.abs(a0r) >= 4) | (jnp.abs(a0i) >= 4) | \
-              (jnp.abs(a1r) >= 4) | (jnp.abs(a1i) >= 4)
+        # host guard is on the COMPLEX magnitude (sbr.py: abs(alpha)>=4)
+        big = (a0r * a0r + a0i * a0i >= 16.0) | \
+              (a1r * a1r + a1i * a1i >= 16.0)
         a0r = jnp.where(big, 0.0, a0r)
         a0i = jnp.where(big, 0.0, a0i)
         a1r = jnp.where(big, 0.0, a1r)
@@ -394,9 +395,18 @@ class BatchedAudioDecoder:
 
     # ------------------------------------------------------------------
     def _ensure(self, ft: S.FreqTables, hdr: S.SbrHeader, K: int):
-        if self._fn is None or self._K != K:
+        # rebuild the device fn when the batch size OR the SBR header
+        # changes (different headers -> different band structure / m);
+        # the carried streaming state is shape-independent of both, so
+        # it persists across rebuilds (two K=4 calls == one K=8 call)
+        key = (K, hdr.amp_res, hdr.start_freq, hdr.stop_freq,
+               hdr.xover_band, hdr.freq_scale, hdr.alter_scale,
+               hdr.noise_bands, hdr.limiter_bands, hdr.limiter_gains,
+               hdr.interpol_freq)
+        if getattr(self, "_key", None) != key:
             assert hdr.interpol_freq, \
                 "batched path supports bs_interpol_freq=1 headers only"
+            self._key = key
             self._ft = ft
             self._hdr = hdr
             # static prep maps: band rows -> per-bin vectors as matmuls
@@ -431,12 +441,13 @@ class BatchedAudioDecoder:
                 kwargs["backend"] = self._backend
             self._fn = jax.jit(dev_fn, donate_argnums=(0,), **kwargs)
             self._K = K
-            N = self.lanes
-            z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
-            self._state = {
-                "overlap": z(N, 1024), "qa_hist": z(N, 288),
-                "syn_hist": z(N, 9, 128),
-                "tail_r": z(N, 2, 32), "tail_i": z(N, 2, 32)}
+            if self._state is None:  # first build only — state persists
+                N = self.lanes
+                z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+                self._state = {
+                    "overlap": z(N, 1024), "qa_hist": z(N, 288),
+                    "syn_hist": z(N, 9, 128),
+                    "tail_r": z(N, 2, 32), "tail_i": z(N, 2, 32)}
 
     _BW_TAB = np.array([0.0, 0.75, 0.9, 0.98])
 
@@ -514,9 +525,18 @@ class BatchedAudioDecoder:
                 except Exception:
                     specs, ics1, sd = None, None, None
                 row.append((specs, ics1, sd))
-                if sd is not None and dec._sbr[0].tables is not None:
-                    ft = dec._sbr[0].tables
-                    hdr = dec._sbr[0].header
+                if sd is not None:
+                    # the parse consumed prev_env/prev_noise for any
+                    # delta-time coding; advance them the way the host
+                    # SBRDecoder.process would (the batch path never
+                    # calls process)
+                    for ch, d in enumerate(sd):
+                        if ch < len(dec._sbr) and d is not None:
+                            dec._sbr[ch].prev_env = d.env[-1]
+                            dec._sbr[ch].prev_noise = d.noise[-1]
+                    if dec._sbr[0].tables is not None:
+                        ft = dec._sbr[0].tables
+                        hdr = dec._sbr[0].header
             parsed.append(row)
         if ft is None:  # no SBR anywhere: derive nothing, HF silent
             hdr = S.SbrHeader()

@@ -6,8 +6,18 @@ costs N x 3.5 ms/packet of host CPU.  :class:`FleetAudioDecoder` sits on
 a :class:`~nrsc5_tpu.serve.MultiStationReceiver`'s event stream,
 collects each station's program HDC packets, and decodes them in
 batches through :class:`~nrsc5_tpu.audio.batch.BatchedAudioDecoder` —
-one jitted device dispatch per fleet batch — emitting AUDIO events
-tagged with their station off the dispatch critical path.
+one jitted device dispatch per fleet batch, performed on a dedicated
+worker thread so the device dispatch never blocks the receiver's
+sample-ingest callback — emitting AUDIO events tagged with their
+station.
+
+A station that stops producing packets (dead carrier, mid-relock) does
+not stall the fleet: once the deepest queue is ``max_lag`` packets ahead
+of the shallowest, lagging stations are padded with silence packets —
+each padded slot emits a real silence AUDIO frame, matching the
+reference's per-missing-packet silence insertion
+(src/output.c:148-162's "not produced" branch) — so every station's
+audio timeline stays aligned and no queue grows without bound.
 
 Usage::
 
@@ -23,6 +33,9 @@ events still flow — this class consumes them).
 
 from __future__ import annotations
 
+import queue
+import threading
+
 import numpy as np
 
 from nrsc5_tpu.api.events import Event, EventType, make
@@ -32,67 +45,137 @@ class FleetAudioDecoder:
     """Batch-decode one program's HDC stream per station.
 
     callback(station, event): receives every event forwarded from the
-    receiver plus the AUDIO events this class synthesizes.  ``k``
-    packets per station per device dispatch (~k * 46.4 ms of audio
-    latency).  Corrupt packets decode to silence, matching the
-    reference's gap behavior (src/output.c:148-162).
+    receiver plus the AUDIO events this class synthesizes (AUDIO events
+    arrive from the decode worker thread; per-station order is FIFO).
+    ``k`` packets per station per device dispatch (~k * 46.4 ms of
+    audio latency).  Corrupt packets decode to silence, matching the
+    reference's gap behavior (src/output.c:148-162).  ``max_lag``
+    bounds how far the deepest station queue may run ahead of the
+    shallowest before lagging stations are silence-padded (their
+    padded slots emit silence AUDIO frames).  It must exceed one L1
+    frame's packet count (32): a healthy receiver emits each frame's
+    packets station-by-station, so an intra-dispatch skew of up to 32
+    packets is normal and must not trigger padding — the default 64
+    (~3 s of audio) only fires for a genuinely stalled station (dead
+    carrier, mid-relock).
     """
 
     def __init__(self, n_stations: int, callback, program: int = 0,
-                 k: int = 8, backend=None):
+                 k: int = 8, backend=None, max_lag: int | None = None):
         from nrsc5_tpu.audio.batch import BatchedAudioDecoder
         self.n = n_stations
         self._cb = callback
         self._program = program
         self._k = k
+        self._max_lag = 64 if max_lag is None else max_lag
         self._dec = BatchedAudioDecoder(n_stations, backend=backend)
         self._queues: list[list[bytes]] = [[] for _ in range(n_stations)]
         # a packet that always parses to silence (empty -> parse error
         # -> corrupt-packet silence lane in the batch decoder)
         self._silence = b""
+        self._lock = threading.Lock()
+        self._work: queue.Queue = queue.Queue()
+        self._worker: threading.Thread | None = None
+        self._err: BaseException | None = None
 
     # ------------------------------------------------------------------
     def wrap(self, station: int, event: Event):
-        """The receiver callback: intercept HDC, forward everything."""
+        """The receiver callback: intercept HDC, forward everything.
+        Only queue bookkeeping happens here — the device dispatch runs
+        on the decode worker thread, off the ingest critical path."""
+        batch = None
         if event.type == EventType.HDC and \
                 getattr(event, "program", self._program) == self._program:
             data = bytes(event.data) if not event.crc_error \
                 else self._silence
-            self._queues[station].append(data)
+            with self._lock:
+                self._queues[station].append(data)
+                batch = self._take_ready_locked()
         self._cb(station, event)
-        self._maybe_decode()
+        if batch is not None:
+            self._submit(batch)
 
-    def _maybe_decode(self, force: bool = False):
-        depth = min(len(q) for q in self._queues)
+    # ------------------------------------------------------------------
+    def _take_ready_locked(self):
+        """If a k-deep batch is ready (padding lagging stations once the
+        fleet spread exceeds max_lag), pop and return it; else None.
+        Caller holds self._lock."""
+        lens = [len(q) for q in self._queues]
+        depth = min(lens)
         k = self._k
-        if depth >= k or (force and depth > 0):
-            take = min(depth, k)
-            batch = [self._queues[i][:take] for i in range(self.n)]
+        if depth < k and max(lens) - depth > self._max_lag:
+            # a starving station is holding the fleet back: pad it with
+            # silence up to a dispatchable depth (real gap -> silence
+            # frames, like the reference's "not produced" branch)
+            target = min(k, max(lens))
             for i in range(self.n):
-                del self._queues[i][:take]
-            pcm = self._dec.decode(batch)  # [n, take*2048, 2] int16
-            for i in range(self.n):
-                for j in range(take):
-                    self._cb(i, make(
-                        EventType.AUDIO, program=self._program,
-                        samples=pcm[i, j * 2048:(j + 1) * 2048]
-                        .reshape(-1)))
+                if lens[i] < target:
+                    self._queues[i] += \
+                        [self._silence] * (target - lens[i])
+            depth = target
+        if depth < k:
+            return None
+        take = k
+        batch = [self._queues[i][:take] for i in range(self.n)]
+        for i in range(self.n):
+            del self._queues[i][:take]
+        return (batch, [take] * self.n)
+
+    def _submit(self, item):
+        if self._err is not None:
+            raise self._err
+        if self._worker is None:
+            self._worker = threading.Thread(
+                target=self._run, name="fleet-audio", daemon=True)
+            self._worker.start()
+        self._work.put(item)
+
+    def _run(self):
+        while True:
+            item = self._work.get()
+            try:
+                if item is None:
+                    return
+                self._decode_emit(*item)
+            except BaseException as e:  # surfaced on the next flush/wrap
+                self._err = e
+            finally:
+                self._work.task_done()
+
+    def _decode_emit(self, batch, emit_lens):
+        pcm = self._dec.decode(batch)  # [n, take*2048, 2] int16
+        for i in range(self.n):
+            for j in range(emit_lens[i]):
+                self._cb(i, make(
+                    EventType.AUDIO, program=self._program,
+                    samples=pcm[i, j * 2048:(j + 1) * 2048].reshape(-1)))
 
     def flush(self):
         """Decode whatever is queued (stations short of the common depth
         are padded with silence packets; their padding output is
-        dropped)."""
-        depth = max((len(q) for q in self._queues), default=0)
-        if depth == 0:
-            return
-        lens = [len(q) for q in self._queues]
-        for i in range(self.n):
-            self._queues[i] += [self._silence] * (depth - lens[i])
-        batch = [self._queues[i][:depth] for i in range(self.n)]
-        self._queues = [[] for _ in range(self.n)]
-        pcm = self._dec.decode(batch)
-        for i in range(self.n):
-            for j in range(lens[i]):
-                self._cb(i, make(
-                    EventType.AUDIO, program=self._program,
-                    samples=pcm[i, j * 2048:(j + 1) * 2048].reshape(-1)))
+        dropped) and block until the worker has drained — after flush()
+        every queued packet's AUDIO event has been delivered."""
+        with self._lock:
+            depth = max((len(q) for q in self._queues), default=0)
+            if depth > 0:
+                lens = [len(q) for q in self._queues]
+                for i in range(self.n):
+                    self._queues[i] += [self._silence] * (depth - lens[i])
+                batch = [self._queues[i][:depth] for i in range(self.n)]
+                self._queues = [[] for _ in range(self.n)]
+            else:
+                batch = None
+        if batch is not None:
+            self._submit((batch, lens))
+        if self._worker is not None:
+            self._work.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self):
+        """Stop the worker thread (flush first if output matters)."""
+        if self._worker is not None:
+            self._work.put(None)
+            self._worker.join()
+            self._worker = None

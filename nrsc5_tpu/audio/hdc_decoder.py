@@ -412,9 +412,21 @@ def _apply_tns(ics: IcsInfo, spec: np.ndarray, decode: bool = True):
             # exact inverse all-zero x[i] = y[i] + Σ a[j]·y[i−j] over the
             # ORIGINAL values.  Zero initial state == the reference's
             # break-at-boundary recursion.
-            from scipy.signal import lfilter
-            out = lfilter([1.0], a, seg) if decode \
-                else lfilter(a, [1.0], seg)
+            try:
+                from scipy.signal import lfilter
+                out = lfilter([1.0], a, seg) if decode \
+                    else lfilter(a, [1.0], seg)
+            except ImportError:  # pure-python fallback (slow, exact)
+                out = np.asarray(seg, np.float64).copy()
+                if decode:
+                    for i in range(len(out)):
+                        for j in range(1, min(order, i) + 1):
+                            out[i] -= a[j] * out[i - j]
+                else:
+                    src = np.asarray(seg, np.float64)
+                    for i in range(len(out)):
+                        for j in range(1, min(order, i) + 1):
+                            out[i] += a[j] * src[i - j]
             s[start:end] = out if not direction else out[::-1]
 
 

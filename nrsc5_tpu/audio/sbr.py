@@ -209,6 +209,8 @@ def _start_min(fs: int) -> int:
 
 
 def _stop_min(fs: int) -> int:
+    if fs >= 64000:  # spec pins stopMin at 16 bands for high rates
+        return 16
     return min(64, (10000 * 128 + fs // 2) // fs)
 
 

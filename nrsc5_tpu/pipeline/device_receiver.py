@@ -48,6 +48,7 @@ class DeviceReceiver:
         self._pushed = 0
         self._probe_after = 0
         self._cu8_tail: np.ndarray | None = None
+        self._cu8_lo = None  # partial wire I/Q pair byte
         self._decim = None
         self._synced = False
 
@@ -142,7 +143,15 @@ class DeviceReceiver:
                     f = f * (1.0 / 16.0)
                 return FE.decimate_overlap_rc(f, stages)
             self._decim = jax.jit(ingest)
-        raw = np.asarray(data, np.uint8).reshape(-1, 2)
+        flat = np.asarray(data, np.uint8).reshape(-1)
+        if self._cu8_lo is not None:  # carry partial I/Q pairs
+            flat = np.concatenate([self._cu8_lo, flat])
+        if len(flat) % 2:
+            self._cu8_lo = flat[-1:]
+            flat = flat[:-1]
+        else:
+            self._cu8_lo = None
+        raw = flat.reshape(-1, 2)
         buf = np.concatenate([self._cu8_tail, raw])
         rate = 1 << self._stages
         n = (len(buf) - self._overlap) // rate * rate + self._overlap

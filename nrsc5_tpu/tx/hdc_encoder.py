@@ -175,10 +175,10 @@ class HDCEncoder:
         self._e_last = prev
         return hit
 
-    def encode_frame(self, pcm: np.ndarray) -> bytes:
-        """pcm: [2048] mono or [2048, 2] stereo float in [-1, 1] at
-        44100 Hz -> one HDC packet (carrying the *previous* call's frame;
-        a silent frame seeds the pipeline — see the module docstring)."""
+    def _intake(self, pcm: np.ndarray) -> "_FramePlan":
+        """Shared stateful intake: scale to the faad ±32768 convention,
+        decimate to the 22050 Hz core, transient lookahead, plan the
+        pending (lookahead-delayed) frame, and stage this one."""
         pcm = np.asarray(pcm, np.float64)
         if pcm.ndim == 1:
             pcm = pcm[:, None]
@@ -197,7 +197,13 @@ class HDCEncoder:
 
         plan = self._plan_pending(next_transient=transient)
         self._pending = {"core": cores, "pcm": pcm, "transient": transient}
-        return self._write_hdc(plan)
+        return plan
+
+    def encode_frame(self, pcm: np.ndarray) -> bytes:
+        """pcm: [2048] mono or [2048, 2] stereo float in [-1, 1] at
+        44100 Hz -> one HDC packet (carrying the *previous* call's frame;
+        a silent frame seeds the pipeline — see the module docstring)."""
+        return self._write_hdc(self._intake(pcm))
 
     def encode_frame_dual(self, pcm: np.ndarray) -> tuple[bytes, bytes]:
         """Like encode_frame, but also serializes the identical frame plan
@@ -205,19 +211,7 @@ class HDCEncoder:
         against an independent decoder such as libavcodec — the spectral
         content, scalefactors, codebooks, TNS filters, M/S-IS decisions
         and SBR envelopes are bit-for-bit the same decisions)."""
-        pcm = np.asarray(pcm, np.float64)
-        if pcm.ndim == 1:
-            pcm = pcm[:, None]
-        assert pcm.shape == (2 * A.FRAME_LEN, self.channels)
-        pcm = pcm * 32768.0
-        cores = []
-        for ch in range(self.channels):
-            x = np.concatenate([self._dec_state[ch], pcm[:, ch]])
-            self._dec_state[ch] = x[-(len(self.h) - 1):]
-            cores.append(np.convolve(x, self.h, mode="valid")[::2])
-        transient = self._detect_transient(sum(cores) / self.channels)
-        plan = self._plan_pending(next_transient=transient)
-        self._pending = {"core": cores, "pcm": pcm, "transient": transient}
+        plan = self._intake(pcm)
         return self._write_hdc(plan), self._write_adts(plan)
 
     def _plan_pending(self, next_transient: bool) -> _FramePlan:

@@ -175,3 +175,32 @@ def test_fleet_audio_through_serving(rng):
         snr = 10 * np.log10((b ** 2).sum()
                             / max(((a - b) ** 2).sum(), 1e-30))
         assert snr > 50.0, snr
+
+
+def test_fleet_starving_station_padded():
+    """A station that stops producing packets must not stall the fleet:
+    once its lag exceeds max_lag the lagging queue is silence-padded,
+    the healthy stations keep decoding, the starving station's padded
+    slots emit real silence frames (reference src/output.c:148-162
+    per-missing-packet silence), and no queue grows without bound."""
+    from nrsc5_tpu.api.events import EventType, make
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+
+    events = {0: [], 1: []}
+    fleet = FleetAudioDecoder(2, lambda st, ev: events[st].append(ev),
+                              k=4, max_lag=8)
+    pkts = _packets(12, seed=21)
+    for p in pkts:  # station 1 never produces a packet
+        fleet.wrap(0, make(EventType.HDC, program=0, data=p,
+                           crc_error=False))
+    fleet.flush()
+    a0 = [e for e in events[0] if e.type == EventType.AUDIO]
+    a1 = [e for e in events[1] if e.type == EventType.AUDIO]
+    assert len(a0) == 12  # every real packet decoded
+    assert len(a1) == 4   # one mid-stream padded batch of silence
+    assert max(len(q) for q in fleet._queues) == 0  # backlog bounded
+    pcm0 = np.concatenate([np.asarray(e.samples) for e in a0])
+    pcm1 = np.concatenate([np.asarray(e.samples) for e in a1])
+    assert np.abs(pcm0[4 * 4096:]).max() > 1000
+    assert np.abs(pcm1).max() == 0
+    fleet.close()

@@ -554,3 +554,21 @@ def test_am_session_device_backend(rng):
            and not e.crc_error}
     want = {bytes(p) for f, pk in packets for p in pk}
     assert len(hdc & want) >= 48, len(hdc & want)
+
+
+def test_device_receiver_odd_cu8(rng):
+    """push_cu8 must carry partial I/Q pair bytes across pushes: odd
+    chunk splits land mid-pair and must not crash or desync (regression:
+    the first DeviceReceiver dropped serve.push's _leftover carry)."""
+    from nrsc5_tpu.pipeline.device_receiver import DeviceReceiver
+
+    data = rng.integers(0, 256, 100001).astype(np.uint8)  # odd total
+    r1 = DeviceReceiver(lambda ev: None)
+    r1.push_cu8(data[:100000])  # one even-length push
+    even = np.concatenate(r1._buf)
+    r2 = DeviceReceiver(lambda ev: None)
+    for lo in range(0, len(data), 33333):  # odd chunks split mid-pair
+        r2.push_cu8(data[lo:lo + 33333])
+    odd = np.concatenate(r2._buf)
+    assert len(odd) >= len(even)
+    np.testing.assert_array_equal(odd[:len(even)], even)
