@@ -126,6 +126,18 @@ def _short_windows(shape: int, prev: int) -> np.ndarray:
 def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
     kx, m = ft.kx, ft.m
     n_low = min(kx, 32)
+    # band indicator matrices for bs_interpol_freq=0 gain averaging
+    # (host analog: sbr.py adjust, §4.6.18.7.2 — per-envelope-resolution
+    # band means instead of per-bin gains)
+    def _seg(bands, nb):
+        M = np.zeros((nb, m), np.float32)
+        for b in range(nb):
+            M[b, int(bands[b]) - kx:int(bands[b + 1]) - kx] = 1.0
+        return M
+    seg_hi = _seg(ft.f_high, ft.n_high)
+    seg_lo = _seg(ft.f_low, ft.n_low)
+    w_hi = np.maximum(seg_hi.sum(axis=1), 1.0).astype(np.float32)
+    w_lo = np.maximum(seg_lo.sum(axis=1), 1.0).astype(np.float32)
     src_idx = np.full(m, 0, np.int32)
     src_ok = np.zeros(m, np.float32)
     for (t, src0, length) in ft.patches:
@@ -268,6 +280,22 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
                             preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST) \
             / jnp.maximum(cnt, 1.0)[..., None]
+        if not interpol:
+            # bs_interpol_freq=0: flatten the energy estimate over each
+            # band of the envelope's resolution so gains are per-band
+            HH, HL = jnp.asarray(seg_hi), jnp.asarray(seg_lo)
+            ebh = jnp.einsum("nkem,bm->nkeb", e_curr, HH,
+                             precision=jax.lax.Precision.HIGHEST) \
+                / jnp.asarray(w_hi)
+            e_hi = jnp.einsum("nkeb,bm->nkem", ebh, HH,
+                              precision=jax.lax.Precision.HIGHEST)
+            ebl = jnp.einsum("nkem,bm->nkeb", e_curr, HL,
+                             precision=jax.lax.Precision.HIGHEST) \
+                / jnp.asarray(w_lo)
+            e_lo = jnp.einsum("nkeb,bm->nkem", ebl, HL,
+                              precision=jax.lax.Precision.HIGHEST)
+            res = inp["freq_res"][..., None]   # [N, K, MAXENV, 1]
+            e_curr = res * e_hi + (1.0 - res) * e_lo
 
         q_frac = q_orig / (1.0 + q_orig)
         gain = jnp.where(
@@ -374,9 +402,11 @@ class BatchedAudioDecoder:
     Lanes are (program, channel) pairs: stereo programs occupy 2 lanes,
     mono packets are mirrored into both.  Call ``decode(packets)`` with
     a list of per-program packet lists (equal length K); returns int16
-    PCM [programs, K*2048, 2].  All programs must share one SBR header
-    (the served-fleet case); a packet with a different header falls
-    back to zeroed HF for that packet.
+    PCM [programs, K*2048, 2].  One SBR header is served per batch
+    (sticky across batches — the served-fleet case); a packet whose own
+    header differs falls back to zeroed HF (upsample-only) for that
+    packet.  Headers with ``bs_interpol_freq=0`` run the per-band
+    averaged-gain path on device (§4.6.18.7.2).
     """
 
     def __init__(self, n_programs: int, backend=None):
@@ -404,8 +434,6 @@ class BatchedAudioDecoder:
                hdr.noise_bands, hdr.limiter_bands, hdr.limiter_gains,
                hdr.interpol_freq)
         if getattr(self, "_key", None) != key:
-            assert hdr.interpol_freq, \
-                "batched path supports bs_interpol_freq=1 headers only"
             self._key = key
             self._ft = ft
             self._hdr = hdr
@@ -492,6 +520,7 @@ class BatchedAudioDecoder:
             out["q_orig"][lane, k, e] = \
                 np.asarray(d.noise_lin[qe], np.float32) @ self._b2b_noise
             out["delta_e"][lane, k, e] = 0.0 if e == d.la else 1.0
+            out["freq_res"][lane, k, e] = 1.0 if d.freq_res[e] else 0.0
             if harm.any():
                 act = harm & ((e >= d.la) | prev_h)
                 if act.any():
@@ -514,17 +543,18 @@ class BatchedAudioDecoder:
         assert all(len(p) == K for p in packets)
         N = self.lanes
         parsed = []
-        ft = None
-        hdr = None
+        hdr_snap = []  # [p][k]: the packet's SBR header at parse time
         for p in range(self.n):
             dec = self._parsers[p]
             row = []
+            snaps = []
             for k in range(K):
                 try:
                     specs, ics1, sd = dec.parse(packets[p][k])
                 except Exception:
                     specs, ics1, sd = None, None, None
                 row.append((specs, ics1, sd))
+                snap = None
                 if sd is not None:
                     # the parse consumed prev_env/prev_noise for any
                     # delta-time coding; advance them the way the host
@@ -535,10 +565,21 @@ class BatchedAudioDecoder:
                             dec._sbr[ch].prev_env = d.env[-1]
                             dec._sbr[ch].prev_noise = d.noise[-1]
                     if dec._sbr[0].tables is not None:
-                        ft = dec._sbr[0].tables
-                        hdr = dec._sbr[0].header
+                        snap = dec._sbr[0].header
+                snaps.append(snap)
             parsed.append(row)
-        if ft is None:  # no SBR anywhere: derive nothing, HF silent
+            hdr_snap.append(snaps)
+        # one device fn serves one SBR header per batch; pick it sticky
+        # (avoid rebuild flapping in mixed fleets) else first-seen.  A
+        # packet whose own header differs falls back to zeroed HF below.
+        cands = [s for snaps in hdr_snap for s in snaps if s is not None]
+        if getattr(self, "_hdr", None) is not None \
+                and any(s == self._hdr for s in cands):
+            hdr, ft = self._hdr, self._ft
+        elif cands:
+            hdr = cands[0]
+            ft = S.derive_tables(hdr)
+        else:  # no SBR anywhere: derive nothing, HF silent
             hdr = S.SbrHeader()
             ft = S.derive_tables(hdr)
         self._ensure(ft, hdr, K)
@@ -558,6 +599,7 @@ class BatchedAudioDecoder:
             "delta_e": np.ones((N, K, MAXENV), np.float32),
             "noise_start": np.zeros((N, K, NSLOT), np.int32),
             "nlow": np.zeros((N, K, 32), np.float32),
+            "freq_res": np.zeros((N, K, MAXENV), np.float32),
         }
         for p in range(self.n):
             for k in range(K):
@@ -583,7 +625,10 @@ class BatchedAudioDecoder:
                             _long_window(seq, shape, prev)
                     self._prev_shape[lane] = shape
                     dch = None
-                    if sd is not None:
+                    # a packet whose own header differs from the batch
+                    # header cannot use the batch band maps: zeroed-HF
+                    # fallback (upsample-only), low band passes through
+                    if sd is not None and hdr_snap[p][k] == self._hdr:
                         dch = sd[min(ch, len(sd) - 1)]
                     self._prep_sbr(lane, dch, ft, inp, k)
 

@@ -100,7 +100,7 @@ class HDCEncoder:
     def __init__(self, channels: int = 2, target_maxq: int = TARGET_MAXQ,
                  floor_db: float = -65.0, sbr: bool = True,
                  pns: bool = True, ms: bool = True,
-                 intensity: bool = True):
+                 intensity: bool = True, sbr_header=None):
         assert channels in (1, 2)
         self.channels = channels
         self.target_maxq = target_maxq
@@ -135,8 +135,9 @@ class HDCEncoder:
             # band-for-band (test_hdc_external_oracle) — ffmpeg's
             # master-table rounding departs from ours for some other
             # start/stop combinations.
-            self._sbr_hdr = SbrHeader(start_freq=8, stop_freq=7,
-                                      amp_res=0, xover_band=2)
+            self._sbr_hdr = sbr_header if sbr_header is not None else \
+                SbrHeader(start_freq=8, stop_freq=7,
+                          amp_res=0, xover_band=2)
             self._sbr_ft = derive_tables(self._sbr_hdr)
             self._qmf64 = [QMFAnalysis64() for _ in range(channels)]
             self._in_delay = [np.zeros(self._CODEC_DELAY)
@@ -500,8 +501,20 @@ class HDCEncoder:
         bw.write(h.stop_freq, 4)
         bw.write(h.xover_band, 3)
         bw.write(0, 2)              # reserved
-        bw.write(0, 1)              # header_extra_1 (defaults)
-        bw.write(0, 1)              # header_extra_2 (defaults)
+        extra1 = (h.freq_scale, h.alter_scale, h.noise_bands) != (2, 1, 2)
+        extra2 = (h.limiter_bands, h.limiter_gains, h.interpol_freq,
+                  h.smoothing_mode) != (2, 2, 1, 1)
+        bw.write(int(extra1), 1)    # header_extra_1
+        bw.write(int(extra2), 1)    # header_extra_2
+        if extra1:
+            bw.write(h.freq_scale, 2)
+            bw.write(h.alter_scale, 1)
+            bw.write(h.noise_bands, 2)
+        if extra2:
+            bw.write(h.limiter_bands, 2)
+            bw.write(h.limiter_gains, 2)
+            bw.write(h.interpol_freq, 1)
+            bw.write(h.smoothing_mode, 1)
 
         if self.channels == 2:
             bw.write(0, 1)          # bs_data_extra

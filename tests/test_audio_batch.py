@@ -204,3 +204,53 @@ def test_fleet_starving_station_padded():
     assert np.abs(pcm0[4 * 4096:]).max() > 1000
     assert np.abs(pcm1).max() == 0
     fleet.close()
+
+
+def test_batch_interpol_freq_off():
+    """bs_interpol_freq=0 headers (per-band averaged gains,
+    §4.6.18.7.2) run on the device path and match the host decoder."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    hdr = SbrHeader(start_freq=8, stop_freq=7, amp_res=0, xover_band=2,
+                    interpol_freq=0)
+    rng = np.random.default_rng(7)
+    n = 8 * 2048
+    t = np.arange(n) / FS
+    S2 = rfft(rng.standard_normal(n))
+    f = np.arange(len(S2)) * FS / n
+    sig = 0.4 * np.sin(2 * np.pi * 700 * t) + \
+        0.1 * irfft(np.where((f > 4000) & (f < 13000), S2, 0), n)
+    pcm = np.stack([sig, sig * 0.85], -1) * 0.7
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, sbr_header=hdr)
+    pkts = [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(8)]
+    host = _host_decode(pkts)
+    out = BatchedAudioDecoder(1).decode([pkts]).astype(np.float64)[0]
+    assert _snr(host[2 * 2048:], out[2 * 2048:]) > 55.0
+
+
+def test_batch_mixed_headers_fallback():
+    """A fleet with two different SBR headers must not crash: the batch
+    header's program decodes fully; the other program's packets fall
+    back to zeroed HF (core-only audio, non-silent)."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    pkts0 = _packets(8, seed=31)
+    hdr1 = SbrHeader(start_freq=7, stop_freq=6, amp_res=0, xover_band=2)
+    rng = np.random.default_rng(8)
+    n = 8 * 2048
+    t = np.arange(n) / FS
+    sig = 0.4 * np.sin(2 * np.pi * 520 * t) \
+        + 0.05 * rng.standard_normal(n)
+    pcm = np.stack([sig, sig * 0.85], -1) * 0.7
+    enc1 = HDCEncoder(channels=2, sbr=True, pns=False, sbr_header=hdr1)
+    pkts1 = [enc1.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+             for k in range(8)]
+    bat = BatchedAudioDecoder(2)
+    out = bat.decode([pkts0, pkts1]).astype(np.float64)
+    assert np.isfinite(out).all()
+    host0 = _host_decode(pkts0)
+    # this seed's content lands at 47 dB even decoded solo (f32 vs f64);
+    # the assertion pins that the mixed batch does not degrade it
+    assert _snr(host0[2 * 2048:], out[0, 2 * 2048:]) > 45.0
+    assert np.abs(out[1, 4 * 2048:]).max() > 1000  # core-only, audible
