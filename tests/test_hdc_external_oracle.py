@@ -312,3 +312,51 @@ def test_bitflip_fuzz_no_crash():
             p[rng.integers(0, len(p))] ^= 1 << rng.integers(0, 8)
         out = dec.decode(bytes(p))  # must return ndarray or None
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_sbr_interpol_freq_off():
+    """bs_interpol_freq=0 (per-band averaged gains) against libavcodec:
+    the header-extra-2 fields must survive both serializations and the
+    averaged-gain envelope must land the same band energies."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    hdr = SbrHeader(start_freq=8, stop_freq=7, amp_res=0, xover_band=2,
+                    interpol_freq=0)
+    n_frames = 14
+    s = _signal(n_frames, hiband=True)
+    pcm = np.stack([s, s * 0.9], -1) * 0.8
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, ms=False,
+                     intensity=False, sbr_header=hdr)
+    dec = HDCDecoder()
+    adts = b""
+    ours = []
+    for k in range(n_frames):
+        h, a = enc.encode_frame_dual(pcm[k * 2048:(k + 1) * 2048])
+        adts += a
+        full = dec.decode_float(h)
+        assert full is not None
+        ours.append(full)
+    ref, rate = oracle.decode_adts(adts)
+    assert rate == 44100, "implicit SBR not engaged by libavcodec"
+    a_ = np.concatenate(ours)[:, 0] / 32768.0
+    b_ = ref[:, 0]
+    m = min(len(a_), len(b_))
+    a_, b_ = a_[:m], b_[:m]
+    X = rfft(b_)
+    k = np.arange(len(X))
+    b_ = irfft(X * np.exp(2j * np.pi * k * SBR_LAG / m), m)
+
+    def band(x, lo, hi):
+        Xb = rfft(x)
+        f = np.arange(len(Xb)) * FS / len(x)
+        return irfft(np.where((f >= lo) & (f < hi), Xb, 0), len(x))
+
+    skip = 4 * 2048
+    x = band(a_, 0, 5800)[skip:-skip]
+    y = band(b_, 0, 5800)[skip:-skip]
+    assert _snr_db(x, y) > 35.0
+    xh = band(a_, 7200, 14000)[skip:-skip]
+    yh = band(b_, 7200, 14000)[skip:-skip]
+    rms_a = np.sqrt((xh ** 2).mean())
+    rms_b = np.sqrt((yh ** 2).mean())
+    assert abs(20 * np.log10(rms_a / rms_b)) < 3.0, (rms_a, rms_b)
