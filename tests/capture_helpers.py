@@ -184,3 +184,69 @@ def fm_capture_cu8(mats, dummy, rng, sample_offset=1000, cfo_hz=100.0,
     sig = ch.impair(sig, sample_offset=sample_offset, cfo_hz=cfo_hz,
                     snr_db=snr_db, rng=rng)
     return ch.to_cu8(ch.upsample2(sig))
+
+
+def build_fm_mp11_capture(rng, n_cycles: int = 2):
+    """MP11 service-mode FM capture (widest mode): program-1 audio in P3
+    PDUs over PX1 and program-2 audio in P4 PDUs over PX2 (both
+    interleaver-IV), program-0 audio in P1; returns (complex64 signal @
+    744 kS/s, [(cycle, [p3 pkts])...], [(cycle, [p4 pkts])...])."""
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix, build_px_stream
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import (build_audio_pdu,
+                                                build_p1_fm_frame, pack_frame)
+
+    psmi, fl = 11, C.P3_FRAME_LEN_MP3_MP11
+    px_bytes = (fl - 24) // 8  # 573
+
+    def px_program(program, seed):
+        # codec mode 13 (avg 4 packets/frame, 12-bit locations): the
+        # realistic SPS-over-P3 cadence — with seq advancing 4/frame the
+        # elastic output offset (frame.c:602-609 seq math) stays aligned
+        # and full cycles surface from both receivers
+        prng = np.random.default_rng(seed)
+        packets = []
+        bits = np.zeros((n_cycles, 16, fl), np.uint8)
+        for cyc in range(n_cycles):
+            for f in range(16):
+                pkts = [prng.integers(0, 256, 120).astype(np.uint8)
+                        .tobytes() for _ in range(4)]
+                packets.append((cyc, pkts))
+                g = cyc * 16 + f
+                pdu = build_audio_pdu(pkts, program=program,
+                                      pdu_seq=g % 8, seq=(g * 4) % 64,
+                                      codec_mode=13, total_len=px_bytes)
+                bits[cyc, f] = pack_frame(pdu, fl, C.PCI_AUDIO)
+        stream = build_px_stream(bits, fl)
+        return packets, stream.reshape(n_cycles * 32 * C.BLKSZ, -1)
+
+    p3_packets, px1_view = px_program(1, rng.integers(1 << 30))
+    p4_packets, px2_view = px_program(2, rng.integers(1 << 30))
+    width = px1_view.shape[1]
+
+    # P1 must carry valid audio PDUs too (garbage would hard-resync)
+    mats = []
+    pids = np.zeros((16, 80), np.uint8)
+    for f in range(2 * n_cycles):
+        pkts = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                for _ in range(32)]
+        p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=f % 8,
+                               seq=(f * 32) % 64)
+        mats.append(build_pm_matrix(p1, pids))
+
+    lead = 2
+    dummy = mats[0]
+    matrix = np.concatenate([dummy[(16 - lead) * 32:]] + mats
+                            + [dummy[:2 * 32]])
+    junk = rng.choice(np.array([-1, 1], np.int8), (lead * 32, width))
+    trail = rng.choice(np.array([-1, 1], np.int8), (2 * 32, width))
+    px1_all = np.concatenate([junk, px1_view, trail])
+    px2_all = np.concatenate([junk, px2_view, trail])
+    bc_seq = np.concatenate([np.arange(16 - lead, 16),
+                             np.tile(np.arange(16), 2 * n_cycles),
+                             np.arange(2)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px1_all,
+                      px2_signs=px2_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+    return sig, p3_packets, p4_packets
