@@ -883,3 +883,93 @@ def test_reference_agrees_mp11_px1_px2(reference_nrsc5):
     sent_p4 = {p for c, pk in p4_packets for p in pk}
     assert our_prog(1) <= sent_p3 and our_prog(2) <= sent_p4
     assert ref_prog(1) <= sent_p3 and ref_prog(2) <= sent_p4
+
+
+def test_reference_agrees_mp2_px1(reference_nrsc5):
+    """MP2 service mode cross-check: one extended partition per
+    sideband, 2304-bit P3 frames — the narrowest PX geometry
+    (reference: src/sync.c:537-560 cm=2, src/frame.c MP2 2304b)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix, build_px_stream
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import (build_audio_pdu,
+                                                build_p1_fm_frame,
+                                                pack_frame)
+    from .capture_helpers import complex_to_cs16
+    from nrsc5_tpu import constants as C
+
+    rng = np.random.default_rng(0x3B2)
+    psmi, fl, n_cycles = 2, C.P3_FRAME_LEN_MP2, 2
+    px_bytes = (fl - 24) // 8  # 285
+
+    p3_packets = []
+    p3_bits = np.zeros((n_cycles, 16, fl), np.uint8)
+    for cyc in range(n_cycles):
+        for f in range(16):
+            pkts = [rng.integers(0, 256, 56).astype(np.uint8).tobytes()
+                    for _ in range(4)]
+            p3_packets.append((cyc, pkts))
+            g = cyc * 16 + f
+            pdu = build_audio_pdu(pkts, program=1, pdu_seq=g % 8,
+                                  seq=(g * 4) % 64, codec_mode=13,
+                                  total_len=px_bytes)
+            p3_bits[cyc, f] = pack_frame(pdu, fl, C.PCI_AUDIO)
+    sview = build_px_stream(p3_bits, fl) \
+        .reshape(n_cycles * 32 * C.BLKSZ, -1)
+    width = sview.shape[1]
+
+    mats = []
+    pids = np.zeros((16, 80), np.uint8)
+    for f in range(2 * n_cycles):
+        pkts = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                for _ in range(32)]
+        p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=f % 8,
+                               seq=(f * 32) % 64)
+        mats.append(build_pm_matrix(p1, pids))
+    lead = 2
+    dummy = mats[0]
+    matrix = np.concatenate([dummy[(16 - lead) * 32:]] + mats
+                            + [dummy[:2 * 32]])
+    junk = rng.choice(np.array([-1, 1], np.int8), (lead * 32, width))
+    trail = rng.choice(np.array([-1, 1], np.int8), (2 * 32, width))
+    px_all = np.concatenate([junk, sview, trail])
+    bc_seq = np.concatenate([np.arange(16 - lead, 16),
+                             np.tile(np.arange(16), 2 * n_cycles),
+                             np.arange(2)])
+    sig = modulate_fm(matrix, bc_seq, psmi, px1_signs=px_all)
+    sig = ch.impair(sig, snr_db=25.0, rng=rng)
+    data = complex_to_cs16(sig)
+
+    events = []
+    radio = mod.NRSC5(lambda t, e: events.append((t, e)))
+    radio.open_pipe()
+    for i in range(0, len(data), 131072):
+        radio.pipe_samples_cs16(data[i:i + 131072])
+    radio.close()
+    ET = mod.EventType
+    syncs = [e for t, e in events if t == ET.SYNC]
+    assert syncs and any(s.psmi == 2 for s in syncs), \
+        f"reference did not report MP2 sync: {syncs}"
+    cyc1 = {p for cyc, pkts in p3_packets if cyc == 1 for p in pkts}
+    ref_p3 = {bytes(e.data) for t, e in events
+              if t == ET.HDC and e.program == 1
+              and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    assert len(ref_p3 & cyc1) >= 56, len(ref_p3 & cyc1)
+
+    from nrsc5_tpu.api.events import EventType as OurET
+    from nrsc5_tpu.api.session import MODE_FM, NRSC5
+
+    our_events = []
+    our = NRSC5.open_pipe(our_events.append, MODE_FM)
+    cs16 = np.frombuffer(data, np.int16).reshape(-1, 2)
+    csig = (cs16[:, 0] + 1j * cs16[:, 1]).astype(np.complex64) / 32767.0
+    for i in range(0, len(csig), 131072):
+        our.pipe_samples_cs16(csig[i:i + 131072])
+    our.flush()
+    our_p3 = {bytes(e.data) for e in our_events
+              if e.type == OurET.HDC and not e.crc_error
+              and e.program == 1}
+    assert len(our_p3 & cyc1) >= 60, f"framework MP2 PX1: {len(our_p3 & cyc1)}/64"
+    sent = {p for c, pk in p3_packets for p in pk}
+    assert our_p3 <= sent and ref_p3 <= sent
