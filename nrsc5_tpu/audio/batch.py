@@ -638,3 +638,77 @@ class BatchedAudioDecoder:
         pcm = np.asarray(pcm)                  # [N, K*2048]
         pcm = pcm.reshape(self.n, 2, -1).transpose(0, 2, 1)
         return np.clip(np.round(pcm), -32768, 32767).astype(np.int16)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (serving analog:
+    # serve.MultiStationReceiver.checkpoint — SURVEY §5 A4)
+    # ------------------------------------------------------------------
+    _STATE_KEYS = ("overlap", "qa_hist", "syn_hist", "tail_r", "tail_i")
+    _HDR_FIELDS = ("amp_res", "start_freq", "stop_freq", "xover_band",
+                   "freq_scale", "alter_scale", "noise_bands",
+                   "limiter_bands", "limiter_gains", "interpol_freq",
+                   "smoothing_mode")
+
+    def checkpoint(self) -> dict:
+        """Snapshot the streaming decode state as named numpy arrays —
+        the device pytree (overlap, QMF histories, LPC tails), the host
+        SBR bookkeeping (chirp, noise index, window shapes, persisted
+        harmonics), and each program parser's cross-packet state (SBR
+        header + delta-time carries + the PNS generator).  Restorable
+        cross-process via ``np.savez(path, **checkpoint())`` into a
+        fresh, identically-parameterized decoder."""
+        import json
+        out = {}
+        if self._state is not None:
+            for name in self._STATE_KEYS:
+                out[f"dev_{name}"] = np.asarray(self._state[name])
+        out["bw"] = self._bw.copy()
+        out["noise_index"] = self._noise_index.copy()
+        out["prev_shape"] = self._prev_shape.copy()
+        for ln, h in enumerate(self._prev_harm):
+            out[f"prev_harm_{ln}"] = (np.zeros(0, bool) if h is None
+                                      else np.asarray(h, bool))
+        for p, dec in enumerate(self._parsers):
+            rng_state = dec._rng.bit_generator.state
+            out[f"rng_{p}"] = np.frombuffer(
+                json.dumps(rng_state).encode(), np.uint8)
+            for c, sb in enumerate(dec._sbr):
+                hdr = sb.header
+                out[f"hdr_{p}_{c}"] = np.asarray(
+                    [] if hdr is None else
+                    [getattr(hdr, f) for f in self._HDR_FIELDS],
+                    np.int64)
+                for nm, v in (("penv", sb.prev_env),
+                              ("pnoise", sb.prev_noise)):
+                    out[f"{nm}_{p}_{c}"] = \
+                        (np.zeros(0) if v is None
+                         else np.asarray(v, np.float64))
+        return out
+
+    def restore(self, state):
+        """Install a :meth:`checkpoint` snapshot (dict or NpzFile)."""
+        import json
+        if f"dev_{self._STATE_KEYS[0]}" in state:
+            self._state = {k: jnp.asarray(np.asarray(state[f"dev_{k}"]))
+                           for k in self._STATE_KEYS}
+        self._bw = np.asarray(state["bw"]).copy()
+        self._noise_index = np.asarray(state["noise_index"]).copy()
+        self._prev_shape = np.asarray(state["prev_shape"]).copy()
+        for ln in range(self.lanes):
+            h = np.asarray(state[f"prev_harm_{ln}"])
+            self._prev_harm[ln] = None if h.size == 0 \
+                else h.astype(bool)
+        for p, dec in enumerate(self._parsers):
+            dec._rng.bit_generator.state = json.loads(
+                np.asarray(state[f"rng_{p}"]).tobytes().decode())
+            for c, sb in enumerate(dec._sbr):
+                hv = np.asarray(state[f"hdr_{p}_{c}"])
+                if hv.size:
+                    sb.header = S.SbrHeader(
+                        **{f: int(x) for f, x in
+                           zip(self._HDR_FIELDS, hv)})
+                    sb.tables = S.derive_tables(sb.header)
+                pe = np.asarray(state[f"penv_{p}_{c}"])
+                sb.prev_env = pe if pe.size else None
+                pn = np.asarray(state[f"pnoise_{p}_{c}"])
+                sb.prev_noise = pn if pn.size else None

@@ -179,3 +179,44 @@ class FleetAudioDecoder:
             self._work.put(None)
             self._worker.join()
             self._worker = None
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (serving analog:
+    # serve.MultiStationReceiver.save/load — SURVEY §5 A4)
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> dict:
+        """Drain in-flight decodes, then snapshot the decoder state
+        (BatchedAudioDecoder.checkpoint) plus the undecoded per-station
+        packet queues as named numpy arrays."""
+        if self._worker is not None:
+            self._work.join()
+        with self._lock:
+            out = self._dec.checkpoint()
+            for i, q in enumerate(self._queues):
+                out[f"q_{i}"] = np.frombuffer(b"".join(q), np.uint8) \
+                    if q else np.zeros(0, np.uint8)
+                out[f"qlen_{i}"] = np.asarray([len(pk) for pk in q],
+                                              np.int64)
+        return out
+
+    def restore(self, state):
+        """Install a :meth:`checkpoint` snapshot (dict or NpzFile) into
+        this fresh, identically-parameterized decoder."""
+        self._dec.restore(state)
+        queues = []
+        for i in range(self.n):
+            flat = np.asarray(state[f"q_{i}"], np.uint8).tobytes()
+            q, pos = [], 0
+            for ln in np.asarray(state[f"qlen_{i}"]):
+                q.append(flat[pos:pos + int(ln)])
+                pos += int(ln)
+            queues.append(q)
+        with self._lock:
+            self._queues = queues
+
+    def save(self, path: str):
+        """Persist to an ``.npz`` restorable in a fresh process."""
+        np.savez(path, **self.checkpoint())
+
+    def load(self, path: str):
+        self.restore(np.load(path))

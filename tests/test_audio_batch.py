@@ -254,3 +254,41 @@ def test_batch_mixed_headers_fallback():
     # the assertion pins that the mixed batch does not degrade it
     assert _snr(host0[2 * 2048:], out[0, 2 * 2048:]) > 45.0
     assert np.abs(out[1, 4 * 2048:]).max() > 1000  # core-only, audible
+
+
+def test_fleet_audio_checkpoint_resume(tmp_path):
+    """Cross-process-style save/load mid-stream: decode half through
+    fleet A, save (undecoded queue included), load into a fresh fleet B,
+    decode the rest — the concatenated PCM must equal an uninterrupted
+    decode (int16 rounding tolerance, like the state-carry test)."""
+    from nrsc5_tpu.api.events import EventType, make
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+
+    pkts = _packets(12, seed=17)
+    path = str(tmp_path / "fleet_audio.npz")
+
+    def hdc(p):
+        return make(EventType.HDC, program=0, data=p, crc_error=False)
+
+    ev_a = []
+    fa = FleetAudioDecoder(1, lambda st, ev: ev_a.append(ev), k=4)
+    for p in pkts[:6]:  # one batch dispatched, 2 packets queued
+        fa.wrap(0, hdc(p))
+    fa.save(path)
+    fa.close()
+
+    ev_b = []
+    fb = FleetAudioDecoder(1, lambda st, ev: ev_b.append(ev), k=4)
+    fb.load(path)
+    for p in pkts[6:]:
+        fb.wrap(0, hdc(p))
+    fb.flush()
+    fb.close()
+
+    audio = [e for e in ev_a + ev_b if e.type == EventType.AUDIO]
+    assert len(audio) == 12
+    pcm = np.concatenate([np.asarray(e.samples) for e in audio]) \
+        .astype(np.int64)
+    one = BatchedAudioDecoder(1).decode([pkts])[0].reshape(-1) \
+        .astype(np.int64)
+    assert np.abs(pcm - one).max() <= 1
