@@ -123,7 +123,8 @@ def _short_windows(shape: int, prev: int) -> np.ndarray:
 # ----------------------------------------------------------------------
 # the jitted device stage
 # ----------------------------------------------------------------------
-def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
+def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
+                    smooth: bool = False):
     kx, m = ft.kx, ft.m
     n_low = min(kx, 32)
     # band indicator matrices for bs_interpol_freq=0 gain averaging
@@ -334,12 +335,40 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         # expand per-envelope values to slots
         gain_s = jnp.einsum("nkse,nkem->nksm", env_seg, gain,
                            precision=jax.lax.Precision.HIGHEST)
-        qm_s = jnp.einsum("nkse,nkem->nksm", env_seg,
-                          delta_e[..., None] * q_m * (1.0 - s_mapped),
-                          precision=jax.lax.Precision.HIGHEST)
         sm_s = jnp.einsum("nkse,nkem->nksm", env_seg, s_m,
                           precision=jax.lax.Precision.HIGHEST)
         cover = env_seg.sum(axis=3)            # [N, K, NSLOT]
+
+        if smooth:
+            # bs_smoothing_mode=0 (§4.6.18.7.5): 5-tap h_smooth over the
+            # per-slot raw gain/noise trajectories, 4 slots of carried
+            # history, gate after filtering (host twin:
+            # sbr.SBRDecoder._hf_adjust)
+            q_raw_s = jnp.einsum("nkse,nkem->nksm", env_seg, q_m,
+                                 precision=jax.lax.Precision.HIGHEST)
+            gate_s = jnp.einsum("nkse,nkem->nksm", env_seg,
+                                delta_e[..., None] * (1.0 - s_mapped),
+                                precision=jax.lax.Precision.HIGHEST)
+            HSM = S.H_SMOOTH
+            gt = jnp.concatenate(
+                [state["g_hist"][:, :, :m],
+                 gain_s.reshape(N, S_tot, m)], axis=1)
+            qt = jnp.concatenate(
+                [state["q_hist"][:, :, :m],
+                 q_raw_s.reshape(N, S_tot, m)], axis=1)
+            gain_s = sum(HSM[j] * gt[:, 4 - j:4 - j + S_tot]
+                         for j in range(5)).reshape(N, K, NSLOT, m)
+            q_filt = sum(HSM[j] * qt[:, 4 - j:4 - j + S_tot]
+                         for j in range(5)).reshape(N, K, NSLOT, m)
+            pad = jnp.zeros((N, 4, 64 - m), jnp.float32)
+            new_g_hist = jnp.concatenate([gt[:, -4:], pad], axis=2)
+            new_q_hist = jnp.concatenate([qt[:, -4:], pad], axis=2)
+            qm_s = gate_s * q_filt
+        else:
+            qm_s = jnp.einsum(
+                "nkse,nkem->nksm", env_seg,
+                delta_e[..., None] * q_m * (1.0 - s_mapped),
+                precision=jax.lax.Precision.HIGHEST)
 
         # noise phasors from the running index (advances on covered slots)
         nstart = inp["noise_start"]            # [N, K, NSLOT] int32
@@ -388,6 +417,9 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool):
         new_state = {"overlap": new_overlap, "qa_hist": new_qa_hist,
                      "syn_hist": new_syn_hist,
                      "tail_r": new_tail_r, "tail_i": new_tail_i}
+        if smooth:  # trajectory carry only exists for smoothing headers
+            new_state["g_hist"] = new_g_hist
+            new_state["q_hist"] = new_q_hist
         return new_state, pcm
 
     return fn
@@ -432,7 +464,7 @@ class BatchedAudioDecoder:
         key = (K, hdr.amp_res, hdr.start_freq, hdr.stop_freq,
                hdr.xover_band, hdr.freq_scale, hdr.alter_scale,
                hdr.noise_bands, hdr.limiter_bands, hdr.limiter_gains,
-               hdr.interpol_freq)
+               hdr.interpol_freq, hdr.smoothing_mode)
         if getattr(self, "_key", None) != key:
             self._key = key
             self._ft = ft
@@ -463,19 +495,40 @@ class BatchedAudioDecoder:
             self._nb_of_tgt = nb_t
             dev_fn = _make_device_fn(
                 ft, S.LIM_GAINS[hdr.limiter_gains],
-                interpol=bool(hdr.interpol_freq))
+                interpol=bool(hdr.interpol_freq),
+                smooth=not hdr.smoothing_mode)
             kwargs = {}
             if self._backend is not None:
                 kwargs["backend"] = self._backend
             self._fn = jax.jit(dev_fn, donate_argnums=(0,), **kwargs)
             self._K = K
+            N = self.lanes
+            z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
             if self._state is None:  # first build only — state persists
-                N = self.lanes
-                z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
                 self._state = {
                     "overlap": z(N, 1024), "qa_hist": z(N, 288),
                     "syn_hist": z(N, 9, 128),
                     "tail_r": z(N, 2, 32), "tail_i": z(N, 2, 32)}
+            # smoothing-header trajectory carry: present only when the
+            # batch header smooths (keeps the default path's eagerly
+            # shipped state 64 KB smaller per dispatch); zeroed on a
+            # header change like the host set_header, persisted across
+            # pure batch-size rebuilds
+            if key[1:] != getattr(self, "_hdr_key", None):
+                self._hdr_key = key[1:]
+                if getattr(self, "_restored", False):
+                    # first build after restore(): keep the restored
+                    # trajectories, just reconcile presence
+                    self._restored = False
+                else:
+                    self._state.pop("g_hist", None)
+                    self._state.pop("q_hist", None)
+                if not hdr.smoothing_mode:
+                    self._state.setdefault("g_hist", z(N, 4, 64))
+                    self._state.setdefault("q_hist", z(N, 4, 64))
+                else:
+                    self._state.pop("g_hist", None)
+                    self._state.pop("q_hist", None)
 
     _BW_TAB = np.array([0.0, 0.75, 0.9, 0.98])
 
@@ -643,7 +696,8 @@ class BatchedAudioDecoder:
     # checkpoint / resume (serving analog:
     # serve.MultiStationReceiver.checkpoint — SURVEY §5 A4)
     # ------------------------------------------------------------------
-    _STATE_KEYS = ("overlap", "qa_hist", "syn_hist", "tail_r", "tail_i")
+    _STATE_KEYS = ("overlap", "qa_hist", "syn_hist", "tail_r", "tail_i",
+                   "g_hist", "q_hist")
     _HDR_FIELDS = ("amp_res", "start_freq", "stop_freq", "xover_band",
                    "freq_scale", "alter_scale", "noise_bands",
                    "limiter_bands", "limiter_gains", "interpol_freq",
@@ -661,7 +715,8 @@ class BatchedAudioDecoder:
         out = {}
         if self._state is not None:
             for name in self._STATE_KEYS:
-                out[f"dev_{name}"] = np.asarray(self._state[name])
+                if name in self._state:  # g/q_hist: smoothing headers
+                    out[f"dev_{name}"] = np.asarray(self._state[name])
         out["bw"] = self._bw.copy()
         out["noise_index"] = self._noise_index.copy()
         out["prev_shape"] = self._prev_shape.copy()
@@ -690,7 +745,9 @@ class BatchedAudioDecoder:
         import json
         if f"dev_{self._STATE_KEYS[0]}" in state:
             self._state = {k: jnp.asarray(np.asarray(state[f"dev_{k}"]))
-                           for k in self._STATE_KEYS}
+                           for k in self._STATE_KEYS
+                           if f"dev_{k}" in state}
+            self._restored = True  # _ensure keeps restored trajectories
         self._bw = np.asarray(state["bw"]).copy()
         self._noise_index = np.asarray(state["noise_index"]).copy()
         self._prev_shape = np.asarray(state["prev_shape"]).copy()

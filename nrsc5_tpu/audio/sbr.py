@@ -47,6 +47,9 @@ FIXFIX, FIXVAR, VARFIX, VARVAR = 0, 1, 2, 3
 EPS = 1e-12
 LIM_GAINS = (0.70795, 1.0, 1.41254, 1e10)  # -3, 0, +3 dB, boost-only
 MAX_BOOST = 1.584893192
+# §4.6.18.7.5 h_smooth (j=0 = current slot), bs_smoothing_mode=0 filter
+H_SMOOTH = (0.33333333333333, 0.30150283239582, 0.21816949906249,
+            0.11516383427084, 0.03183050093751)
 NOISE_FLOOR_OFFSET = 6
 NOISE_TABLE = T.FF_SBR_NOISE_TABLE[:512, 0] + 1j * T.FF_SBR_NOISE_TABLE[:512, 1]
 
@@ -740,6 +743,9 @@ class SBRDecoder:
         self.bw = np.zeros(5)
         self.x_low_tail = np.zeros((2, 32), np.complex128)  # LPC history
         self.noise_index = 0
+        # bs_smoothing_mode=0 gain/noise trajectories (4 slots of carry)
+        self._g_hist: np.ndarray | None = None
+        self._q_hist: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     def upsample_only(self, core: np.ndarray) -> np.ndarray:
@@ -758,6 +764,8 @@ class SBRDecoder:
             self.prev_env = None
             self.prev_noise = None
             self.prev_harmonics = None
+            self._g_hist = None
+            self._q_hist = None
 
     def process(self, core: np.ndarray, data: SbrData) -> np.ndarray:
         """Full SBR reconstruction for one channel/frame."""
@@ -839,11 +847,18 @@ class SBRDecoder:
     # ------------------------------------------------------------------
     def _hf_adjust(self, X: np.ndarray, x_high: np.ndarray, data: SbrData):
         """Envelope/noise/sinusoid/gain application (§4.6.18.7), with the
-        limiter and boost per limiter band; gain smoothing off
-        (bs_smoothing_mode default 1)."""
+        limiter and boost per limiter band; bs_smoothing_mode=0 applies
+        the 5-tap h_smooth filter over the per-slot gain/noise
+        trajectories (§4.6.18.7.5) with 4 slots of cross-frame carry."""
         hdr, ft = self.header, self.tables
         lim_gain = LIM_GAINS[hdr.limiter_gains]
         kx, m = ft.kx, ft.m
+
+        g_slot = np.zeros((NUM_SLOTS, m))
+        q_slot = np.zeros((NUM_SLOTS, m))     # raw Q_M (post limit/boost)
+        gate_slot = np.zeros((NUM_SLOTS, m))  # delta * (1 - s_mapped)
+        s_slot = np.zeros((NUM_SLOTS, m))
+        covered = np.zeros(NUM_SLOTS, bool)
 
         for e in range(data.n_env):
             lo, hi = data.t_e[e] * RATE, data.t_e[e + 1] * RATE
@@ -927,13 +942,35 @@ class SBRDecoder:
                 q_m[s] *= boost
                 s_m[s] *= boost
 
-            # apply: signal gain + noise filling + sinusoids
-            X[lo:hi, kx:kx + m] = seg * gain
-            add_noise = delta * np.where(s_mapped, 0.0, q_m)
-            for sl in range(lo, hi):
-                idx = (self.noise_index + 1 + np.arange(m)) & 511
-                self.noise_index = int(idx[-1])
-                X[sl, kx:kx + m] += add_noise * NOISE_TABLE[idx]
-                if s_m.any():
-                    phase = 1j ** ((sl + np.arange(m)) & 3)
-                    X[sl, kx:kx + m] += s_m * phase
+            g_slot[lo:hi] = gain
+            q_slot[lo:hi] = q_m
+            gate_slot[lo:hi] = delta * (~s_mapped)
+            s_slot[lo:hi] = s_m
+            covered[lo:hi] = True
+
+        if not hdr.smoothing_mode:
+            # temporal smoothing: filter the raw trajectories, then gate
+            # (noise off where a sinusoid sits / on transient envelopes)
+            if self._g_hist is None or self._g_hist.shape[1] != m:
+                self._g_hist = np.zeros((4, m))
+                self._q_hist = np.zeros((4, m))
+            gt = np.concatenate([self._g_hist, g_slot])
+            qt = np.concatenate([self._q_hist, q_slot])
+            g_slot = sum(H_SMOOTH[j] * gt[4 - j:4 - j + NUM_SLOTS]
+                         for j in range(5))
+            q_slot = sum(H_SMOOTH[j] * qt[4 - j:4 - j + NUM_SLOTS]
+                         for j in range(5))
+            self._g_hist, self._q_hist = gt[-4:].copy(), qt[-4:].copy()
+
+        # apply: signal gain + noise filling + sinusoids
+        for sl in range(NUM_SLOTS):
+            if not covered[sl]:
+                continue
+            X[sl, kx:kx + m] = x_high[sl] * g_slot[sl]
+            idx = (self.noise_index + 1 + np.arange(m)) & 511
+            self.noise_index = int(idx[-1])
+            X[sl, kx:kx + m] += gate_slot[sl] * q_slot[sl] \
+                * NOISE_TABLE[idx]
+            if s_slot[sl].any():
+                phase = 1j ** ((sl + np.arange(m)) & 3)
+                X[sl, kx:kx + m] += s_slot[sl] * phase

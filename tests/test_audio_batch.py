@@ -292,3 +292,71 @@ def test_fleet_audio_checkpoint_resume(tmp_path):
     one = BatchedAudioDecoder(1).decode([pkts])[0].reshape(-1) \
         .astype(np.int64)
     assert np.abs(pcm - one).max() <= 1
+
+
+def test_batch_smoothing_mode():
+    """bs_smoothing_mode=0 (temporal gain smoothing, §4.6.18.7.5): the
+    device 5-tap trajectory filter must match the host decoder.  The
+    filter's own effect is ~36 dB below the signal (measured
+    filter-vs-identity), so a >55 dB device==host bound discriminates
+    wrong/missing smoothing; streaming state carry must also hold."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    hdr = SbrHeader(start_freq=8, stop_freq=7, amp_res=0, xover_band=2,
+                    smoothing_mode=0)
+    rng = np.random.default_rng(6)
+    n = 10 * 2048
+    t = np.arange(n) / FS
+    S2 = rfft(rng.standard_normal(n))
+    f = np.arange(len(S2)) * FS / n
+    hi = irfft(np.where((f > 6000) & (f < 13000), S2, 0), n)
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 13.0 * t)  # moving envelopes
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.35 * hi * am
+    pcm = np.stack([sig, sig * 0.85], -1) * 0.7
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, sbr_header=hdr)
+    pkts = [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(10)]
+    host = _host_decode(pkts)
+    out = BatchedAudioDecoder(1).decode([pkts]).astype(np.float64)[0]
+    assert _snr(host[2 * 2048:], out[2 * 2048:]) > 55.0
+    # streaming split must carry the trajectory history (different K
+    # compiles retile the 5-tap sums, so allow a few int16 LSB ~ -84 dB
+    # instead of the unsmoothed path's rounding-tie bound)
+    bat = BatchedAudioDecoder(1)
+    two = np.concatenate([bat.decode([pkts[:5]])[0],
+                          bat.decode([pkts[5:]])[0]]).astype(np.int64)
+    one = BatchedAudioDecoder(1).decode([pkts])[0].astype(np.int64)
+    assert np.abs(one - two).max() <= 8
+
+
+def test_batch_smoothing_checkpoint_resume(tmp_path):
+    """The smoothing trajectory history must survive checkpoint/restore:
+    split with a save/load across instances == uninterrupted decode."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    hdr = SbrHeader(start_freq=8, stop_freq=7, amp_res=0, xover_band=2,
+                    smoothing_mode=0)
+    rng = np.random.default_rng(14)
+    n = 8 * 2048
+    t = np.arange(n) / FS
+    S2 = rfft(rng.standard_normal(n))
+    f = np.arange(len(S2)) * FS / n
+    hi = irfft(np.where((f > 6000) & (f < 13000), S2, 0), n)
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 13.0 * t)
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.35 * hi * am
+    pcm = np.stack([sig, sig * 0.85], -1) * 0.7
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, sbr_header=hdr)
+    pkts = [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(8)]
+    one = BatchedAudioDecoder(1).decode([pkts]).astype(np.int64)[0]
+
+    import numpy as _np
+    path = str(tmp_path / "smooth.npz")
+    a = BatchedAudioDecoder(1)
+    first = a.decode([pkts[:4]])[0]
+    _np.savez(path, **a.checkpoint())
+    b = BatchedAudioDecoder(1)
+    b.restore(_np.load(path))
+    second = b.decode([pkts[4:]])[0]
+    two = np.concatenate([first, second]).astype(np.int64)
+    assert np.abs(one - two).max() <= 8

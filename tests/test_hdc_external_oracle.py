@@ -360,3 +360,60 @@ def test_sbr_interpol_freq_off():
     rms_a = np.sqrt((xh ** 2).mean())
     rms_b = np.sqrt((yh ** 2).mean())
     assert abs(20 * np.log10(rms_a / rms_b)) < 3.0, (rms_a, rms_b)
+
+
+def test_sbr_smoothing_mode_on():
+    """bs_smoothing_mode=0 headers against libavcodec: the header bit
+    must survive both serializations, ffmpeg must engage SBR, and band
+    energies must agree.  NB: the smoothing filter itself sits ~36 dB
+    below the signal while the HF patch-map differences cap oracle
+    agreement near 1 dB, so this cannot discriminate filter semantics —
+    test_audio_batch.test_batch_smoothing_mode pins the host==device
+    filter parity at a level that does."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    hdr = SbrHeader(start_freq=8, stop_freq=7, amp_res=0, xover_band=2,
+                    smoothing_mode=0)
+    n_frames = 14
+    s = _signal(n_frames, hiband=True)
+    pcm = np.stack([s, s * 0.9], -1) * 0.8
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, ms=False,
+                     intensity=False, sbr_header=hdr)
+    dec = HDCDecoder()
+    adts = b""
+    ours = []
+    for k in range(n_frames):
+        h, a = enc.encode_frame_dual(pcm[k * 2048:(k + 1) * 2048])
+        adts += a
+        full = dec.decode_float(h)
+        assert full is not None
+        ours.append(full)
+    ref, rate = oracle.decode_adts(adts)
+    assert rate == 44100, "implicit SBR not engaged by libavcodec"
+    a_ = np.concatenate(ours)[:, 0] / 32768.0
+    b_ = ref[:, 0]
+    m = min(len(a_), len(b_))
+    a_, b_ = a_[:m], b_[:m]
+    X = rfft(b_)
+    k = np.arange(len(X))
+    b_ = irfft(X * np.exp(2j * np.pi * k * SBR_LAG / m), m)
+
+    def band(x, lo, hi):
+        Xb = rfft(x)
+        f = np.arange(len(Xb)) * FS / len(x)
+        return irfft(np.where((f >= lo) & (f < hi), Xb, 0), len(x))
+
+    skip = 4 * 2048
+    x = band(a_, 0, 5800)[skip:-skip]
+    y = band(b_, 0, 5800)[skip:-skip]
+    assert _snr_db(x, y) > 35.0  # low band untouched by smoothing
+    xh = band(a_, 7200, 14000)[skip:-skip]
+    yh = band(b_, 7200, 14000)[skip:-skip]
+    rms_a = np.sqrt((xh ** 2).mean())
+    rms_b = np.sqrt((yh ** 2).mean())
+    assert abs(20 * np.log10(rms_a / rms_b)) < 3.0, (rms_a, rms_b)
+    # waveform correlation of the regenerated band: the smoothing filter
+    # shapes the gain trajectory — a wrong filter (or none) decorrelates
+    c = float(np.dot(xh, yh)
+              / (np.linalg.norm(xh) * np.linalg.norm(yh) + 1e-12))
+    assert c > 0.35, c
