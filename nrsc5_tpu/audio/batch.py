@@ -356,14 +356,21 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
             qt = jnp.concatenate(
                 [state["q_hist"][:, :, :m],
                  q_raw_s.reshape(N, S_tot, m)], axis=1)
-            gain_s = sum(HSM[j] * gt[:, 4 - j:4 - j + S_tot]
-                         for j in range(5)).reshape(N, K, NSLOT, m)
-            q_filt = sum(HSM[j] * qt[:, 4 - j:4 - j + S_tot]
-                         for j in range(5)).reshape(N, K, NSLOT, m)
+            g_f = sum(HSM[j] * gt[:, 4 - j:4 - j + S_tot]
+                      for j in range(5)).reshape(N, K, NSLOT, m)
+            q_f = sum(HSM[j] * qt[:, 4 - j:4 - j + S_tot]
+                      for j in range(5)).reshape(N, K, NSLOT, m)
             pad = jnp.zeros((N, 4, 64 - m), jnp.float32)
             new_g_hist = jnp.concatenate([gt[:, -4:], pad], axis=2)
             new_q_hist = jnp.concatenate([qt[:, -4:], pad], axis=2)
-            qm_s = gate_s * q_filt
+            # transient envelopes bypass the filter (delta_e is exactly
+            # the per-envelope transient indicator; history still
+            # advances with the raw trajectory) — host twin semantics
+            ok_s = jnp.einsum("nkse,nke->nks", env_seg, delta_e,
+                              precision=jax.lax.Precision.HIGHEST)[
+                ..., None]
+            gain_s = ok_s * g_f + (1.0 - ok_s) * gain_s
+            qm_s = gate_s * (ok_s * q_f + (1.0 - ok_s) * q_raw_s)
         else:
             qm_s = jnp.einsum(
                 "nkse,nkem->nksm", env_seg,
@@ -449,6 +456,9 @@ class BatchedAudioDecoder:
         self._noise_index = np.zeros(self.lanes, np.int64)
         self._prev_shape = np.zeros(self.lanes, np.int32)
         self._prev_harm = [None] * self.lanes
+        # prev frame ended on a transient (l_A == n_env): envelope 0 of
+        # the next frame counts as transient (host: _prev_la_end)
+        self._la_end = np.zeros(self.lanes, bool)
         self._ft = None
         self._fn = None
         self._state = None
@@ -572,7 +582,8 @@ class BatchedAudioDecoder:
             qe = 0 if d.n_noise_env == 1 or d.t_e[e] < d.t_q[1] else 1
             out["q_orig"][lane, k, e] = \
                 np.asarray(d.noise_lin[qe], np.float32) @ self._b2b_noise
-            out["delta_e"][lane, k, e] = 0.0 if e == d.la else 1.0
+            transient = (e == d.la) or (e == 0 and self._la_end[lane])
+            out["delta_e"][lane, k, e] = 0.0 if transient else 1.0
             out["freq_res"][lane, k, e] = 1.0 if d.freq_res[e] else 0.0
             if harm.any():
                 act = harm & ((e >= d.la) | prev_h)
@@ -587,6 +598,7 @@ class BatchedAudioDecoder:
             ni = (ni + m * ns) & 0x7FFFFFFF
         self._noise_index[lane] = ni
         self._prev_harm[lane] = harm
+        self._la_end[lane] = d.la == d.n_env
 
     # ------------------------------------------------------------------
     def decode(self, packets: list[list[bytes]]) -> np.ndarray:
@@ -627,12 +639,15 @@ class BatchedAudioDecoder:
         # packet whose own header differs falls back to zeroed HF below.
         cands = [s for snaps in hdr_snap for s in snaps if s is not None]
         if getattr(self, "_hdr", None) is not None \
-                and any(s == self._hdr for s in cands):
+                and (not cands or any(s == self._hdr for s in cands)):
+            # keep the sticky header — also through an all-corrupt
+            # batch (a deep-fade dispatch must not flap the compiled fn
+            # to the default header and wipe smoothing trajectories)
             hdr, ft = self._hdr, self._ft
         elif cands:
             hdr = cands[0]
             ft = S.derive_tables(hdr)
-        else:  # no SBR anywhere: derive nothing, HF silent
+        else:  # no SBR seen yet, ever: derive nothing, HF silent
             hdr = S.SbrHeader()
             ft = S.derive_tables(hdr)
         self._ensure(ft, hdr, K)
@@ -720,6 +735,7 @@ class BatchedAudioDecoder:
         out["bw"] = self._bw.copy()
         out["noise_index"] = self._noise_index.copy()
         out["prev_shape"] = self._prev_shape.copy()
+        out["la_end"] = self._la_end.copy()
         for ln, h in enumerate(self._prev_harm):
             out[f"prev_harm_{ln}"] = (np.zeros(0, bool) if h is None
                                       else np.asarray(h, bool))
@@ -751,6 +767,8 @@ class BatchedAudioDecoder:
         self._bw = np.asarray(state["bw"]).copy()
         self._noise_index = np.asarray(state["noise_index"]).copy()
         self._prev_shape = np.asarray(state["prev_shape"]).copy()
+        if "la_end" in state:
+            self._la_end = np.asarray(state["la_end"]).astype(bool)
         for ln in range(self.lanes):
             h = np.asarray(state[f"prev_harm_{ln}"])
             self._prev_harm[ln] = None if h.size == 0 \

@@ -61,13 +61,23 @@ class FleetAudioDecoder:
     """
 
     def __init__(self, n_stations: int, callback, program: int = 0,
-                 k: int = 8, backend=None, max_lag: int | None = None):
+                 k: int = 8, backend=None, max_lag: int | None = None,
+                 max_pending: int = 256):
         from nrsc5_tpu.audio.batch import BatchedAudioDecoder
         self.n = n_stations
         self._cb = callback
         self._program = program
         self._k = k
         self._max_lag = 64 if max_lag is None else max_lag
+        # bounded decode backlog: past this many undecoded batches the
+        # newest batch is SHED — emitted as silence frames, in order,
+        # without a device dispatch — so a WEDGED device cannot grow
+        # memory or latency without bound (real-time overload behaves
+        # like the reference's elastic-buffer overflow).  The default
+        # is sized to absorb the first dispatch's multi-second XLA
+        # compile (a normal backlog that must NOT shed): 256 batches
+        # of k=8 ≈ 95 s of audio, ~10 MB of packets at 16 stations.
+        self._max_pending = max_pending
         self._dec = BatchedAudioDecoder(n_stations, backend=backend)
         self._queues: list[list[bytes]] = [[] for _ in range(n_stations)]
         # a packet that always parses to silence (empty -> parse error
@@ -79,11 +89,21 @@ class FleetAudioDecoder:
         self._err: BaseException | None = None
 
     # ------------------------------------------------------------------
+    def _raise_err(self):
+        """Surface (once) an error the worker hit, before any queue
+        mutation — so no batch is popped and lost to a stale error."""
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
     def wrap(self, station: int, event: Event):
         """The receiver callback: intercept HDC, forward everything.
         Only queue bookkeeping happens here — the device dispatch runs
-        on the decode worker thread, off the ingest critical path."""
-        batch = None
+        on the decode worker thread, off the ingest critical path.
+        Popping and submitting both happen under the lock, so the
+        worker's decode order always equals the pop order (a concurrent
+        flush cannot jump ahead of a popped batch)."""
+        self._raise_err()
         if event.type == EventType.HDC and \
                 getattr(event, "program", self._program) == self._program:
             data = bytes(event.data) if not event.crc_error \
@@ -91,9 +111,9 @@ class FleetAudioDecoder:
             with self._lock:
                 self._queues[station].append(data)
                 batch = self._take_ready_locked()
+                if batch is not None:
+                    self._submit_locked(batch)
         self._cb(station, event)
-        if batch is not None:
-            self._submit(batch)
 
     # ------------------------------------------------------------------
     def _take_ready_locked(self):
@@ -121,14 +141,20 @@ class FleetAudioDecoder:
             del self._queues[i][:take]
         return (batch, [take] * self.n)
 
-    def _submit(self, item):
-        if self._err is not None:
-            raise self._err
+    def _submit_locked(self, item, shed_ok: bool = True):
+        """Enqueue a popped batch for the worker.  Caller holds
+        self._lock (ordering + quiesced-checkpoint guarantee).  Over
+        the pending bound the batch is shed: a marker rides the same
+        queue so its silence frames still come out in order."""
         if self._worker is None:
             self._worker = threading.Thread(
                 target=self._run, name="fleet-audio", daemon=True)
             self._worker.start()
-        self._work.put(item)
+        batch, lens = item
+        if shed_ok and self._work.qsize() >= self._max_pending:
+            self._work.put((None, lens))
+        else:
+            self._work.put(item)
 
     def _run(self):
         while True:
@@ -136,7 +162,16 @@ class FleetAudioDecoder:
             try:
                 if item is None:
                     return
-                self._decode_emit(*item)
+                batch, lens = item
+                if batch is None:  # shed under overload: silence frames
+                    z = np.zeros(4096, np.int16)
+                    for i in range(self.n):
+                        for _ in range(lens[i]):
+                            self._cb(i, make(
+                                EventType.AUDIO, program=self._program,
+                                samples=z))
+                else:
+                    self._decode_emit(batch, lens)
             except BaseException as e:  # surfaced on the next flush/wrap
                 self._err = e
             finally:
@@ -154,7 +189,9 @@ class FleetAudioDecoder:
         """Decode whatever is queued (stations short of the common depth
         are padded with silence packets; their padding output is
         dropped) and block until the worker has drained — after flush()
-        every queued packet's AUDIO event has been delivered."""
+        every queued packet's AUDIO event has been delivered.  The
+        final batch is never shed (end-of-stream correctness beats
+        overload latency)."""
         with self._lock:
             depth = max((len(q) for q in self._queues), default=0)
             if depth > 0:
@@ -163,15 +200,10 @@ class FleetAudioDecoder:
                     self._queues[i] += [self._silence] * (depth - lens[i])
                 batch = [self._queues[i][:depth] for i in range(self.n)]
                 self._queues = [[] for _ in range(self.n)]
-            else:
-                batch = None
-        if batch is not None:
-            self._submit((batch, lens))
+                self._submit_locked((batch, lens), shed_ok=False)
         if self._worker is not None:
             self._work.join()
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+        self._raise_err()
 
     def close(self):
         """Stop the worker thread (flush first if output matters)."""
@@ -187,17 +219,25 @@ class FleetAudioDecoder:
     def checkpoint(self) -> dict:
         """Drain in-flight decodes, then snapshot the decoder state
         (BatchedAudioDecoder.checkpoint) plus the undecoded per-station
-        packet queues as named numpy arrays."""
-        if self._worker is not None:
-            self._work.join()
-        with self._lock:
-            out = self._dec.checkpoint()
-            for i, q in enumerate(self._queues):
-                out[f"q_{i}"] = np.frombuffer(b"".join(q), np.uint8) \
-                    if q else np.zeros(0, np.uint8)
-                out[f"qlen_{i}"] = np.asarray([len(pk) for pk in q],
-                                              np.int64)
-        return out
+        packet queues as named numpy arrays.  Quiesced: submissions
+        happen under self._lock, so once the queue is verified empty
+        under the lock no decode can run concurrently with the
+        snapshot (a wrap() racing between join() and the lock retries
+        the drain)."""
+        while True:
+            if self._worker is not None:
+                self._work.join()
+            with self._lock:
+                if self._worker is None \
+                        or self._work.unfinished_tasks == 0:
+                    out = self._dec.checkpoint()
+                    for i, q in enumerate(self._queues):
+                        out[f"q_{i}"] = \
+                            np.frombuffer(b"".join(q), np.uint8) \
+                            if q else np.zeros(0, np.uint8)
+                        out[f"qlen_{i}"] = np.asarray(
+                            [len(pk) for pk in q], np.int64)
+                    return out
 
     def restore(self, state):
         """Install a :meth:`checkpoint` snapshot (dict or NpzFile) into

@@ -746,6 +746,9 @@ class SBRDecoder:
         # bs_smoothing_mode=0 gain/noise trajectories (4 slots of carry)
         self._g_hist: np.ndarray | None = None
         self._q_hist: np.ndarray | None = None
+        # prev frame ended on a transient (l_A == n_env): envelope 0 of
+        # THIS frame counts as transient (ffmpeg e_a[0] carry)
+        self._prev_la_end = False
 
     # ------------------------------------------------------------------
     def upsample_only(self, core: np.ndarray) -> np.ndarray:
@@ -766,6 +769,7 @@ class SBRDecoder:
             self.prev_harmonics = None
             self._g_hist = None
             self._q_hist = None
+            self._prev_la_end = False
 
     def process(self, core: np.ndarray, data: SbrData) -> np.ndarray:
         """Full SBR reconstruction for one channel/frame."""
@@ -859,6 +863,7 @@ class SBRDecoder:
         gate_slot = np.zeros((NUM_SLOTS, m))  # delta * (1 - s_mapped)
         s_slot = np.zeros((NUM_SLOTS, m))
         covered = np.zeros(NUM_SLOTS, bool)
+        smooth_ok = np.zeros(NUM_SLOTS, bool)  # filter bypass: transients
 
         for e in range(data.n_env):
             lo, hi = data.t_e[e] * RATE, data.t_e[e + 1] * RATE
@@ -909,7 +914,11 @@ class SBRDecoder:
                     if s.stop > s.start:
                         e_curr[s] = e_curr[s].mean()
 
-            delta = 0.0 if e == data.la else 1.0  # noise off on transient
+            # transient envelopes: this frame's l_A, or envelope 0 when
+            # the previous frame's l_A sat at its end (ffmpeg e_a[0] /
+            # faad prevEnvIsShort carry) — noise off, smoothing bypassed
+            transient = (e == data.la) or (e == 0 and self._prev_la_end)
+            delta = 0.0 if transient else 1.0
             q_frac = q_orig / (1.0 + q_orig)
             gain = np.where(
                 s_mapped,
@@ -947,20 +956,28 @@ class SBRDecoder:
             gate_slot[lo:hi] = delta * (~s_mapped)
             s_slot[lo:hi] = s_m
             covered[lo:hi] = True
+            smooth_ok[lo:hi] = not transient
+
+        self._prev_la_end = data.la == data.n_env
 
         if not hdr.smoothing_mode:
-            # temporal smoothing: filter the raw trajectories, then gate
-            # (noise off where a sinusoid sits / on transient envelopes)
+            # temporal smoothing: filter the raw trajectories (history
+            # advances with raw values), select raw on transient
+            # envelopes, then gate (noise off where a sinusoid sits /
+            # on transient envelopes)
             if self._g_hist is None or self._g_hist.shape[1] != m:
                 self._g_hist = np.zeros((4, m))
                 self._q_hist = np.zeros((4, m))
             gt = np.concatenate([self._g_hist, g_slot])
             qt = np.concatenate([self._q_hist, q_slot])
-            g_slot = sum(H_SMOOTH[j] * gt[4 - j:4 - j + NUM_SLOTS]
-                         for j in range(5))
-            q_slot = sum(H_SMOOTH[j] * qt[4 - j:4 - j + NUM_SLOTS]
-                         for j in range(5))
+            g_f = sum(H_SMOOTH[j] * gt[4 - j:4 - j + NUM_SLOTS]
+                      for j in range(5))
+            q_f = sum(H_SMOOTH[j] * qt[4 - j:4 - j + NUM_SLOTS]
+                      for j in range(5))
             self._g_hist, self._q_hist = gt[-4:].copy(), qt[-4:].copy()
+            ok = smooth_ok[:, None]
+            g_slot = np.where(ok, g_f, g_slot)
+            q_slot = np.where(ok, q_f, q_slot)
 
         # apply: signal gain + noise filling + sinusoids
         for sl in range(NUM_SLOTS):

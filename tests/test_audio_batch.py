@@ -360,3 +360,43 @@ def test_batch_smoothing_checkpoint_resume(tmp_path):
     second = b.decode([pkts[4:]])[0]
     two = np.concatenate([first, second]).astype(np.int64)
     assert np.abs(one - two).max() <= 8
+
+
+def test_batch_all_corrupt_keeps_sticky_header():
+    """A dispatch where every packet is corrupt (deep fade) must not
+    flap the compiled device fn to the default header: the sticky
+    header survives and the next good batch decodes without rebuild."""
+    pkts = _packets(8, seed=41)
+    bat = BatchedAudioDecoder(1)
+    bat.decode([pkts[:4]])
+    hdr, fn = bat._hdr, bat._fn
+    out = bat.decode([[b""] * 4])  # all-corrupt batch
+    # only the filterbank/QMF ring-out of the last good packet remains
+    assert np.abs(out[0, 2 * 2048:]).max() == 0
+    assert bat._hdr == hdr and bat._fn is fn, "header/fn flapped"
+    bat.decode([pkts[4:]])
+    assert bat._fn is fn
+
+
+def test_fleet_shed_under_overload():
+    """max_pending bounds the decode backlog: batches past it are shed
+    as in-order silence frames (no device dispatch, no memory growth);
+    flush's final batch is never shed."""
+    from nrsc5_tpu.api.events import EventType, make
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+
+    events = []
+    fleet = FleetAudioDecoder(1, lambda st, ev: events.append(ev),
+                              k=4, max_pending=0)  # shed every wrap batch
+    pkts = _packets(10, seed=23)
+    for p in pkts:  # two wrap-time batches shed, two packets queued
+        fleet.wrap(0, make(EventType.HDC, program=0, data=p,
+                           crc_error=False))
+    fleet.flush()
+    audio = [e for e in events if e.type == EventType.AUDIO]
+    assert len(audio) == 10  # cadence preserved under shed
+    shed = np.concatenate([np.asarray(e.samples) for e in audio[:8]])
+    assert np.abs(shed).max() == 0  # shed slots are silence
+    tail = np.concatenate([np.asarray(e.samples) for e in audio[8:]])
+    assert np.abs(tail).max() > 0  # flush batch really decoded
+    fleet.close()
