@@ -199,7 +199,8 @@ class MultiStationReceiver:
                  depth: int = 2, hdc_factory=None, first_bc: int = 0,
                  input_format: str = "cf32", mode: str = "fm",
                  ma3: bool = False, locks=None,
-                 packed: bool | None = None, relock: bool = True):
+                 packed: bool | None = None, relock: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -338,6 +339,21 @@ class MultiStationReceiver:
             def _chain(s, c):
                 return scar.am_chain_batch_rc(ingest(s), c, nf, ma3, pk)
 
+        # multi-chip serving: shard the station batch axis over a
+        # jax.sharding.Mesh — every chain op is batchwise over stations
+        # (embarrassingly parallel), so XLA partitions the whole
+        # dispatch with no collectives; carried state lives sharded on
+        # its own device.  One chip serves ~16 stations at real time
+        # with ~900x headroom (docs/PERF.md), so this is the scale-out
+        # path for fleets past one chip's HBM/dispatch budget.
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            assert n_stations % mesh.size == 0, \
+                f"{n_stations} stations over {mesh.size} devices"
+            self._shard = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0]))
+            self._carries = jax.device_put(self._carries, self._shard)
         self._step = jax.jit(_chain)
         self.transports = [_StationTransport(i, callback, hdc_factory,
                                              mode_fm=mode == "fm")
@@ -438,6 +454,13 @@ class MultiStationReceiver:
             for _ in range(4):
                 tr.output.advance()
 
+
+    def _pin(self, tree):
+        """Re-apply the station mesh sharding after host-side per-station
+        carry surgery (no-op without a mesh or when already sharded)."""
+        return tree if self._shard is None \
+            else self._jax.device_put(tree, self._shard)
+
     # ------------------------------------------------------------------
     def checkpoint(self) -> dict:
         """Snapshot the receiver's decode state as a numpy pytree
@@ -476,9 +499,9 @@ class MultiStationReceiver:
         :meth:`push`."""
         jax, jnp = self._jax, self._jnp
         assert not self._pending, "restore() before pushing samples"
-        self._carries = jax.tree.map(
+        self._carries = self._pin(jax.tree.map(
             lambda x, ref: jnp.asarray(np.asarray(x).astype(ref.dtype)),
-            state["carries"], jax.tree.map(np.asarray, self._carries))
+            state["carries"], jax.tree.map(np.asarray, self._carries)))
         self._chunks = [[np.array(c) for c in ch]
                         for ch in state["chunks"]]
         self._sizes = [sum(len(c) for c in ch) for ch in self._chunks]
@@ -603,8 +626,8 @@ class MultiStationReceiver:
             self._packed, px=False)
         self._drop(i, self._rate * int(np.asarray(carry.offset)))
         carry = carry._replace(offset=carry.offset - carry.offset)
-        self._carries = jax.tree.map(
-            lambda x, v: x.at[i].set(v), self._carries, carry)
+        self._carries = self._pin(jax.tree.map(
+            lambda x, v: x.at[i].set(v), self._carries, carry))
         self._align[i] = 0
         out = {k: np.asarray(v) if not isinstance(v, dict) else v
                for k, v in out.items()}
@@ -680,8 +703,8 @@ class MultiStationReceiver:
             if excess > 0:
                 self._drop(i, excess)
             return
-        self._carries = jax.tree.map(
-            lambda x, v: x.at[i].set(v), self._carries, lock["carry"])
+        self._carries = self._pin(jax.tree.map(
+            lambda x, v: x.at[i].set(v), self._carries, lock["carry"]))
         self._drop(i, self._rate * int(lock["offset"]))
         self._am_skip[i] = 3  # diversity delay re-primes from scratch
         self._relocking[i] = False
@@ -723,8 +746,8 @@ class MultiStationReceiver:
             if excess > 0:
                 self._drop(i, excess)
             return
-        self._carries = jax.tree.map(
-            lambda x, v: x.at[i].set(v), self._carries, lock["carry"])
+        self._carries = self._pin(jax.tree.map(
+            lambda x, v: x.at[i].set(v), self._carries, lock["carry"]))
         self._drop(i, self._rate * int(lock["offset"]))
         self._align[i] = (C.P1_FM_BLOCKS - int(lock["first_bc"])) \
             % C.P1_FM_BLOCKS
@@ -762,7 +785,9 @@ class MultiStationReceiver:
                     self._fill(i, batch[i])
             saved = {i: jax.tree.map(lambda x: x[i], self._carries)
                      for i in waiting}
-            out, carries = self._step(jnp.asarray(batch), self._carries)
+            x = jnp.asarray(batch) if self._shard is None \
+                else jax.device_put(batch, self._shard)
+            out, carries = self._step(x, self._carries)
             # only the consumed-sample counts come back to the host here;
             # the carried state feeds the next dispatch on-device
             consumed = np.asarray(carries.offset)

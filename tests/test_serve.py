@@ -964,3 +964,48 @@ def test_align_wait_does_not_stall_fleet(rng):
     assert len(hdc1 & {bytes(p) for p in late_packets}) >= 64
     titles1 = {e.title for e in events[1] if e.type == EventType.ID3}
     assert title in titles1
+
+
+def test_multistation_mesh_sharded(rng):
+    """Serving over a jax.sharding.Mesh: the station batch axis shards
+    across devices (mesh=2 of the 8 virtual CPU devices) and must emit
+    the identical per-station event stream as the unsharded receiver —
+    the multi-chip scale-out contract (no collectives: every chain op
+    is batchwise over stations)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    titles = ["Mesh Station A", "Mesh Station B"]
+    streams, want = [], []
+    for t in titles:
+        sig, packets = _station_stream(rng, t)
+        streams.append(sig)
+        want.append({bytes(p) for p in packets})
+
+    def run(mesh):
+        events = {0: [], 1: []}
+        rx = MultiStationReceiver(
+            2, lambda st, ev: events[st].append(ev),
+            frames_per_dispatch=1, mesh=mesh)
+        pos = [0, 0]
+        chunk = 64 * 1024 + 13
+        while any(pos[i] < len(streams[i]) for i in range(2)):
+            for i in range(2):
+                rx.push(i, streams[i][pos[i]:pos[i] + chunk])
+                pos[i] += chunk
+        rx.flush()
+        return events
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("station",))
+    sharded = run(mesh)
+    plain = run(None)
+    for i, t in enumerate(titles):
+        hdc_s = [e.data for e in sharded[i]
+                 if e.type == EventType.HDC and not e.crc_error]
+        hdc_p = [e.data for e in plain[i]
+                 if e.type == EventType.HDC and not e.crc_error]
+        assert hdc_s == hdc_p and len(hdc_s) >= 64  # bit-exact parity
+        assert t in {e.title for e in sharded[i]
+                     if e.type == EventType.ID3}
