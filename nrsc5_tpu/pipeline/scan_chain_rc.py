@@ -204,9 +204,26 @@ def sync_block_rc(spectra, costas_phase, costas_freq, psmi: int, timing_adj):
     def demod(z, mult):
         return jnp.round(jnp.clip(z, -1, 1) * mult).astype(jnp.int8)
 
-    pm_low = demod(data_eq[:, :C.PM_PARTITIONS], mult_lb)
+    # per-bin channel-power LLR weighting — rc twin of
+    # ops/sync_fm.py (see EQ_MMSE there): deep fades become
+    # near-erasures instead of ZF-amplified confident garbage
+    if SF.EQ_MMSE():
+        h2 = 1.0 / jnp.maximum(rc.abs2(eq), 1e-12)  # [32, 2*ppb, 18]
+        w_lb = jnp.clip(h2[:, :ppb] / h2[:, :ppb].mean(
+            axis=(1, 2), keepdims=True), 0.0, 1.0)[..., None]
+        w_ub = jnp.clip(h2[:, ppb:] / h2[:, ppb:].mean(
+            axis=(1, 2), keepdims=True), 0.0, 1.0)[..., None]
+    else:
+        w_lb = jnp.ones((C.BLKSZ, ppb, C.PARTITION_WIDTH_FM - 1, 1),
+                        jnp.float32)
+        w_ub = w_lb
+    mlb = mult_lb * w_lb
+    mub = mult_ub * w_ub
+
+    pm_low = demod(data_eq[:, :C.PM_PARTITIONS],
+                   mlb[:, :C.PM_PARTITIONS])
     up = data_eq[:, ppb:ppb + C.PM_PARTITIONS]
-    pm_up = demod(up[:, ::-1], mult_ub)
+    pm_up = demod(up[:, ::-1], mub[:, :C.PM_PARTITIONS][:, ::-1])
     pm_block = jnp.concatenate([pm_low, pm_up], axis=1).reshape(C.BLKSZ, -1)
 
     out = {
@@ -225,22 +242,24 @@ def sync_block_rc(spectra, costas_phase, costas_freq, psmi: int, timing_adj):
     cm = C.COMPATIBILITY_MODE[psmi]
     if cm == 2:
         px1 = jnp.concatenate([
-            demod(data_eq[:, 10:11], mult_lb),
-            demod(data_eq[:, ppb + 10:ppb + 11], mult_ub)], axis=1)
+            demod(data_eq[:, 10:11], mlb[:, 10:11]),
+            demod(data_eq[:, ppb + 10:ppb + 11], mub[:, 10:11])], axis=1)
         out["px1"] = px1.reshape(-1)  # [2304]
     elif cm in (3, 11):
         px1 = jnp.concatenate([
-            demod(data_eq[:, 10:12], mult_lb),
-            demod(data_eq[:, ppb + 11:ppb + 12], mult_ub),
-            demod(data_eq[:, ppb + 10:ppb + 11], mult_ub)], axis=1)
+            demod(data_eq[:, 10:12], mlb[:, 10:12]),
+            demod(data_eq[:, ppb + 11:ppb + 12], mub[:, 11:12]),
+            demod(data_eq[:, ppb + 10:ppb + 11], mub[:, 10:11])], axis=1)
         out["px1"] = px1.reshape(-1)  # [4608]
     if cm == 11:
         # the reference applies mult_lb to both px2 sidebands
         # (src/sync.c:574-595)
         px2 = jnp.concatenate([
-            demod(data_eq[:, 12:14], mult_lb),
-            demod(data_eq[:, ppb + 13:ppb + 14], mult_lb),
-            demod(data_eq[:, ppb + 12:ppb + 13], mult_lb)], axis=1)
+            demod(data_eq[:, 12:14], mlb[:, 12:14]),
+            demod(data_eq[:, ppb + 13:ppb + 14],
+                  mult_lb * w_ub[:, 13:14]),
+            demod(data_eq[:, ppb + 12:ppb + 13],
+                  mult_lb * w_ub[:, 12:13])], axis=1)
         out["px2"] = px2.reshape(-1)
 
     new_phase = costas_phase.at[bins].set(_wrap_pi(ph_out))
