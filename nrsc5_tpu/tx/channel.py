@@ -99,3 +99,33 @@ def from_cu8(data: np.ndarray) -> np.ndarray:
     """cu8 -> complex64, matching U8_Q15 scaling up to the 32767 divisor."""
     f = (data.astype(np.float32) - 127.0) * (64.0 / 32767.0)
     return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def fading(sig: np.ndarray, doppler_hz: float,
+           delays=(0,), amps=(1.0,), rng=None,
+           sample_rate: float = C.SAMPLE_RATE_CS16_FM,
+           n_sines: int = 16) -> np.ndarray:
+    """Rayleigh fading channel (Jakes sum-of-sinusoids): each tap at
+    ``delays[i]`` samples carries an independent complex Rayleigh gain
+    process of RMS ``amps[i]`` with maximum Doppler ``doppler_hz``.
+    ``delays=(0,)`` is flat fading; multiple taps give time-varying
+    frequency-selective fading (the regime where per-bin LLR weighting
+    matters — a moving receiver near the reference's multipath case)."""
+    rng = rng or np.random.default_rng(0)
+    t = np.arange(len(sig), dtype=np.float64) / sample_rate
+    out = np.zeros(len(sig), np.complex64)
+    for delay, amp in zip(delays, amps):
+        g = np.zeros(len(sig), np.complex128)
+        for _ in range(n_sines):
+            # classic Jakes: arrival angles uniform, random phases
+            fd = doppler_hz * np.cos(rng.uniform(0, 2 * np.pi))
+            g += np.exp(1j * (2 * np.pi * fd * t
+                              + rng.uniform(0, 2 * np.pi)))
+        g *= amp / np.sqrt(n_sines)
+        ray = np.zeros(len(sig), np.complex64)
+        if delay:
+            ray[delay:] = sig[:-delay]
+        else:
+            ray[:] = sig
+        out += (ray * g).astype(np.complex64)
+    return out

@@ -1010,3 +1010,35 @@ def test_multipath_sensitivity_beats_reference(reference_nrsc5):
         assert len(ref) <= ref_ceil, \
             (snr, len(ref), "reference improved: retune the gap bound")
         assert len(ours) > len(ref) + 20, (snr, len(ours), len(ref))
+
+
+def test_fading_parity(reference_nrsc5):
+    """Two-tap Rayleigh fading (Jakes, 2 Hz Doppler, echo tap 30 @ 0.7
+    RMS): both receivers ride the same deep-fade dropouts and recover
+    the same packets (measured 38/96 == 38/96; at >=10 Hz Doppler both
+    collapse together — the Costas tracking bandwidth is the shared
+    limit, reference src/sync.c:832-841 loop constants)."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    import nrsc5_tpu.tx.channel as ch
+    from support.ref_sensitivity import (build_capture, decode_framework,
+                                         decode_reference)
+
+    orig = ch.impair
+
+    def impair_fad(sig, **kw):
+        faded = ch.fading(sig, 2.0, delays=(0, 30), amps=(1.0, 0.7),
+                          rng=np.random.default_rng(42))
+        return orig(faded, **kw)
+
+    ch.impair = impair_fad
+    try:
+        rng = np.random.default_rng(0xFADE)
+        cu8, packets = build_capture(rng, 3, 20.0)
+    finally:
+        ch.impair = orig
+    want = {bytes(p) for p in packets}
+    ours = decode_framework(cu8) & want
+    ref = decode_reference(mod, cu8) & want
+    assert len(ours) >= len(ref) - 2, (len(ours), len(ref))
+    assert len(ours) >= 30, len(ours)
