@@ -59,6 +59,7 @@ class _FramePlan:
     use_ms: bool
     chans: list              # [_ChPlan] per channel
     env_rows: list | None    # SBR envelope rows per channel (None: no SBR)
+    sbr_grid: dict | None = None  # transient grid (None: FIXFIX 1 env)
 
     @property
     def short(self) -> bool:
@@ -114,7 +115,7 @@ class HDCEncoder:
         self._pending = {"core": [np.zeros(A.FRAME_LEN)
                                   for _ in range(channels)],
                          "pcm": np.zeros((2 * A.FRAME_LEN, channels)),
-                         "transient": False}
+                         "transient": False, "attack": -1}
         self._prev_seq = A.ONLY_LONG
         self._e_last = 0.0  # transient detector carry (last block energy)
         self.seq_counts = {s: 0 for s in (A.ONLY_LONG, A.LONG_START,
@@ -160,21 +161,25 @@ class HDCEncoder:
         self._core_bins_short = int(offs_s[self._max_sfb_short])
 
     # ------------------------------------------------------------------
-    def _detect_transient(self, core_mix: np.ndarray) -> bool:
+    def _detect_transient(self, core_mix: np.ndarray) -> tuple[bool, int]:
         """Attack detector on the 22050 Hz core: a 128-sample block much
-        louder than the (decayed) running level before it."""
+        louder than the (decayed) running level before it.  Returns
+        (hit, first attack block 0-7 or -1)."""
         e = (core_mix.reshape(8, A.FRAME_LEN // 8) ** 2).mean(axis=1)
         prev = self._e_last
         # only attacks over an established level count (a stream fading in
         # from silence takes the long-window path; ≈ −54 dBFS RMS gate)
         floor = (0.002 * 32768.0) ** 2
         hit = False
-        for v in e:
+        attack = -1
+        for blk, v in enumerate(e):
             if prev > floor and v > 12.0 * prev:
                 hit = True
+                if attack < 0:
+                    attack = blk
             prev = max(float(v), prev * 0.7)
         self._e_last = prev
-        return hit
+        return hit, attack
 
     def _intake(self, pcm: np.ndarray) -> "_FramePlan":
         """Shared stateful intake: scale to the faad ±32768 convention,
@@ -194,10 +199,12 @@ class HDCEncoder:
             x = np.concatenate([self._dec_state[ch], pcm[:, ch]])
             self._dec_state[ch] = x[-(len(self.h) - 1):]
             cores.append(np.convolve(x, self.h, mode="valid")[::2])
-        transient = self._detect_transient(sum(cores) / self.channels)
+        transient, attack = self._detect_transient(
+            sum(cores) / self.channels)
 
         plan = self._plan_pending(next_transient=transient)
-        self._pending = {"core": cores, "pcm": pcm, "transient": transient}
+        self._pending = {"core": cores, "pcm": pcm,
+                         "transient": transient, "attack": attack}
         return plan
 
     def encode_frame(self, pcm: np.ndarray) -> bytes:
@@ -327,9 +334,13 @@ class HDCEncoder:
                                      allow_pns=not use_ms)
             chp.tns_idxs = tns_idxs[ch]
             chans.append(chp)
-        env_rows = self._plan_sbr(pend["pcm"]) if self.sbr else None
+        env_rows, sbr_grid = (None, None)
+        if self.sbr:
+            attack = pend["attack"] if pend["transient"] else -1
+            env_rows, sbr_grid = self._plan_sbr(pend["pcm"], attack)
         return _FramePlan(seq=seq, max_sfb=max_sfb, use_ms=use_ms,
-                          chans=chans, env_rows=env_rows)
+                          chans=chans, env_rows=env_rows,
+                          sbr_grid=sbr_grid)
 
     # ------------------------------------------------------------------
     # serializers: HDC packet / standard AAC ADTS frame
@@ -369,7 +380,8 @@ class HDCEncoder:
         if plan.env_rows is not None:
             bw.write(ID_FIL, LEN_SE_ID)
             bw.write(1, 1)          # SBR present (patch:826-830)
-            self._write_sbr_body(bw, plan.env_rows, hdc=True)
+            self._write_sbr_body(bw, plan.env_rows, hdc=True,
+                                 grid=plan.sbr_grid)
         return bw.getvalue()
 
     def _write_adts(self, plan: _FramePlan) -> bytes:
@@ -429,7 +441,8 @@ class HDCEncoder:
             # FIL element carrying extension_payload(EXT_SBR_DATA)
             sbr = BitWriter()
             sbr.write(13, 4)        # extension_type: EXT_SBR_DATA
-            self._write_sbr_body(sbr, plan.env_rows, hdc=False)
+            self._write_sbr_body(sbr, plan.env_rows, hdc=False,
+                                 grid=plan.sbr_grid)
             cnt = (sbr.bit_length() + 7) // 8
             bw.write(ID_FIL, LEN_SE_ID)
             if cnt >= 15:
@@ -464,29 +477,51 @@ class HDCEncoder:
         return hdr.getvalue() + raw
 
     # ------------------------------------------------------------------
-    def _plan_sbr(self, pcm: np.ndarray) -> list:
-        """Measure SBR FIXFIX 1-envelope rows per channel.
+    def _plan_sbr(self, pcm: np.ndarray, attack: int = -1):
+        """Measure SBR envelope rows per channel.
 
         Envelope energies are measured from the (delay-aligned) input
         through the 64-band analysis bank, so the decoder's HF adjustment
-        reproduces the source's high-band spectral envelope."""
+        reproduces the source's high-band spectral envelope.
+
+        ``attack`` (core block 0-7, or -1): a transient frame emits a
+        TWO-envelope variable grid with the border at the attack and
+        l_A pointing at the second envelope (the way real encoders
+        signal transients) — this exercises the decoder's per-envelope
+        delta/noise gating and the smoothing-filter bypass.  Returns
+        (env_rows [ch][env], grid dict or None)."""
         ft = self._sbr_ft
+        grid = None
+        segs = [(0, 32)]
+        if attack >= 0:
+            # border in half-slot (nts) units, even, clipped inside the
+            # representable variable-grid range (see _write_grid)
+            border = int(np.clip(2 * max(attack, 1), 2, 14))
+            grid = {"border": border}
+            segs = [(0, 2 * border), (2 * border, 32)]  # QMF slot ranges
         env_rows = []
         for ch in range(self.channels):
             buf = np.concatenate([self._in_delay[ch], pcm[:, ch]])
             self._in_delay[ch] = buf[-self._CODEC_DELAY:]
             x64 = self._qmf64[ch].run(buf[:2 * A.FRAME_LEN])  # [32, 64]
-            e_bin = (np.abs(x64) ** 2).mean(axis=0) * self._QMF_SCALE
-            row = np.zeros(ft.n_high, np.int32)
-            for b in range(ft.n_high):
-                e = e_bin[int(ft.f_high[b]):int(ft.f_high[b + 1])].mean()
-                # forced 1.5 dB resolution (FIXFIX, 1 envelope): a = 2
-                row[b] = int(np.clip(round(2.0 * np.log2(max(e, 1e-9)
-                                                         / 64.0)), 0, 127))
-            env_rows.append(row)
-        return env_rows
+            rows = []
+            for lo, hi in segs:
+                e_bin = (np.abs(x64[lo:hi]) ** 2).mean(axis=0) \
+                    * self._QMF_SCALE
+                row = np.zeros(ft.n_high, np.int32)
+                for b in range(ft.n_high):
+                    e = e_bin[int(ft.f_high[b]):
+                              int(ft.f_high[b + 1])].mean()
+                    # forced 1.5 dB resolution (amp_res 0): a = 2
+                    row[b] = int(np.clip(
+                        round(2.0 * np.log2(max(e, 1e-9) / 64.0)),
+                        0, 127))
+                rows.append(row)
+            env_rows.append(rows)
+        return env_rows, grid
 
-    def _write_sbr_body(self, bw: BitWriter, env_rows: list, hdc: bool):
+    def _write_sbr_body(self, bw: BitWriter, env_rows: list, hdc: bool,
+                        grid: dict | None = None):
         """sbr_header + sbr_data (FIXFIX, 1 envelope, per channel).
 
         The payload syntax is shared between HDC's fill element
@@ -516,21 +551,27 @@ class HDCEncoder:
             bw.write(h.interpol_freq, 1)
             bw.write(h.smoothing_mode, 1)
 
+        n_env = len(env_rows[0])
+        n_noise = 1 if n_env == 1 else 2
         if self.channels == 2:
             bw.write(0, 1)          # bs_data_extra
             bw.write(0, 1)          # bs_coupling: off
             for _ in range(2):
-                self._write_grid(bw)
+                self._write_grid(bw, grid)
             for _ in range(2):
-                bw.write(0, 1)      # df_env: freq delta
-                bw.write(0, 1)      # df_noise
+                for _ in range(n_env):
+                    bw.write(0, 1)  # df_env: freq delta per envelope
+                for _ in range(n_noise):
+                    bw.write(0, 1)  # df_noise
             for _ in range(2):
                 for _ in range(ft.n_q):
                     bw.write(2, 2)  # invf mode: medium
             for ch in range(2):
-                self._write_envelope(bw, env_rows[ch])
+                for row in env_rows[ch]:
+                    self._write_envelope(bw, row)
             for _ in range(2):
-                self._write_noise(bw)
+                for _ in range(n_noise):
+                    self._write_noise(bw)
             for _ in range(2):
                 bw.write(0, 1)      # bs_add_harmonic_flag
             bw.write(0, 1)          # bs_extended_data
@@ -538,21 +579,53 @@ class HDCEncoder:
             bw.write(0, 1)          # bs_data_extra
             if hdc:
                 bw.write(0, 1)      # HDC extra bit (patch:577-582)
-            self._write_grid(bw)
-            bw.write(0, 1)          # df_env
-            bw.write(0, 1)          # df_noise
+            self._write_grid(bw, grid)
+            for _ in range(n_env):
+                bw.write(0, 1)      # df_env
+            for _ in range(n_noise):
+                bw.write(0, 1)      # df_noise
             for _ in range(ft.n_q):
                 bw.write(2, 2)
-            self._write_envelope(bw, env_rows[0])
-            self._write_noise(bw)
+            for row in env_rows[0]:
+                self._write_envelope(bw, row)
+            for _ in range(n_noise):
+                self._write_noise(bw)
             bw.write(0, 1)          # bs_add_harmonic_flag
             bw.write(0, 1)          # bs_extended_data
 
     @staticmethod
-    def _write_grid(bw: BitWriter):
-        bw.write(0, 2)              # FIXFIX
-        bw.write(0, 2)              # 1 envelope
-        bw.write(1, 1)              # freq_res: high
+    def _write_grid(bw: BitWriter, grid: dict | None = None):
+        """FIXFIX 1-envelope (grid None), or a 2-envelope variable grid
+        with the border at grid["border"] (half-slot units, even, 2-14)
+        and l_A on the second envelope — VARFIX encodes borders growing
+        from the frame start (reachable borders 2-8 with vb=0), FIXVAR
+        shrinking from the end (10-14), mirroring sbr.parse_sbr_grid."""
+        if grid is None:
+            bw.write(0, 2)          # FIXFIX
+            bw.write(0, 2)          # 1 envelope
+            bw.write(1, 1)          # freq_res: high
+            return
+        b = grid["border"]
+        assert b % 2 == 0 and 2 <= b <= 14, b
+        if b <= 8:
+            bw.write(2, 2)          # VARFIX
+            bw.write(0, 2)          # bs_var_bord_0 = 0
+            bw.write(1, 2)          # one relative border
+            bw.write((b - 2) // 2, 2)   # rel = 2k+2 = b
+            # la = ptr-1 if ptr > 1 -> ptr=2 marks envelope 1
+            bw.write(2, 2)          # bs_pointer (ceil_log2(3) = 2 bits)
+            bw.write(1, 1)          # freq_res env 0: high
+            bw.write(1, 1)          # freq_res env 1: high
+        else:
+            bw.write(1, 2)          # FIXVAR
+            bw.write(0, 2)          # bs_var_bord_1 = 0 (end = 16)
+            bw.write(1, 2)          # one relative border
+            bw.write((16 - b - 2) // 2, 2)  # rel = 16 - b
+            # la = n_env+1-ptr -> ptr=2 marks envelope 1
+            bw.write(2, 2)          # bs_pointer
+            # FIXVAR freq_res bits are serialized last-envelope-first
+            bw.write(1, 1)
+            bw.write(1, 1)
 
     def _write_envelope(self, bw: BitWriter, row):
         from nrsc5_tpu.audio.sbr import HUFF_ENV15_F

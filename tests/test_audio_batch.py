@@ -400,3 +400,72 @@ def test_fleet_shed_under_overload():
     tail = np.concatenate([np.asarray(e.samples) for e in audio[8:]])
     assert np.abs(tail).max() > 0  # flush batch really decoded
     fleet.close()
+
+
+def _transient_pcm(n_frames, seed=77, late=False):
+    """Quiet background + sharp core-band bursts: drives the encoder's
+    transient detector (EIGHT_SHORT windows + 2-envelope variable SBR
+    grids with l_A).  ``late`` puts the attack in the second half of
+    the frame (FIXVAR grid); else first half (VARFIX)."""
+    rng = np.random.default_rng(seed)
+    n = n_frames * 2048
+    t = np.arange(n) / FS
+    x = 0.04 * np.sin(2 * np.pi * 500 * t) \
+        + 0.01 * rng.standard_normal(n)
+    pos0 = 1500 if late else 700
+    for k in range(2, n_frames - 2, 3):
+        pos = k * 2048 + pos0
+        tt = np.arange(256)
+        burst = (np.sin(2 * np.pi * 2400 * tt / FS)
+                 + 0.5 * np.sin(2 * np.pi * 3500 * tt / FS + 1.0)) \
+            * np.hanning(256)
+        x[pos:pos + 256] += 0.7 * burst / np.abs(burst).max()
+    np.clip(x, -1, 1, out=x)
+    return np.stack([x, x * 0.9], -1)
+
+
+@pytest.mark.parametrize("late", [False, True])
+def test_batch_transient_sbr_grids(late):
+    """Transient frames carry 2-envelope variable SBR grids with l_A on
+    the attack envelope (VARFIX early / FIXVAR late border): the device
+    path's per-envelope delta/noise gating must match the host."""
+    from nrsc5_tpu.audio.hdc_decoder import HDCDecoder as HD
+
+    n_frames = 12
+    pcm = _transient_pcm(n_frames, late=late)
+    enc = HDCEncoder(channels=2, sbr=True, pns=False)
+    pkts = [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(n_frames)]
+    # the grids really are transient grids
+    dec = HD()
+    classes = set()
+    for p in pkts:
+        _, _, sd = dec.parse(p)
+        if sd:
+            for ch, d in enumerate(sd):
+                dec._sbr[ch].prev_env = d.env[-1]
+                dec._sbr[ch].prev_noise = d.noise[-1]
+            classes.add((sd[0].frame_class, sd[0].n_env, sd[0].la))
+    want_class = (1, 2, 1) if late else (2, 2, 1)  # FIXVAR / VARFIX
+    assert want_class in classes, classes
+    host = _host_decode(pkts)
+    out = BatchedAudioDecoder(1).decode([pkts]).astype(np.float64)[0]
+    assert _snr(host[2 * 2048:], out[2 * 2048:]) > 55.0
+
+
+def test_batch_smoothing_transient_bypass():
+    """bs_smoothing_mode=0 + transient grids: the h_smooth filter must
+    bypass the l_A envelope identically on host and device (the
+    ffmpeg-semantics branch both twins implement)."""
+    from nrsc5_tpu.audio.sbr import SbrHeader
+
+    hdr = SbrHeader(start_freq=8, stop_freq=7, amp_res=0, xover_band=2,
+                    smoothing_mode=0)
+    n_frames = 12
+    pcm = _transient_pcm(n_frames, seed=31)
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, sbr_header=hdr)
+    pkts = [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
+            for k in range(n_frames)]
+    host = _host_decode(pkts)
+    out = BatchedAudioDecoder(1).decode([pkts]).astype(np.float64)[0]
+    assert _snr(host[2 * 2048:], out[2 * 2048:]) > 55.0

@@ -417,3 +417,70 @@ def test_sbr_smoothing_mode_on():
     c = float(np.dot(xh, yh)
               / (np.linalg.norm(xh) * np.linalg.norm(yh) + 1e-12))
     assert c > 0.35, c
+
+
+@pytest.mark.parametrize("late", [False, True])
+def test_sbr_transient_grids(late):
+    """Transient frames emit 2-envelope variable grids (VARFIX early /
+    FIXVAR late attack, l_A on the attack envelope).  libavcodec parses
+    the identical ADTS twin: any error in the variable-grid bit syntax
+    (border/pointer/freq_res field order) desynchronizes its SBR parse
+    and collapses the comparison — this pins our grid writer AND,
+    transitively, our grid parser against a conformant implementation."""
+    n_frames = 14
+    rng = np.random.default_rng(88)
+    n = n_frames * 2048
+    t = np.arange(n) / FS
+    x = 0.04 * np.sin(2 * np.pi * 440 * t) \
+        + 0.01 * rng.standard_normal(n)
+    S2 = rfft(rng.standard_normal(n))
+    f = np.arange(len(S2)) * FS / n
+    x += 0.05 * irfft(np.where((f > 6000) & (f < 13000), S2, 0), n)
+    pos0 = 1500 if late else 700
+    for k in range(2, n_frames - 2, 3):
+        pos = k * 2048 + pos0
+        tt = np.arange(256)
+        burst = (np.sin(2 * np.pi * 2400 * tt / FS)
+                 + 0.5 * np.sin(2 * np.pi * 3500 * tt / FS + 1.0)) \
+            * np.hanning(256)
+        x[pos:pos + 256] += 0.7 * burst / np.abs(burst).max()
+    np.clip(x, -1, 1, out=x)
+    pcm = np.stack([x, x * 0.9], -1)
+
+    enc = HDCEncoder(channels=2, sbr=True, pns=False, ms=False,
+                     intensity=False)
+    dec = HDCDecoder()
+    adts = b""
+    ours = []
+    for k in range(n_frames):
+        h, a = enc.encode_frame_dual(pcm[k * 2048:(k + 1) * 2048])
+        adts += a
+        full = dec.decode_float(h)
+        assert full is not None
+        ours.append(full)
+    from nrsc5_tpu.audio import aac_core as A
+    assert enc.seq_counts[A.EIGHT_SHORT] >= 3, enc.seq_counts
+    ref, rate = oracle.decode_adts(adts)
+    assert rate == 44100, "implicit SBR not engaged by libavcodec"
+    a_ = np.concatenate(ours)[:, 0] / 32768.0
+    b_ = ref[:, 0]
+    m = min(len(a_), len(b_))
+    a_, b_ = a_[:m], b_[:m]
+    X = rfft(b_)
+    k = np.arange(len(X))
+    b_ = irfft(X * np.exp(2j * np.pi * k * SBR_LAG / m), m)
+
+    def band(sig, lo, hi):
+        Xb = rfft(sig)
+        fr = np.arange(len(Xb)) * FS / len(sig)
+        return irfft(np.where((fr >= lo) & (fr < hi), Xb, 0), len(sig))
+
+    skip = 4 * 2048
+    xl = band(a_, 0, 5800)[skip:-skip]
+    yl = band(b_, 0, 5800)[skip:-skip]
+    assert _snr_db(xl, yl) > 30.0  # core survives short windows
+    xh = band(a_, 7200, 14000)[skip:-skip]
+    yh = band(b_, 7200, 14000)[skip:-skip]
+    rms_a = np.sqrt((xh ** 2).mean())
+    rms_b = np.sqrt((yh ** 2).mean())
+    assert abs(20 * np.log10(rms_a / rms_b)) < 3.0, (rms_a, rms_b)
