@@ -29,9 +29,18 @@ def _packets(n_frames, seed=3, sbr=True, channels=2, transients=False,
         0.1 * irfft(np.where((f > 4000) & (f < 13000), S2, 0), n)
     pcm = np.stack([sig, sig * 0.85], -1)[:, :channels] * 0.7
     if transients:
+        # real attacks: quiet background + sharp core-band bursts, so
+        # the encoder's detector (12x block-energy step) actually fires
+        # and the stream carries EIGHT_SHORT windows + transient grids
+        pcm *= 0.1
         for hit in range(2, n_frames, 3):
-            pcm[hit * 2048 + 400:hit * 2048 + 800] += \
-                rng.standard_normal((400, channels)) * 0.5
+            pos = hit * 2048 + 700
+            tt = np.arange(256)
+            burst = (np.sin(2 * np.pi * 2400 * tt / FS)
+                     + 0.5 * np.sin(2 * np.pi * 3500 * tt / FS + 1.0)) \
+                * np.hanning(256)
+            pcm[pos:pos + 256] += \
+                (0.7 * burst / np.abs(burst).max())[:, None]
     enc = HDCEncoder(channels=channels, sbr=sbr, pns=pns)
     return [enc.encode_frame(pcm[k * 2048:(k + 1) * 2048])
             for k in range(n_frames)]
