@@ -478,3 +478,82 @@ def test_batch_smoothing_transient_bypass():
     host = _host_decode(pkts)
     out = BatchedAudioDecoder(1).decode([pkts]).astype(np.float64)[0]
     assert _snr(host[2 * 2048:], out[2 * 2048:]) > 55.0
+
+
+def test_fleet_audio_am_serving(rng):
+    """Fleet audio is transport-agnostic: AM (MA1) stations through the
+    serving receiver feed the same batched device PCM stage — real HDC
+    audio packets over the AM chain decode to the host decoder's PCM."""
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+    from nrsc5_tpu.tx.transport_encoder import build_p1_am_frame
+
+    # mono low-rate HDC content sized for AM PDUs: 4 packets of
+    # 40-100 bytes per 468-byte P1 PDU (>= the 88-byte RS codeword)
+    n_src = 20
+    t = np.arange(n_src * 2048) / FS
+    S2 = rfft(rng.standard_normal(n_src * 2048))
+    f = np.arange(len(S2)) * FS / (n_src * 2048)
+    lp = irfft(np.where(f < 2500, S2, 0), n_src * 2048)
+    sig = (0.3 * np.sin(2 * np.pi * 330 * t) + 0.1 * lp).reshape(-1, 1)
+    enc = HDCEncoder(channels=1, sbr=False, pns=False,
+                     target_maxq=6, floor_db=-35.0)
+    hdc_pkts = [enc.encode_frame(sig[k * 2048:(k + 1) * 2048])
+                for k in range(n_src)]
+    hdc_pkts = [p for p in hdc_pkts if 40 <= len(p) <= 100]
+    assert len(hdc_pkts) >= 4, [len(p) for p in hdc_pkts]
+
+    n = 7
+    pool = hdc_pkts * (n * 32 // len(hdc_pkts) + 1)
+    p1_frames = []
+    gi = 0
+    for f in range(n):
+        sub = []
+        for b in range(8):
+            pkts = pool[gi:gi + 4]
+            gi += 4
+            sub.append(build_p1_am_frame(pkts, 0, (f * 8 + b) % 8,
+                                         ((f * 8 + b) * 4) % 64))
+        p1_frames.append(np.stack(sub))
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1_frames[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+    buf = np.zeros(len(sig) + C.FFTCP_AM, np.complex64)
+    buf[C.FFTCP_AM // 2:C.FFTCP_AM // 2 + len(sig)] = sig
+
+    events = {0: [], 1: []}
+    fleet = FleetAudioDecoder(2, lambda st, ev: events[st].append(ev),
+                              k=4)
+    rx = MultiStationReceiver(2, fleet.wrap, frames_per_dispatch=2,
+                              mode="am", hdc_factory=None)
+    for lo in range(0, len(buf), 100000):
+        for i in range(2):
+            rx.push(i, buf[lo:lo + 100000])
+    rx.flush()
+    fleet.flush()
+
+    for i in range(2):
+        audio = [e for e in events[i] if e.type == EventType.AUDIO]
+        assert len(audio) >= 16, len(audio)
+        pcm = np.concatenate([np.asarray(e.samples) for e in audio])
+        assert np.abs(pcm).max() > 500, "silent AM fleet audio"
+        host = HDCDecoder()
+        hdcs = [e.data for e in events[i]
+                if e.type == EventType.HDC and not e.crc_error]
+        ref_pcm = np.concatenate(
+            [host.decode(p).reshape(-1) for p in hdcs[:len(audio)]])
+        a = pcm[4 * 4096:min(len(pcm), len(ref_pcm))].astype(np.float64)
+        b = ref_pcm[4 * 4096:min(len(pcm), len(ref_pcm))] \
+            .astype(np.float64)
+        snr = 10 * np.log10((b ** 2).sum()
+                            / max(((a - b) ** 2).sum(), 1e-30))
+        assert snr > 50.0, snr
