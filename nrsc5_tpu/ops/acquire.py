@@ -92,6 +92,16 @@ def _coarse_timing(buf: jax.Array, am: bool = False):
     a = f[: fftcp * C.ACQUIRE_SYMBOLS].reshape(C.ACQUIRE_SYMBOLS, fftcp)
     b = f[fft: fft + fftcp * C.ACQUIRE_SYMBOLS].reshape(C.ACQUIRE_SYMBOLS, fftcp)
     sums = (a * jnp.conj(b)).sum(axis=0)  # [fftcp]
+    if am:
+        # The dominant AM carrier self-correlates identically at EVERY
+        # lag — a constant pedestal that flattens the CP correlation
+        # (under multipath/noise the argmax then jumps arbitrarily and
+        # sync never locks).  The reference kills the carrier with its
+        # outer-band filter (src/acquire.c:63-96), which also blinds it
+        # to MA3; subtracting the lag-mean removes exactly the
+        # lag-constant carrier term while keeping BOTH modes' OFDM
+        # timing structure.
+        sums = sums - sums.mean()
 
     widx = jnp.asarray(_cp_window_idx(fftcp, cp))
     kernel = jnp.asarray(_shape_kernel(fft, cp))
