@@ -168,6 +168,51 @@ def run_bench_mp3(args) -> dict:
             "vs_baseline": round(realtime, 2)}
 
 
+def _am_decode_gate(jax) -> None:
+    """Small ungated-time AM MA1 correctness gate run inside the default
+    (fm) mode so the driver's headline bench catches AM breaks too
+    (VERDICT r3: the round-3 AM coarse-timing regression slipped through
+    because the gate was FM-only).  One dispatch, 2 stations, bit-exact
+    P1+P3 assert — adds a compile but no timed work."""
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.ops.bits import unpack_bits
+    from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+    from nrsc5_tpu.tx import encoder_am as EAM
+    from nrsc5_tpu.tx.modulator_am import modulate_am
+
+    rng = np.random.default_rng(11)
+    n, stations = 4, 2
+    p1 = rng.integers(0, 2, (n, 8, C.P1_FRAME_LEN_AM)).astype(np.uint8)
+    p3 = rng.integers(0, 2, (n, C.P3_FRAME_LEN_MA1)).astype(np.uint8)
+    mats = EAM.interleave_frames(
+        [EAM.encode_p1_am(p1[f]) for f in range(n)],
+        [EAM.encode_p3_am(p3[f], False) for f in range(n)], False)
+    pids_codes = np.stack([EAM.encode_pids_am(
+        rng.integers(0, 2, 80).astype(np.uint8)) for _ in range(n * 8)])
+    ref = np.stack([EAM.am_ref_bits(b % 8, 1) for b in range(n * 8)])
+    sig = modulate_am(mats, pids_codes, ref, False)
+
+    buf = np.zeros((scar.am_buffer_len(n), 2), np.float32)
+    start = C.FFTCP_AM // 2
+    buf[start:start + len(sig), 0] = sig.real
+    buf[start:start + len(sig), 1] = sig.imag
+    samples = jnp.asarray(np.broadcast_to(buf, (stations,) + buf.shape))
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (stations,) + x.shape),
+        scar.am_chain_rc_init_carry())
+    out = scar.am_chain_batch_rc(samples, carries, n, False, packed=True)[0]
+    got = unpack_bits(np.asarray(out["p1"])).reshape(
+        stations, n, 8, C.P1_FRAME_LEN_AM)
+    got3 = unpack_bits(np.asarray(out["p3"]))
+    for s in range(stations):
+        for f in range(3, n):
+            assert np.array_equal(got[s, f], p1[f]), f"AM gate: P1 s{s} f{f}"
+            assert np.array_equal(got3[s, f], p3[f]), f"AM gate: P3 s{s} f{f}"
+    log("# am decode gate: PASSED (MA1 P1+P3 from I/Q bit-exact)")
+
+
 def run_bench_am(args) -> dict:
     """AM row: MA1 decode from I/Q (acquire + sync + FEC) on device."""
     jax = _bench_setup()
@@ -786,6 +831,7 @@ def run_bench(args) -> dict:
             "bits differ across stations x frames")
     log(f"# decode gate: PASSED ({got.shape[0]} stations x {got.shape[1]} "
         f"frames bit-exact, {len(outs)} streams)")
+    _am_decode_gate(jax)
 
     n_samples = (args.reps * n_threads * args.stations
                  * n_blocks * C.BLKSZ * C.FFTCP_FM)

@@ -59,6 +59,69 @@ def _cp_window_idx(fftcp: int, cp: int) -> np.ndarray:
             ).astype(np.int32)
 
 
+def _am_tone_subtract(buf: jax.Array) -> jax.Array:
+    """Estimate and coherently subtract the dominant tone (the AM carrier).
+
+    Through any static multipath channel the carrier stays a single complex
+    exponential (a 2-ray channel is just a complex gain at one frequency),
+    so estimating (f, amplitude) and subtracting removes the lag-constant
+    "pedestal" it adds to the cyclic-prefix correlation — the term that
+    flattens coarse timing under strong echoes.  Unlike the reference's
+    pre-sync band filter (src/acquire.c:63-96, which nulls the carrier but
+    also the entire inner band, blinding it to MA3), this keeps every OFDM
+    partition, so MA1 and MA3 both stay cold-startable.
+
+    Estimator: per-symbol DFT argmax (integer bin, handles any integer CFO)
+    → local fine grid of projections + parabolic interpolation → two Newton
+    steps on |S(f)|² with a centered index for f32 conditioning → coherent
+    least-squares amplitude → subtract.  All O(N) elementwise/reduction ops.
+    """
+    fftcp, fft = C.FFTCP_AM, C.FFT_AM
+    nsym = C.ACQUIRE_SYMBOLS
+    N = buf.shape[0]
+
+    # integer bin: average per-symbol DFT power (tone leaks but argmax holds)
+    sym = buf[: fftcp * nsym].reshape(nsym, fftcp)[:, :fft]
+    power = (jnp.abs(jnp.fft.fft(sym, axis=1)) ** 2).sum(0)
+    k0 = jnp.argmax(power).astype(jnp.int32)
+    k0 = jnp.where(k0 >= fft // 2, k0 - fft, k0)
+
+    # fine grid around k0: derotate by the integer bin (exact mod phase),
+    # then project onto 85 sub-bin offsets and refine parabolically
+    nint = jnp.arange(N, dtype=jnp.int32)
+    nf = nint.astype(jnp.float32)
+    ph_int = ((k0 * nint) % fft).astype(jnp.float32)
+    z = buf * jnp.exp(-2j * jnp.pi / fft * ph_int)
+    u = jnp.linspace(-0.6, 0.6, 85).astype(jnp.float32)
+    basis = jnp.exp(-2j * jnp.pi / fft * (u[:, None] * nf[None, :]))
+    P = jnp.abs(basis @ z) ** 2
+    i = jnp.clip(jnp.argmax(P), 1, 83)
+    den = P[i - 1] - 2 * P[i] + P[i + 1]
+    d = jnp.where(den != 0, 0.5 * (P[i - 1] - P[i + 1]) / den, 0.0)
+    ustar = u[i] + jnp.clip(d, -1.0, 1.0) * (u[1] - u[0])
+    f = (k0.astype(jnp.float32) + ustar) / fft  # cycles/sample
+
+    # Newton refinement of argmax |S(f)|²; centered index keeps the f32
+    # moment sums well-conditioned
+    m = nf - (N - 1) / 2.0
+
+    def newton(f, _):
+        e = jnp.exp(-2j * jnp.pi * f * m)
+        xe = buf * e
+        S = xe.sum()
+        w = -2 * jnp.pi * m
+        dS = 1j * (xe * w).sum()
+        d2S = -((w ** 2) * xe).sum()
+        g = 2 * jnp.real(jnp.conj(S) * dS)
+        h = 2 * jnp.abs(dS) ** 2 + 2 * jnp.real(jnp.conj(S) * d2S)
+        return jnp.where(h < 0, f - g / h, f), None
+
+    f, _ = jax.lax.scan(newton, f, None, length=2)
+    e = jnp.exp(-2j * jnp.pi * f * m)
+    amp = (buf * e).sum() / N
+    return buf - amp * jnp.conj(e)
+
+
 def _coarse_timing(buf: jax.Array, am: bool = False):
     """CP correlation over the 33-symbol window.
 
@@ -75,8 +138,11 @@ def _coarse_timing(buf: jax.Array, am: bool = False):
         # *outer* QAM64 partitions.  An MA3 (all-digital) signal occupies
         # only the inner band (carriers |i| <= 53), which that filter
         # nulls, so the filtered CP correlation has no signal to lock on.
-        # The raw correlation works for both modes on clean/offset captures.
-        f = buf
+        # Instead of the band filter we coherently subtract the carrier
+        # tone (see _am_tone_subtract) — this kills the lag-constant
+        # carrier pedestal that flattens the CP correlation under strong
+        # multipath while keeping BOTH modes' full OFDM band.
+        f = _am_tone_subtract(buf)
         delay = 0
     else:
         taps = np.asarray(C.ACQ_TAPS_FM, np.float32)
@@ -92,17 +158,13 @@ def _coarse_timing(buf: jax.Array, am: bool = False):
     a = f[: fftcp * C.ACQUIRE_SYMBOLS].reshape(C.ACQUIRE_SYMBOLS, fftcp)
     b = f[fft: fft + fftcp * C.ACQUIRE_SYMBOLS].reshape(C.ACQUIRE_SYMBOLS, fftcp)
     sums = (a * jnp.conj(b)).sum(axis=0)  # [fftcp]
-    if am:
-        # The dominant AM carrier self-correlates identically at EVERY
-        # lag — a constant pedestal that flattens the CP correlation
-        # (under multipath/noise the argmax then jumps arbitrarily and
-        # sync never locks).  The reference kills the carrier with its
-        # outer-band filter (src/acquire.c:63-96), which also blinds it
-        # to MA3; subtracting the lag-mean removes exactly the
-        # lag-constant carrier term while keeping BOTH modes' OFDM
-        # timing structure.
-        sums = sums - sums.mean()
-
+    # NOTE (AM): a lag-mean "carrier pedestal" subtraction on ``sums`` was
+    # tried here (round 3).  Measured end to end it HURT: the subtracted
+    # argmax is seed-unstable on clean MA1 captures (32/64 HDC packets at
+    # 2 of 4 seeds vs 64/64 without).  The coherent tone subtraction above
+    # removes the same pedestal at the signal level without that
+    # instability; residual per-block outliers under strong echoes are
+    # rejected by the host's timing-consensus latch (receiver_am).
     widx = jnp.asarray(_cp_window_idx(fftcp, cp))
     kernel = jnp.asarray(_shape_kernel(fft, cp))
     v = (sums[widx] * kernel[None, :]).sum(-1)  # [fftcp]
@@ -253,7 +315,8 @@ def _am_fold_fft(buf: jax.Array, samperr: jax.Array, phase0: jax.Array,
 
 
 def acquire_am(window: jax.Array, state: AcquireState, fine: jax.Array,
-               sync_samperr: jax.Array, cfo_bins: jax.Array):
+               sync_samperr: jax.Array, cfo_bins: jax.Array,
+               coarse_override: jax.Array):
     """One AM acquire step over 33 symbols' samples.
 
     The pilot at CENTER_AM provides fine CFO by linear regression of its
@@ -262,8 +325,17 @@ def acquire_am(window: jax.Array, state: AcquireState, fine: jax.Array,
     from the returned spectra) is folded into ``angle`` as whole rotations
     per FFT, exactly like the reference's ``angle -= 2*pi*cfo``.
 
+    ``coarse_override`` (int32): when >= 0 and not FINE, demodulate with
+    this symbol timing instead of the block's own CP-correlation argmax —
+    the host feeds back the consensus of recent measurements so one
+    outlier block (strong multipath) cannot scramble block alignment.
+    The block's own measurement is still returned (last element) so the
+    host can keep the consensus current.
+
     Returns (spectra [32, 256], new_state, samperr, keep int32,
-             mag_sums [256] for the coarse CFO search).
+             mag_sums [256] for the coarse CFO search,
+             coarse_meas int32 — this block's raw timing measurement,
+             -1 in FINE).
     """
     fftcp, fft = C.FFTCP_AM, C.FFT_AM
     nsym = C.ACQUIRE_SYMBOLS
@@ -271,17 +343,20 @@ def acquire_am(window: jax.Array, state: AcquireState, fine: jax.Array,
     def fine_branch():
         # AM sync reports only samperr; prev_angle carries over unchanged
         return ((fftcp // 2 + sync_samperr).astype(jnp.int32),
-                state.prev_angle)
+                state.prev_angle, jnp.asarray(-1, jnp.int32))
 
     def coarse_branch():
-        samperr, max_v = _coarse_timing(window, am=True)
+        measured, max_v = _coarse_timing(window, am=True)
+        samperr = jnp.where(coarse_override >= 0,
+                            coarse_override % fftcp, measured)
         angle_diff = jnp.angle(max_v * jnp.exp(-1j * state.prev_angle))
         factor = jnp.where(state.prev_angle != 0, 0.25, 1.0)
         return samperr, (state.prev_angle + angle_diff * factor
-                         ).astype(jnp.float32)
+                         ).astype(jnp.float32), measured
 
-    samperr, prev_angle = jax.lax.cond(fine, fine_branch, coarse_branch)
-    return _am_process(window, state, samperr, prev_angle, cfo_bins)
+    samperr, prev_angle, meas = jax.lax.cond(fine, fine_branch, coarse_branch)
+    out = _am_process(window, state, samperr, prev_angle, cfo_bins)
+    return out + (meas,)
 
 
 def acquire_am_fine(window: jax.Array, state: AcquireState,

@@ -161,6 +161,23 @@ def sync_am_block(spectra, ma3: bool = False):
 # block-count extraction (reference: src/sync.c:209-258).
 # ---------------------------------------------------------------------------
 
+def timing_consensus(hist, modulo: int, tol: int = 2, need: int = 3):
+    """Circular mode of recent coarse-timing measurements.
+
+    Returns the member of ``hist`` supported by >= ``need`` measurements
+    within ±``tol`` (circularly, modulo ``modulo``), or None.  Used by the
+    AM receivers to latch a consistent symbol timing under strong
+    multipath, where individual CP-correlation blocks throw outliers
+    (the echo lag and random lags; see ops/acquire._am_tone_subtract)."""
+    best, best_count = None, 0
+    for cand in hist:
+        count = sum(1 for h in hist
+                    if min((h - cand) % modulo, (cand - h) % modulo) <= tol)
+        if count > best_count:
+            best, best_count = cand, count
+    return best if best_count >= need else None
+
+
 def find_ref_am(bits: np.ndarray) -> int:
     """Fuzzy cyclic match of the AM sync needle (first 23 positions);
     returns the offset or -1 (reference: src/sync.c:243-258)."""

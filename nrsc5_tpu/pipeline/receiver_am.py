@@ -25,7 +25,8 @@ from nrsc5_tpu.ops.acquire import WINDOW_AM, AcquireState, acquire_am, \
     acquire_init_state
 from nrsc5_tpu.ops.decode_am import (AMDecodeState, am_decode_init_state,
                                      am_frame_decode, am_pids_decode)
-from nrsc5_tpu.ops.sync_am import find_block_am, find_ref_am, sync_am_block
+from nrsc5_tpu.ops.sync_am import (find_block_am, find_ref_am, sync_am_block,
+                                   timing_consensus)
 
 SYNC_NONE, SYNC_COARSE, SYNC_FINE = 0, 1, 2
 
@@ -57,6 +58,10 @@ class AMReceiver:
         self.keep_extra = 0
         self.samperr_fb = 0
         self.offset_history = 0
+        # coarse-timing consensus latch (multipath outlier rejection)
+        self._coarse_hist: list[int] = []
+        self._coarse_latch = -1
+        self._latch_age = 0
         self.diversity_wait = 4
         self._mats = self._empty_mats()
         self._p1_queue = []
@@ -96,13 +101,32 @@ class AMReceiver:
         self.on_event("block", {})
         window = jnp.asarray(self.ring[:WINDOW_AM])
         fine = self.sync_state == SYNC_FINE
-        spectra, self.acq_state, samperr, keep, mag_sums = _acquire_jit(
+        spectra, self.acq_state, samperr, keep, mag_sums, meas = _acquire_jit(
             window, self.acq_state, jnp.asarray(fine),
             jnp.asarray(self.samperr_fb, jnp.int32),
-            jnp.asarray(self.cfo, jnp.int32))
+            jnp.asarray(self.cfo, jnp.int32),
+            jnp.asarray(self._coarse_latch, jnp.int32))
         self.samperr_fb = 0
         if self.sync_state == SYNC_NONE:
             self.sync_state = SYNC_COARSE
+
+        if not fine:
+            # timing-consensus latch: once recent measurements agree, pin
+            # the coarse timing so multipath outlier blocks can't scramble
+            # block alignment; drop a latch that never yields lock
+            self._coarse_hist.append(int(meas) % C.FFTCP_AM)
+            self._coarse_hist = self._coarse_hist[-6:]
+            if self._coarse_latch < 0:
+                cons = timing_consensus(self._coarse_hist, C.FFTCP_AM)
+                if cons is not None:
+                    self._coarse_latch = cons
+                    self._latch_age = 0
+            else:
+                self._latch_age += 1
+                if self._latch_age > 16:
+                    self._coarse_latch = -1
+                    self._coarse_hist.clear()
+                    self._latch_age = 0
 
         if not fine:
             # integer CFO: strongest bin near the carrier

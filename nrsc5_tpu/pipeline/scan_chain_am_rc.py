@@ -316,17 +316,72 @@ def am_chain_batch_rc(samples, carries, n_frames: int, ma3: bool = False,
 # find_block_am bc-history lock of src/sync.c:635-666)
 # ---------------------------------------------------------------------------
 
+def _am_tone_subtract_rc(buf):
+    """rc twin of ops/acquire._am_tone_subtract: estimate the dominant
+    tone (the AM carrier — still one complex exponential through a static
+    multipath channel) and coherently subtract it, killing the
+    lag-constant pedestal that flattens the CP correlation under strong
+    echoes.  buf: [WINDOW_AM, 2]."""
+    fftcp, fft = C.FFTCP_AM, C.FFT_AM
+    nsym = C.ACQUIRE_SYMBOLS
+    N = buf.shape[0]
+
+    # integer bin: average per-symbol DFT power
+    sym = buf[:fftcp * nsym].reshape(nsym, fftcp, 2)[:, :fft]
+    power = rc.abs2(rc.dft(sym)).sum(0)  # [fft]
+    k0 = jnp.argmax(power).astype(jnp.int32)
+    k0 = jnp.where(k0 >= fft // 2, k0 - fft, k0)
+
+    # fine grid around k0 (derotate by the integer bin with exact mod
+    # phase, project onto 85 sub-bin offsets, parabolic refine)
+    nint = jnp.arange(N, dtype=jnp.int32)
+    nf = nint.astype(jnp.float32)
+    ph_int = ((k0 * nint) % fft).astype(jnp.float32) * (-2 * jnp.pi / fft)
+    z = rc.mul(buf, rc.exp_i(ph_int))
+    u = jnp.linspace(-0.6, 0.6, 85).astype(jnp.float32)
+    ph_g = (-2 * jnp.pi / fft) * (u[:, None] * nf[None, :])
+    S_g = rc.mul(z[None, :, :], rc.exp_i(ph_g)).sum(axis=1)  # [85, 2]
+    P = rc.abs2(S_g)
+    i = jnp.clip(jnp.argmax(P), 1, 83)
+    den = P[i - 1] - 2 * P[i] + P[i + 1]
+    d = jnp.where(den != 0, 0.5 * (P[i - 1] - P[i + 1]) / den, 0.0)
+    ustar = u[i] + jnp.clip(d, -1.0, 1.0) * (u[1] - u[0])
+    f = (k0.astype(jnp.float32) + ustar) / fft  # cycles/sample
+
+    # two Newton steps on |S(f)|^2 with centered index (f32 conditioning)
+    m = nf - (N - 1) / 2.0
+
+    def newton(f, _):
+        e = rc.exp_i(-2 * jnp.pi * f * m)
+        xe = rc.mul(buf, e)  # [N, 2]
+        S = xe.sum(0)  # [2]
+        w = 2 * jnp.pi * m
+        t = (w[:, None] * xe).sum(0)
+        dS = jnp.stack([t[1], -t[0]])  # -j * t
+        d2S = -((w ** 2)[:, None] * xe).sum(0)
+        g = 2 * (S[0] * dS[0] + S[1] * dS[1])
+        h = 2 * (dS[0] ** 2 + dS[1] ** 2) + 2 * (S[0] * d2S[0]
+                                                 + S[1] * d2S[1])
+        return jnp.where(h < 0, f - g / h, f), None
+
+    f, _ = jax.lax.scan(newton, f, None, length=2)
+    e = rc.exp_i(-2 * jnp.pi * f * m)
+    amp = rc.mul(buf, e).sum(0) / N  # [2]
+    return buf - rc.mul(amp[None, :], rc.conj(e))
+
+
 def _am_coarse_timing_rc(buf):
     """CP correlation over all 270 candidate timings, rc twin of
-    ops/acquire._coarse_timing(am=True) — raw (unfiltered) correlation;
-    the reference's pre-sync band filter would blind it to MA3 (see the
-    divergence note there).  buf: [WINDOW_AM, 2].
+    ops/acquire._coarse_timing(am=True) — carrier-tone-subtracted,
+    full-band correlation (the reference's pre-sync band filter would
+    blind it to MA3; see the divergence note there).  buf: [WINDOW_AM, 2].
     Returns (samperr int32, v_max [2])."""
     from nrsc5_tpu.ops.acquire import _cp_window_idx, _shape_kernel
     fftcp, fft, cp = C.FFTCP_AM, C.FFT_AM, C.CP_AM
     nsym = C.ACQUIRE_SYMBOLS
-    a = buf[:fftcp * nsym].reshape(nsym, fftcp, 2)
-    b = buf[fft:fft + fftcp * nsym].reshape(nsym, fftcp, 2)
+    fbuf = _am_tone_subtract_rc(buf)
+    a = fbuf[:fftcp * nsym].reshape(nsym, fftcp, 2)
+    b = fbuf[fft:fft + fftcp * nsym].reshape(nsym, fftcp, 2)
     sums = rc.mul_conj(a, b).sum(axis=0)  # [fftcp, 2]
     widx = jnp.asarray(_cp_window_idx(fftcp, cp))
     kernel = jnp.asarray(_shape_kernel(fft, cp))
@@ -336,23 +391,32 @@ def _am_coarse_timing_rc(buf):
 
 
 @jax.jit
-def am_coldstart_block_rc(samples, offset, phase, prev_angle, cfo):
+def am_coldstart_block_rc(samples, offset, phase, prev_angle, cfo,
+                          coarse_override):
     """One COARSE probe block: CP-correlation timing + smoothed
     fractional CFO + pilot-regression demodulation + sync, in a single
     dispatch.  Returns everything the host lock loop needs.  Probing
     always uses MA1 sideband combining — the reference subcarriers are
     complementary in both modes, so the ref bits (all the lock logic
     reads) come out the same; the mode itself arrives via the bc=0
-    control word (find_block_am)."""
+    control word (find_block_am).
+
+    ``coarse_override`` (int32): when >= 0, demodulate with this timing
+    instead of this block's own measurement (the host's consensus latch;
+    see ops/sync_am.timing_consensus).  The raw measurement is still
+    returned (last element)."""
     window = jax.lax.dynamic_slice(samples, (offset, 0), (WINDOW_AM, 2))
-    samperr, v = _am_coarse_timing_rc(window)
+    measured, v = _am_coarse_timing_rc(window)
+    samperr = jnp.where(coarse_override >= 0,
+                        coarse_override % C.FFTCP_AM, measured)
     angle_diff = rc.angle(rc.mul(v, rc.exp_i(-prev_angle)))
     factor = jnp.where(prev_angle != 0, 0.25, 1.0)
     prev_angle = (prev_angle + angle_diff * factor).astype(jnp.float32)
     spectra, phase, prev_angle, samperr, keep, mag_sums = _am_process_rc(
         window, phase, samperr, prev_angle, cfo)
     out = sync_am_block_rc(spectra, False)
-    return (out["ref_bits"], phase, prev_angle, samperr, keep, mag_sums)
+    return (out["ref_bits"], phase, prev_angle, samperr, keep, mag_sums,
+            measured)
 
 
 def cold_start_am_rc(samples_rc, max_blocks: int = 24) -> dict | None:
@@ -370,7 +434,8 @@ def cold_start_am_rc(samples_rc, max_blocks: int = 24) -> dict | None:
     Returns ``{"offset", "psmi", "ma3", "cfo", "carry"}`` ready for
     :func:`am_chain_scan_rc` / :func:`am_chain_batch_rc` (feed
     ``samples[offset:]``), or None when no lock was found."""
-    from nrsc5_tpu.ops.sync_am import find_block_am, find_ref_am
+    from nrsc5_tpu.ops.sync_am import (find_block_am, find_ref_am,
+                                       timing_consensus)
     fftcp = C.FFTCP_AM
     samples_rc = jnp.asarray(samples_rc)
     phase = jnp.asarray(np.array([1.0, 0.0], np.float32))
@@ -378,14 +443,30 @@ def cold_start_am_rc(samples_rc, max_blocks: int = 24) -> dict | None:
     pos, cfo, keep_extra, cfo_wait = 0, 0, 0, 0
     history = 0
     psmi = C.SERVICE_MODE_MA1
+    coarse_hist: list[int] = []
+    latch, latch_age = -1, 0
     for _ in range(max_blocks):
         if pos + WINDOW_AM > samples_rc.shape[0]:
             return None
-        ref_bits, phase, prev_angle, samperr_d, keep, mag_sums = \
+        ref_bits, phase, prev_angle, samperr_d, keep, mag_sums, meas = \
             am_coldstart_block_rc(samples_rc, jnp.asarray(pos, jnp.int32),
                                   phase, prev_angle,
-                                  jnp.asarray(cfo, jnp.int32))
+                                  jnp.asarray(cfo, jnp.int32),
+                                  jnp.asarray(latch, jnp.int32))
         samperr = int(np.asarray(samperr_d))
+        # timing-consensus latch (multipath outlier rejection; twin of
+        # AMReceiver._process_block)
+        coarse_hist.append(int(np.asarray(meas)) % fftcp)
+        coarse_hist = coarse_hist[-6:]
+        if latch < 0:
+            cons = timing_consensus(coarse_hist, fftcp)
+            if cons is not None:
+                latch, latch_age = cons, 0
+        else:
+            latch_age += 1
+            if latch_age > 16:
+                latch, latch_age = -1, 0
+                coarse_hist.clear()
         # integer CFO: strongest bin near the carrier
         # (reference: src/acquire.c:209-235)
         lo = C.CENTER_AM - C.PIDS_OUTER_INDEX_AM
