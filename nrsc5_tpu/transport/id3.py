@@ -42,7 +42,7 @@ def parse_id3(buf: bytes) -> dict | None:
         "title": None, "artist": None, "album": None, "genre": None,
         "ufid_owner": None, "ufid_id": None,
         "xhdr_mime": 0, "xhdr_param": -1, "xhdr_lot": -1,
-        "comments": [],
+        "comments": [], "commercial": None,
     }
     off = 10
     while off + 10 <= id3_len:
@@ -84,6 +84,33 @@ def parse_id3(buf: bytes) -> dict | None:
                             short_content_desc=_decode_text(1, body[:i]),
                             full_text=_decode_text(1, body[i + 2:])))
                         break
+        elif tag == b"COMR" and frame_len >= 1:
+            # commercial frame (reference: src/output.c:337-372): encoding,
+            # price\0, valid-until YYYYMMDD, url\0, received_as,
+            # seller\0, description\0
+            body = data[1:]
+            delim = []
+            pos = 0
+            for i in range(4):
+                d = body.find(b"\x00", pos)
+                if d < 0:
+                    break
+                delim.append(d)
+                pos = d + 1 + (8 if i == 0 else 1 if i == 1 else 0)
+            if len(delim) == 4 and delim[0] + 9 <= len(body) \
+                    and delim[1] + 2 <= len(body):
+                until = body[delim[0] + 1:delim[0] + 9].decode(
+                    "latin-1", "replace")
+                out["commercial"] = dict(
+                    price=body[:delim[0]].decode("latin-1", "replace"),
+                    until=f"{until[0:4]}-{until[4:6]}-{until[6:8]}",
+                    url=body[delim[0] + 9:delim[1]].decode(
+                        "latin-1", "replace"),
+                    received_as=body[delim[1] + 1],
+                    seller=body[delim[1] + 2:delim[2]].decode(
+                        "latin-1", "replace"),
+                    desc=body[delim[2] + 1:delim[3]].decode(
+                        "latin-1", "replace"))
         elif tag == b"XHDR" and frame_len >= 6:
             out["xhdr_mime"] = int.from_bytes(data[0:4], "little")
             out["xhdr_param"] = data[4]

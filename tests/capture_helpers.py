@@ -137,11 +137,12 @@ def complex_to_cs16(sig: np.ndarray) -> bytes:
 
 
 def id3_tag(title=None, artist=None, album=None, genre=None,
-            ufid=None, xhdr=None, comment=None) -> bytes:
-    """ID3v2.3 tag with text frames, UFID, COMM, and XHDR (decoder:
+            ufid=None, xhdr=None, comment=None, commercial=None) -> bytes:
+    """ID3v2.3 tag with text frames, UFID, COMM, COMR and XHDR (decoder:
     transport/id3.py; reference: src/output.c:248-491).  ufid =
     (owner, id) strings; comment = (lang, short_desc, text);
-    xhdr = (mime_u32, param, ext_bytes)."""
+    xhdr = (mime_u32, param, ext_bytes); commercial = (price,
+    until_yyyymmdd, url, received_as, seller, desc)."""
     frames = b""
 
     def frame(fid: bytes, data: bytes) -> bytes:
@@ -159,6 +160,13 @@ def id3_tag(title=None, artist=None, album=None, genre=None,
         frames += frame(b"COMM", b"\x00" + lang.encode()
                         + short.encode("latin-1") + b"\x00"
                         + text.encode("latin-1"))
+    if commercial is not None:
+        price, until, url, received_as, seller, desc = commercial
+        frames += frame(b"COMR", b"\x00" + price.encode("latin-1") + b"\x00"
+                        + until.encode("latin-1") + url.encode("latin-1")
+                        + b"\x00" + bytes([received_as])
+                        + seller.encode("latin-1") + b"\x00"
+                        + desc.encode("latin-1") + b"\x00")
     if xhdr is not None:
         mime, param, ext = xhdr
         frames += frame(b"XHDR", mime.to_bytes(4, "little")

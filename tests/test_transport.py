@@ -276,3 +276,25 @@ def test_resync_on_bad_first_pdu(rng):
     bits2 = pack_frame(g2, C.P3_FRAME_LEN_MP3_MP11, C.PCI_AUDIO)
     dec.push_frame(bits2, TF.P3)
     assert resyncs == [1]
+
+
+def test_id3_comr_commercial_frame():
+    """COMR (commercial) ID3 frame parse (reference: src/output.c:337-372):
+    price\\0 + YYYYMMDD + url\\0 + received_as + seller\\0 + desc\\0."""
+    from nrsc5_tpu.transport.id3 import parse_id3
+
+    from .capture_helpers import id3_tag
+
+    tag = id3_tag(title="Song", commercial=(
+        "usd9.99", "20271231", "http://buy.example/x", 3,
+        "TPU Records", "Limited edition"))
+    info = parse_id3(tag)
+    assert info["title"] == "Song"
+    c = info["commercial"]
+    assert c == dict(price="usd9.99", until="2027-12-31",
+                     url="http://buy.example/x", received_as=3,
+                     seller="TPU Records", desc="Limited edition")
+    # malformed (truncated) COMR must not crash nor emit
+    bad = tag.replace(b"Limited edition\x00", b"Limited edition")
+    info2 = parse_id3(bad[:len(bad) - 1])
+    assert info2 is None or info2.get("commercial") is None
