@@ -281,80 +281,123 @@ def _parse_spectral(br: BitReader, ics: IcsInfo) -> np.ndarray:
     return quant
 
 
+def _parse_ics(br: BitReader, ics: IcsInfo) -> np.ndarray:
+    """One channel's individual stream: global gain + section data +
+    scale factors + spectral huffman.  Native single-call fast path
+    (nrsc5_hdc_ics) with the Python functions as the spec/fallback;
+    equality pinned by test_native_ics_matches_python."""
+    res = None
+    if _native is not None:
+        try:
+            res = _native.hdc_ics(br.data, br.pos, ics.short, ics.max_sfb,
+                                  ics.group_len, ics.swb_offset)
+        except ValueError as e:
+            raise HDCError(str(e)) from None
+    if res is not None:
+        # (global gain is consumed inside the native call; nothing
+        # downstream reads ics.global_gain)
+        ics.sfb_cb, ics.scale_factors, quant, br.pos = res
+        return quant.astype(np.int64)
+    ics.global_gain = br.read(8)
+    _parse_section_data(br, ics)
+    _parse_scale_factors(br, ics)
+    return _parse_spectral(br, ics)
+
+
 # ----------------------------------------------------------------------
 # reconstruction
 # ----------------------------------------------------------------------
+def _band_expand(ics: IcsInfo, vals: np.ndarray) -> np.ndarray:
+    """Expand per-(group, band) values to per-bin (FRAME_LEN) layout:
+    band b repeats over its swb width, a group's row repeats across its
+    windows (short) at window strides of SHORT_LEN."""
+    offs = ics.swb_offset
+    widths = np.diff(np.asarray(offs[:ics.max_sfb + 1], np.int64))
+    out = np.zeros(A.FRAME_LEN, vals.dtype)
+    if ics.max_sfb == 0:
+        return out
+    nb = int(offs[ics.max_sfb])
+    if not ics.short:
+        out[:nb] = np.repeat(vals[0], widths)
+        return out
+    o2 = out.reshape(8, A.SHORT_LEN)
+    win = 0
+    for g in range(ics.num_window_groups):
+        o2[win:win + ics.group_len[g], :nb] = np.repeat(vals[g], widths)
+        win += ics.group_len[g]
+    return out
+
+
 def _apply_scalefactors(ics: IcsInfo, quant: np.ndarray,
                         rng: np.random.Generator) -> np.ndarray:
     """Dequantize + PNS-fill a whole channel.
 
-    Vectorized over bins (one |q|^(4/3) and one 2^((sf-100)/4) pass):
-    the per-band loop was a serving-path hot spot (26k numpy calls per
-    16-station packet batch)."""
-    offs = ics.swb_offset
+    Fully vectorized over bands AND bins (np.repeat band expansion; the
+    per-band Python loop was ~30% of the post-native parse wall)."""
     spec = np.zeros(A.FRAME_LEN, np.float32)
-    # per-bin scalefactor gain for regular codebooks
-    gain_bin = np.zeros(A.FRAME_LEN)
-    win_base = 0
-    noise_bands = []  # (lo, width, nrg)
-    for g in range(ics.num_window_groups):
-        for b in range(ics.max_sfb):
-            cb = int(ics.sfb_cb[g, b])
-            if cb in (A.INTENSITY_HCB, A.INTENSITY_HCB2, A.ZERO_HCB):
-                continue
-            width = int(offs[b + 1] - offs[b])
-            for wi in range(ics.group_len[g]):
-                w = win_base + wi
-                lo = (w * A.SHORT_LEN + int(offs[b])) if ics.short \
-                    else int(offs[b])
-                if cb == A.NOISE_HCB:
-                    noise_bands.append(
-                        (lo, width, int(ics.scale_factors[g, b])))
-                else:
-                    gain_bin[lo:lo + width] = 2.0 ** (
-                        0.25 * (int(ics.scale_factors[g, b])
-                                - A.SF_OFFSET))
-        win_base += ics.group_len[g]
+    if ics.max_sfb == 0:
+        return spec
+    cb = np.asarray(ics.sfb_cb)
+    sf = np.asarray(ics.scale_factors)
+    regular = (cb != A.ZERO_HCB) & (cb < A.NOISE_HCB)
+    with np.errstate(over="ignore"):
+        # both np.where branches evaluate: non-regular bands carry
+        # intensity/noise values that may overflow 2^x harmlessly
+        gains = np.where(regular, 2.0 ** (0.25 * (sf - A.SF_OFFSET)), 0.0)
+    gain_bin = _band_expand(ics, gains)
     nz = gain_bin != 0.0
     if nz.any():
         q = quant[nz].astype(np.float64)
         spec[nz] = (np.sign(q) * np.abs(q) ** (4.0 / 3.0)) * gain_bin[nz]
-    for (lo, width, nrg) in noise_bands:
-        # ISO/faad PNS scaling (faad2 pns.c gen_rand_vector): the vector
-        # is normalized to UNIT TOTAL band energy then scaled 2^(nrg/4)
-        # — per-bin-RMS normalization is louder by sqrt(band width)
-        # (caught by the libavcodec oracle, test_lc_pns_band_energy)
-        noise = rng.standard_normal(width).astype(np.float32)
-        etot = np.sqrt((noise * noise).sum()) or 1.0
-        spec[lo:lo + width] = noise / etot * 2.0 ** (0.25 * nrg)
+    if (cb == A.NOISE_HCB).any():
+        # PNS: rng draw order must stay (group asc, band asc, window asc)
+        # — it is part of the decoder's deterministic output
+        offs = ics.swb_offset
+        win_base = 0
+        for g in range(ics.num_window_groups):
+            for b in np.nonzero(cb[g] == A.NOISE_HCB)[0]:
+                width = int(offs[b + 1] - offs[b])
+                nrg = int(sf[g, b])
+                for wi in range(ics.group_len[g]):
+                    lo = ((win_base + wi) * A.SHORT_LEN + int(offs[b])) \
+                        if ics.short else int(offs[b])
+                    # ISO/faad PNS scaling (faad2 pns.c gen_rand_vector):
+                    # unit TOTAL band energy then 2^(nrg/4) — per-bin-RMS
+                    # is louder by sqrt(width) (caught by the libavcodec
+                    # oracle, test_lc_pns_band_energy)
+                    noise = rng.standard_normal(width).astype(np.float32)
+                    etot = np.sqrt((noise * noise).sum()) or 1.0
+                    spec[lo:lo + width] = noise / etot * 2.0 ** (0.25 * nrg)
+            win_base += ics.group_len[g]
     return spec
 
 
 def _apply_ms_is(ics: IcsInfo, ics2: IcsInfo, left: np.ndarray,
                  right: np.ndarray):
-    offs = ics.swb_offset
-    win_base = 0
-    for g in range(ics.num_window_groups):
-        for b in range(ics.max_sfb):
-            cb_r = int(ics2.sfb_cb[g, b])
-            ms = bool(ics.ms_used[g, b]) if ics.ms_used is not None \
-                and b < ics.ms_used.shape[1] else False
-            for wi in range(ics.group_len[g]):
-                w = win_base + wi
-                lo = (w * A.SHORT_LEN + int(offs[b])) if ics.short \
-                    else int(offs[b])
-                hi = lo + int(offs[b + 1] - offs[b])
-                if cb_r in (A.INTENSITY_HCB, A.INTENSITY_HCB2):
-                    scale = 0.5 ** (0.25 * int(ics2.scale_factors[g, b]))
-                    invert = (cb_r == A.INTENSITY_HCB2) ^ ms
-                    right[lo:hi] = left[lo:hi] * \
-                        (-scale if invert else scale)
-                elif ms and cb_r < A.NOISE_HCB and \
-                        int(ics.sfb_cb[g, b]) < A.NOISE_HCB:
-                    l_ = left[lo:hi] + right[lo:hi]
-                    r_ = left[lo:hi] - right[lo:hi]
-                    left[lo:hi], right[lo:hi] = l_, r_
-        win_base += ics.group_len[g]
+    """Mid/side + intensity stereo, vectorized over bins."""
+    if ics.max_sfb == 0:
+        return
+    cb_l = np.asarray(ics.sfb_cb)
+    cb_r = np.asarray(ics2.sfb_cb)
+    sf_r = np.asarray(ics2.scale_factors)
+    ms = np.zeros(cb_r.shape, bool)
+    if ics.ms_used is not None:
+        w = min(ms.shape[1], ics.ms_used.shape[1])
+        ms[:, :w] = ics.ms_used[:, :w]
+    intens = (cb_r == A.INTENSITY_HCB) | (cb_r == A.INTENSITY_HCB2)
+    invert = (cb_r == A.INTENSITY_HCB2) ^ ms
+    with np.errstate(over="ignore"):
+        facs = np.where(invert, -1.0, 1.0) * 0.5 ** (0.25 * sf_r)
+    i_bin = _band_expand(ics, intens.astype(np.float64)) > 0.5
+    if i_bin.any():
+        fac_bin = _band_expand(ics, np.where(intens, facs, 0.0))
+        right[i_bin] = left[i_bin] * fac_bin[i_bin]
+    msb = ms & (cb_r < A.NOISE_HCB) & (cb_l < A.NOISE_HCB)
+    m_bin = _band_expand(ics, msb.astype(np.float64)) > 0.5
+    if m_bin.any():
+        l_ = left[m_bin] + right[m_bin]
+        r_ = left[m_bin] - right[m_bin]
+        left[m_bin], right[m_bin] = l_, r_
 
 
 def _tns_lpc(coefs, coef_res, compress):
@@ -511,16 +554,13 @@ class HDCDecoder:
             ics2.tns = _parse_tns(br, ics2)
 
         # channel 1: side info (scal_flag=1: global gain + sections +
-        # scalefactors only) + spectral data
-        ics1.global_gain = br.read(8)
-        _parse_section_data(br, ics1)
-        _parse_scale_factors(br, ics1)
-        q1 = _parse_spectral(br, ics1)
+        # scalefactors only) + spectral data.  The whole contiguous
+        # per-channel stream parses in ONE native call when available
+        # (native/host_ops.cpp nrsc5_hdc_ics — differentially pinned
+        # bit-identical to the Python path below).
+        q1 = _parse_ics(br, ics1)
         if stereo:
-            ics2.global_gain = br.read(8)
-            _parse_section_data(br, ics2)
-            _parse_scale_factors(br, ics2)
-            q2 = _parse_spectral(br, ics2)
+            q2 = _parse_ics(br, ics2)
         if br.overrun():
             raise HDCError("bitstream overrun")
 

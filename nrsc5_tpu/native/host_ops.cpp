@@ -360,6 +360,196 @@ long nrsc5_hdc_spectral(const uint8_t* data, long nbytes, long pos,
     return pos;
 }
 
+// ---------------------------------------------------------------------------
+// Whole-ICS parse: section data + scale factors + spectral huffman in ONE
+// call per channel (mirrors hdc_decoder._parse_section_data /
+// _parse_scale_factors / _parse_spectral bit-exactly; pinned by
+// tests/test_audio.py::test_native_ics_matches_python).  The per-section
+// ctypes dispatch of nrsc5_hdc_spectral (~79 calls/packet) was ~25% of the
+// host parse wall; this is 1 call per channel.
+// ---------------------------------------------------------------------------
+
+#define HDC_NBOOKS 16
+#define HDC_SF_BOOK 12  // reserved spectral codebook id reused for SF book
+struct HdcBook {
+    const int16_t* sym;
+    const uint8_t* len;
+    int bits;
+    const int16_t* tuples;
+    int dim;
+    int is_signed;
+    int is_esc;
+    int set;
+};
+static HdcBook hdc_books[HDC_NBOOKS];
+
+void nrsc5_hdc_register_book(int cb, const int16_t* sym, const uint8_t* len,
+                             int bits, const int16_t* tuples, int dim,
+                             int is_signed, int is_esc) {
+    if (cb < 0 || cb >= HDC_NBOOKS) return;
+    hdc_books[cb].sym = sym;
+    hdc_books[cb].len = len;
+    hdc_books[cb].bits = bits;
+    hdc_books[cb].tuples = tuples;
+    hdc_books[cb].dim = dim;
+    hdc_books[cb].is_signed = is_signed;
+    hdc_books[cb].is_esc = is_esc;
+    hdc_books[cb].set = 1;
+}
+
+static inline int hdc_decode_sym(const uint8_t* d, long nbytes, long* pos,
+                                 const HdcBook* bk) {
+    uint32_t probe = hdc_peek(d, nbytes, *pos, bk->bits);
+    int sym = bk->sym[probe];
+    if (sym < 0) return -1;
+    *pos += bk->len[probe];
+    return sym;
+}
+
+// Parse one channel's individual stream: global_gain (8 bits) + section
+// data + scale factors + spectral data, starting at bit `pos`.
+// group_len: int32[num_groups]; swb_offset: int16[max_sfb + 1];
+// sfb_cb/sf_out: int32[num_groups * max_sfb]; quant: int32[1024],
+// caller-zeroed.  Returns the new bit position, or -1 on any condition
+// where the Python parser raises (reserved codebook, section overrun,
+// scalefactor out of range, invalid codeword, bad escape, spectral
+// overrun), or -2 if codebooks were not registered.
+long nrsc5_hdc_ics(const uint8_t* data, long nbytes, long pos,
+                   int short_flag, int max_sfb, int num_groups,
+                   const int32_t* group_len, const int16_t* swb_offset,
+                   int32_t* sfb_cb, int32_t* sf_out, int32_t* quant) {
+    long nbits = 8 * nbytes;
+    if (!hdc_books[HDC_SF_BOOK].set) return -2;
+
+    int global_gain = (int)hdc_peek(data, nbytes, pos, 8);
+    pos += 8;
+
+    // --- section data (hdc_decoder._parse_section_data) ---
+    int sect_bits = short_flag ? 3 : 5;
+    int esc = (1 << sect_bits) - 1;
+    for (int g = 0; g < num_groups; g++) {
+        int k = 0;
+        while (k < max_sfb) {
+            int cb = (int)hdc_peek(data, nbytes, pos, 4);
+            pos += 4;
+            if (cb == 12) return -1;  // reserved codebook id
+            long run = 0;
+            for (;;) {
+                int incr = (int)hdc_peek(data, nbytes, pos, sect_bits);
+                pos += sect_bits;
+                run += incr;
+                if (incr != esc) break;
+            }
+            if (k + run > max_sfb || pos > nbits) return -1;
+            for (long j = 0; j < run; j++) sfb_cb[g * max_sfb + k + j] = cb;
+            k += (int)run;
+        }
+    }
+
+    // --- scale factors (hdc_decoder._parse_scale_factors; NO overrun
+    // check here — the Python parser reads zero bits past the end) ---
+    const HdcBook* sfbk = &hdc_books[HDC_SF_BOOK];
+    int scale_factor = global_gain;
+    int is_position = 0;
+    int noise_energy = global_gain - 90;
+    int noise_pcm = 1;
+    for (int g = 0; g < num_groups; g++) {
+        for (int b = 0; b < max_sfb; b++) {
+            int cb = sfb_cb[g * max_sfb + b];
+            int32_t* dst = &sf_out[g * max_sfb + b];
+            if (cb == 0) {  // ZERO_HCB
+                *dst = 0;
+            } else if (cb == 14 || cb == 15) {  // INTENSITY_HCB2 / _HCB
+                int s = hdc_decode_sym(data, nbytes, &pos, sfbk);
+                if (s < 0) return -1;
+                is_position += s - 60;  // SF_CENTER
+                *dst = is_position;
+            } else if (cb == 13) {  // NOISE_HCB
+                if (noise_pcm) {
+                    noise_pcm = 0;
+                    noise_energy += (int)hdc_peek(data, nbytes, pos, 9) - 256;
+                    pos += 9;
+                } else {
+                    int s = hdc_decode_sym(data, nbytes, &pos, sfbk);
+                    if (s < 0) return -1;
+                    noise_energy += s - 60;
+                }
+                *dst = noise_energy;
+            } else {
+                int s = hdc_decode_sym(data, nbytes, &pos, sfbk);
+                if (s < 0) return -1;
+                scale_factor += s - 60;
+                if (scale_factor < 0 || scale_factor >= 256) return -1;
+                *dst = scale_factor;
+            }
+        }
+    }
+
+    // --- spectral data (hdc_decoder._parse_spectral) ---
+    int win_base = 0;
+    for (int g = 0; g < num_groups; g++) {
+        int glen = group_len[g];
+        for (int b = 0; b < max_sfb; b++) {
+            int cb = sfb_cb[g * max_sfb + b];
+            if (cb == 0 || cb >= 13) continue;  // ZERO / NOISE / INTENSITY
+            const HdcBook* bk = &hdc_books[cb];
+            if (!bk->set) return -2;
+            int width = (int)(swb_offset[b + 1] - swb_offset[b]);
+            long n = (long)width * glen;
+            long i = 0;
+            long vals[4];
+            int dim = bk->dim;
+            // temporary bitstream-order buffer (sfb-major: window, bin)
+            int32_t tmp[8 * 128];
+            while (i < n) {
+                int sym = hdc_decode_sym(data, nbytes, &pos, bk);
+                if (sym < 0) return -1;
+                const int16_t* tp = bk->tuples + (long)sym * dim;
+                for (int j = 0; j < dim; j++) {
+                    long v = tp[j];
+                    if (!bk->is_signed && v) {
+                        if (hdc_peek(data, nbytes, pos, 1)) v = -v;
+                        pos += 1;
+                    }
+                    vals[j] = v;
+                }
+                if (bk->is_esc) {
+                    for (int j = 0; j < dim; j++) {
+                        long v = vals[j];
+                        if (v != 16 && v != -16) continue;
+                        int cnt = 0;
+                        while (hdc_peek(data, nbytes, pos, 1)) {
+                            pos += 1;
+                            if (++cnt > 16 || pos > nbits) return -1;
+                        }
+                        pos += 1;  // terminating 0
+                        int nb = cnt + 4;
+                        long mag = ((long)1 << nb)
+                                   | hdc_peek(data, nbytes, pos, nb);
+                        pos += nb;
+                        vals[j] = (v < 0) ? -mag : mag;
+                    }
+                }
+                for (int j = 0; j < dim && i + j < n; j++)
+                    tmp[i + j] = (int32_t)vals[j];
+                i += dim;
+                if (pos > nbits + 64) return -1;  // truncated-packet runaway
+            }
+            if (pos > nbits) return -1;  // br.overrun() after each section
+            // scatter to per-window order (quant[1024])
+            for (int wi = 0; wi < glen; wi++) {
+                long lo = short_flag
+                              ? (long)(win_base + wi) * 128 + swb_offset[b]
+                              : (long)swb_offset[b];
+                for (int j = 0; j < width; j++)
+                    quant[lo + j] = tmp[(long)wi * width + j];
+            }
+        }
+        win_base += glen;
+    }
+    return pos;
+}
+
 }  // extern "C"
 
 // Initialize every lookup table at library load: the transport runs these

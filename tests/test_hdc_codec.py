@@ -565,3 +565,66 @@ def test_native_spectral_parser_matches_python(rng):
 
     a, b = run(True), run(False)
     assert a == b, [i for i, (u, v) in enumerate(zip(a, b)) if u != v]
+
+
+def test_native_ics_matches_python(rng):
+    """The single-call native ICS parser (nrsc5_hdc_ics: global gain +
+    sections + scale factors + spectral) must be bit-identical to the
+    pure-Python parse across content exercising every codebook family
+    (PNS, intensity, M/S, short windows, mono), on clean AND corrupted
+    packets — identical accept/reject and identical parse internals."""
+    import nrsc5_tpu.audio.hdc_decoder as hd
+    from nrsc5_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    n = 2048
+    x = _music_like(16 * n, rng)
+    # transient bursts force EIGHT_SHORT frames
+    for k in (3, 9):
+        x[k * n + 500:k * n + 900] += 0.5 * np.hanning(400) * rng.normal(
+            size=400)
+    d = 0.1 * _music_like(16 * n, rng, lp_hz=800.0)
+    stereo = np.stack([x + d, x - d], axis=-1)
+
+    cases = []
+    enc = HDCEncoder(2, pns=True, intensity=True, ms=True)
+    cases += [enc.encode_frame(stereo[f * n:(f + 1) * n]) for f in range(16)]
+    encm = HDCEncoder(1, pns=True)
+    cases += [encm.encode_frame(x[f * n:(f + 1) * n, None])
+              for f in range(8)]
+    for p in list(cases[:12]):
+        b = bytearray(p)
+        for _ in range(4):
+            i = int(rng.integers(4, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        cases.append(bytes(b))
+
+    def run(use_native):
+        saved = hd._native
+        hd._native = native if use_native else None
+        try:
+            dec = HDCDecoder()
+            out = []
+            for p in cases:
+                try:
+                    specs, ics1, sbr = dec.parse(p)
+                    out.append((
+                        [s.tobytes() for s in specs],
+                        None if ics1.sfb_cb is None
+                        else ics1.sfb_cb.tobytes(),
+                        None if ics1.scale_factors is None
+                        else np.asarray(ics1.scale_factors,
+                                        np.int64).tobytes()))
+                except Exception as e:  # noqa: BLE001
+                    out.append(("raised", type(e).__name__ != ""))
+            return out
+        finally:
+            hd._native = saved
+
+    a, b = run(True), run(False)
+    bad = [i for i, (u, v) in enumerate(zip(a, b)) if u != v]
+    assert not bad, bad
+    # at least one short-window and one rejected packet actually occurred
+    assert any(isinstance(r, tuple) and r[0] == "raised" for r in a)
