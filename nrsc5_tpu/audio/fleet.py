@@ -1,27 +1,37 @@
 """Fleet audio: batched device PCM for a served multi-station receiver.
 
 The reference decodes audio with one FAAD2 instance per subscribed
-program on the host (src/output.c:126-163); serving N stations that way
-costs N x 3.5 ms/packet of host CPU.  :class:`FleetAudioDecoder` sits on
-a :class:`~nrsc5_tpu.serve.MultiStationReceiver`'s event stream,
-collects each station's program HDC packets, and decodes them in
-batches through :class:`~nrsc5_tpu.audio.batch.BatchedAudioDecoder` —
-one jitted device dispatch per fleet batch, performed on a dedicated
-worker thread so the device dispatch never blocks the receiver's
-sample-ingest callback — emitting AUDIO events tagged with their
-station.
+program on the host (src/output.c:100-168, MAX_PROGRAMS=8); serving N
+stations that way costs N x 3.5 ms/packet of host CPU.
+:class:`FleetAudioDecoder` sits on a
+:class:`~nrsc5_tpu.serve.MultiStationReceiver`'s event stream, collects
+each station's program HDC packets, and decodes them in batches through
+:class:`~nrsc5_tpu.audio.batch.BatchedAudioDecoder` — one jitted device
+dispatch per fleet batch, performed on a dedicated worker thread so the
+device dispatch never blocks the receiver's sample-ingest callback —
+emitting AUDIO events tagged with their station and program.
 
-A station that stops producing packets (dead carrier, mid-relock) does
-not stall the fleet: once the deepest queue is ``max_lag`` packets ahead
-of the shallowest, lagging stations are padded with silence packets —
-each padded slot emits a real silence AUDIO frame, matching the
-reference's per-missing-packet silence insertion
-(src/output.c:148-162's "not produced" branch) — so every station's
-audio timeline stays aligned and no queue grows without bound.
+Multi-program: the batch has one lane row per (station, program-slot)
+pair.  Subscribe explicitly (``programs=(0, 1)`` — every station
+decodes those program numbers) or with ``programs="auto"`` — each
+station gets ``max_programs`` slots, assigned to program numbers in
+order of first HDC appearance (the reference's analog is the
+per-program codec instantiated on first audio, src/output.c:126-163).
+Slots not (yet) assigned to a program are non-blocking: they ride each
+dispatch as silence lanes and emit nothing.
+
+A (station, program) that stops producing packets (dead carrier,
+mid-relock, program signed off) does not stall the fleet: once the
+deepest queue is ``max_lag`` packets ahead of the shallowest, lagging
+rows are padded with silence packets — each padded slot emits a real
+silence AUDIO frame, matching the reference's per-missing-packet
+silence insertion (src/output.c:148-162's "not produced" branch) — so
+every row's audio timeline stays aligned and no queue grows without
+bound.
 
 Usage::
 
-    fleet_audio = FleetAudioDecoder(n_stations, callback, program=0)
+    fleet_audio = FleetAudioDecoder(n_stations, callback, programs=(0, 1))
     rx = MultiStationReceiver(n_stations, fleet_audio.wrap,
                               hdc_factory=None, ...)
     ...push samples...
@@ -42,31 +52,45 @@ from nrsc5_tpu.api.events import Event, EventType, make
 
 
 class FleetAudioDecoder:
-    """Batch-decode one program's HDC stream per station.
+    """Batch-decode the subscribed programs' HDC streams per station.
 
     callback(station, event): receives every event forwarded from the
     receiver plus the AUDIO events this class synthesizes (AUDIO events
-    arrive from the decode worker thread; per-station order is FIFO).
-    ``k`` packets per station per device dispatch (~k * 46.4 ms of
-    audio latency).  Corrupt packets decode to silence, matching the
-    reference's gap behavior (src/output.c:148-162).  ``max_lag``
-    bounds how far the deepest station queue may run ahead of the
-    shallowest before lagging stations are silence-padded (their
-    padded slots emit silence AUDIO frames).  It must exceed one L1
-    frame's packet count (32): a healthy receiver emits each frame's
-    packets station-by-station, so an intra-dispatch skew of up to 32
-    packets is normal and must not trigger padding — the default 64
-    (~3 s of audio) only fires for a genuinely stalled station (dead
-    carrier, mid-relock).
+    arrive from the decode worker thread, tagged ``program``;
+    per-(station, program) order is FIFO).  ``k`` packets per row per
+    device dispatch (~k * 46.4 ms of audio latency).  Corrupt packets
+    decode to silence, matching the reference's gap behavior
+    (src/output.c:148-162).  ``max_lag`` bounds how far the deepest
+    assigned queue may run ahead of the shallowest before lagging rows
+    are silence-padded (their padded slots emit silence AUDIO frames).
+    It must exceed one L1 frame's packet count (32): a healthy receiver
+    emits each frame's packets station-by-station, so an intra-dispatch
+    skew of up to 32 packets is normal and must not trigger padding —
+    the default 64 (~3 s of audio) only fires for a genuinely stalled
+    row (dead carrier, mid-relock).
+
+    ``programs``: tuple of program numbers every station subscribes to,
+    or ``"auto"`` to discover up to ``max_programs`` programs per
+    station from the HDC stream itself.  ``program=`` (single int) is
+    the backward-compatible spelling of ``programs=(program,)``.
     """
 
     def __init__(self, n_stations: int, callback, program: int = 0,
                  k: int = 8, backend=None, max_lag: int | None = None,
-                 max_pending: int = 256):
+                 max_pending: int = 256,
+                 programs: tuple | str | None = None,
+                 max_programs: int = 2):
         from nrsc5_tpu.audio.batch import BatchedAudioDecoder
         self.n = n_stations
         self._cb = callback
-        self._program = program
+        self._auto = programs == "auto"
+        if self._auto:
+            self.slots = max_programs
+        else:
+            self._programs = tuple(programs) if programs is not None \
+                else (program,)
+            self.slots = len(self._programs)
+        self.rows = n_stations * self.slots
         self._k = k
         self._max_lag = 64 if max_lag is None else max_lag
         # bounded decode backlog: past this many undecoded batches the
@@ -78,8 +102,16 @@ class FleetAudioDecoder:
         # compile (a normal backlog that must NOT shed): 256 batches
         # of k=8 ≈ 95 s of audio, ~10 MB of packets at 16 stations.
         self._max_pending = max_pending
-        self._dec = BatchedAudioDecoder(n_stations, backend=backend)
-        self._queues: list[list[bytes]] = [[] for _ in range(n_stations)]
+        self._dec = BatchedAudioDecoder(self.rows, backend=backend)
+        self._queues: list[list[bytes]] = [[] for _ in range(self.rows)]
+        # per-row program number; -1 = auto slot not yet assigned.
+        # Explicit subscriptions are assigned (and blocking) from the
+        # start — the caller asserted those programs exist.
+        if self._auto:
+            self._row_prog = np.full(self.rows, -1, np.int64)
+        else:
+            self._row_prog = np.asarray(
+                list(self._programs) * n_stations, np.int64)
         # a packet that always parses to silence (empty -> parse error
         # -> corrupt-packet silence lane in the batch decoder)
         self._silence = b""
@@ -89,6 +121,21 @@ class FleetAudioDecoder:
         self._err: BaseException | None = None
 
     # ------------------------------------------------------------------
+    def _row_of(self, station: int, program: int) -> int | None:
+        """Map (station, program) -> batch row, assigning an auto slot
+        on first appearance.  Caller holds self._lock."""
+        base = station * self.slots
+        for s in range(self.slots):
+            if self._row_prog[base + s] == program:
+                return base + s
+        if not self._auto:
+            return None
+        for s in range(self.slots):
+            if self._row_prog[base + s] < 0:
+                self._row_prog[base + s] = program
+                return base + s
+        return None  # station already at max_programs
+
     def _raise_err(self):
         """Surface (once) an error the worker hit, before any queue
         mutation — so no batch is popped and lost to a stale error."""
@@ -104,31 +151,37 @@ class FleetAudioDecoder:
         worker's decode order always equals the pop order (a concurrent
         flush cannot jump ahead of a popped batch)."""
         self._raise_err()
-        if event.type == EventType.HDC and \
-                getattr(event, "program", self._program) == self._program:
+        if event.type == EventType.HDC:
+            prog = int(getattr(event, "program", 0))
             data = bytes(event.data) if not event.crc_error \
                 else self._silence
             with self._lock:
-                self._queues[station].append(data)
-                batch = self._take_ready_locked()
-                if batch is not None:
-                    self._submit_locked(batch)
+                row = self._row_of(station, prog)
+                if row is not None:
+                    self._queues[row].append(data)
+                    batch = self._take_ready_locked()
+                    if batch is not None:
+                        self._submit_locked(batch)
         self._cb(station, event)
 
     # ------------------------------------------------------------------
     def _take_ready_locked(self):
-        """If a k-deep batch is ready (padding lagging stations once the
-        fleet spread exceeds max_lag), pop and return it; else None.
+        """If a k-deep batch is ready (padding lagging assigned rows
+        once the fleet spread exceeds max_lag; unassigned auto slots
+        never block and ride as silence), pop and return it; else None.
         Caller holds self._lock."""
         lens = [len(q) for q in self._queues]
-        depth = min(lens)
+        live = [i for i in range(self.rows) if self._row_prog[i] >= 0]
+        if not live:
+            return None
+        depth = min(lens[i] for i in live)
         k = self._k
-        if depth < k and max(lens) - depth > self._max_lag:
-            # a starving station is holding the fleet back: pad it with
+        if depth < k and max(lens[i] for i in live) - depth > self._max_lag:
+            # a starving row is holding the fleet back: pad it with
             # silence up to a dispatchable depth (real gap -> silence
             # frames, like the reference's "not produced" branch)
-            target = min(k, max(lens))
-            for i in range(self.n):
+            target = min(k, max(lens[i] for i in live))
+            for i in live:
                 if lens[i] < target:
                     self._queues[i] += \
                         [self._silence] * (target - lens[i])
@@ -136,10 +189,16 @@ class FleetAudioDecoder:
         if depth < k:
             return None
         take = k
-        batch = [self._queues[i][:take] for i in range(self.n)]
-        for i in range(self.n):
-            del self._queues[i][:take]
-        return (batch, [take] * self.n)
+        batch, emit = [], []
+        for i in range(self.rows):
+            if self._row_prog[i] >= 0:
+                batch.append(self._queues[i][:take])
+                del self._queues[i][:take]
+                emit.append(take)
+            else:  # unassigned auto slot: silence lane, no output
+                batch.append([self._silence] * take)
+                emit.append(0)
+        return (batch, emit)
 
     def _submit_locked(self, item, shed_ok: bool = True):
         """Enqueue a popped batch for the worker.  Caller holds
@@ -152,9 +211,9 @@ class FleetAudioDecoder:
             self._worker.start()
         batch, lens = item
         if shed_ok and self._work.qsize() >= self._max_pending:
-            self._work.put((None, lens))
+            self._work.put((None, (lens, self._row_prog.copy())))
         else:
-            self._work.put(item)
+            self._work.put((batch, (lens, self._row_prog.copy())))
 
     def _run(self):
         while True:
@@ -162,31 +221,31 @@ class FleetAudioDecoder:
             try:
                 if item is None:
                     return
-                batch, lens = item
+                batch, (lens, progs) = item
                 if batch is None:  # shed under overload: silence frames
                     z = np.zeros(4096, np.int16)
-                    for i in range(self.n):
+                    for i in range(self.rows):
                         for _ in range(lens[i]):
-                            self._cb(i, make(
-                                EventType.AUDIO, program=self._program,
+                            self._cb(i // self.slots, make(
+                                EventType.AUDIO, program=int(progs[i]),
                                 samples=z))
                 else:
-                    self._decode_emit(batch, lens)
+                    self._decode_emit(batch, lens, progs)
             except BaseException as e:  # surfaced on the next flush/wrap
                 self._err = e
             finally:
                 self._work.task_done()
 
-    def _decode_emit(self, batch, emit_lens):
-        pcm = self._dec.decode(batch)  # [n, take*2048, 2] int16
-        for i in range(self.n):
+    def _decode_emit(self, batch, emit_lens, progs):
+        pcm = self._dec.decode(batch)  # [rows, take*2048, 2] int16
+        for i in range(self.rows):
             for j in range(emit_lens[i]):
-                self._cb(i, make(
-                    EventType.AUDIO, program=self._program,
+                self._cb(i // self.slots, make(
+                    EventType.AUDIO, program=int(progs[i]),
                     samples=pcm[i, j * 2048:(j + 1) * 2048].reshape(-1)))
 
     def flush(self):
-        """Decode whatever is queued (stations short of the common depth
+        """Decode whatever is queued (rows short of the common depth
         are padded with silence packets; their padding output is
         dropped) and block until the worker has drained — after flush()
         every queued packet's AUDIO event has been delivered.  The
@@ -196,10 +255,10 @@ class FleetAudioDecoder:
             depth = max((len(q) for q in self._queues), default=0)
             if depth > 0:
                 lens = [len(q) for q in self._queues]
-                for i in range(self.n):
+                for i in range(self.rows):
                     self._queues[i] += [self._silence] * (depth - lens[i])
-                batch = [self._queues[i][:depth] for i in range(self.n)]
-                self._queues = [[] for _ in range(self.n)]
+                batch = [self._queues[i][:depth] for i in range(self.rows)]
+                self._queues = [[] for _ in range(self.rows)]
                 self._submit_locked((batch, lens), shed_ok=False)
         if self._worker is not None:
             self._work.join()
@@ -218,12 +277,12 @@ class FleetAudioDecoder:
     # ------------------------------------------------------------------
     def checkpoint(self) -> dict:
         """Drain in-flight decodes, then snapshot the decoder state
-        (BatchedAudioDecoder.checkpoint) plus the undecoded per-station
-        packet queues as named numpy arrays.  Quiesced: submissions
-        happen under self._lock, so once the queue is verified empty
-        under the lock no decode can run concurrently with the
-        snapshot (a wrap() racing between join() and the lock retries
-        the drain)."""
+        (BatchedAudioDecoder.checkpoint) plus the undecoded per-row
+        packet queues and the auto program-slot map as named numpy
+        arrays.  Quiesced: submissions happen under self._lock, so once
+        the queue is verified empty under the lock no decode can run
+        concurrently with the snapshot (a wrap() racing between join()
+        and the lock retries the drain)."""
         while True:
             if self._worker is not None:
                 self._work.join()
@@ -231,6 +290,7 @@ class FleetAudioDecoder:
                 if self._worker is None \
                         or self._work.unfinished_tasks == 0:
                     out = self._dec.checkpoint()
+                    out["row_prog"] = self._row_prog.copy()
                     for i, q in enumerate(self._queues):
                         out[f"q_{i}"] = \
                             np.frombuffer(b"".join(q), np.uint8) \
@@ -244,7 +304,7 @@ class FleetAudioDecoder:
         this fresh, identically-parameterized decoder."""
         self._dec.restore(state)
         queues = []
-        for i in range(self.n):
+        for i in range(self.rows):
             flat = np.asarray(state[f"q_{i}"], np.uint8).tobytes()
             q, pos = [], 0
             for ln in np.asarray(state[f"qlen_{i}"]):
@@ -253,6 +313,9 @@ class FleetAudioDecoder:
             queues.append(q)
         with self._lock:
             self._queues = queues
+            if "row_prog" in state:  # absent in pre-multiprogram saves
+                self._row_prog = np.asarray(
+                    state["row_prog"], np.int64).copy()
 
     def save(self, path: str):
         """Persist to an ``.npz`` restorable in a fresh process."""

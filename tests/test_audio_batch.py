@@ -557,3 +557,77 @@ def test_fleet_audio_am_serving(rng):
         snr = 10 * np.log10((b ** 2).sum()
                             / max(((a - b) ** 2).sum(), 1e-30))
         assert snr > 50.0, snr
+
+
+@pytest.mark.parametrize("subscribe", ["explicit", "auto"])
+def test_fleet_audio_two_programs(subscribe):
+    """Multi-program fleet audio (reference: one codec per subscribed
+    program, src/output.c:100-168): a two-program P1 frame (two audio
+    PDUs, HEF program numbers) through the serving receiver emits BOTH
+    programs' PCM per station, each matching the host decoder on its
+    own HDC stream — with explicit subscription and with auto
+    program discovery."""
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+
+    n_frames = 3
+    t = np.arange(n_frames * 32 * 2048) / FS
+    pk = []
+    for f0 in (440.0, 660.0):
+        enc = HDCEncoder(channels=2, sbr=True, pns=False)
+        x = 0.3 * np.sin(2 * np.pi * f0 * t)
+        stereo = np.stack([x, x], axis=-1)
+        pk.append([enc.encode_frame(stereo[i * 2048:(i + 1) * 2048])
+                   for i in range(n_frames * 32)])
+
+    mats = []
+    pids = np.zeros((16, 80), np.uint8)
+    for f in range(n_frames):
+        pdus = [build_audio_pdu(pk[p][f * 32:(f + 1) * 32], program=p,
+                                pdu_seq=f % 8, seq=(f * 32) % 64)
+                for p in (0, 1)]
+        both = np.concatenate(pdus)
+        assert len(both) <= C.MAX_PDU_LEN, len(both)
+        both = np.concatenate(
+            [both, np.zeros(C.MAX_PDU_LEN - len(both), np.uint8)])
+        mats.append(build_pm_matrix(
+            pack_frame(both, C.P1_FRAME_LEN_FM, C.PCI_AUDIO), pids))
+    sig = modulate_fm(np.concatenate(mats),
+                      np.tile(np.arange(16), n_frames), 1)
+    buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+    buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+
+    events = []
+    kw = dict(programs=(0, 1)) if subscribe == "explicit" \
+        else dict(programs="auto", max_programs=2)
+    fleet = FleetAudioDecoder(1, lambda st, ev: events.append(ev),
+                              k=4, **kw)
+    rx = MultiStationReceiver(1, fleet.wrap, frames_per_dispatch=1,
+                              hdc_factory=None)
+    for lo in range(0, len(buf), 300000):
+        rx.push(0, buf[lo:lo + 300000])
+    rx.flush()
+    fleet.flush()
+
+    for p in (0, 1):
+        audio = [e for e in events if e.type == EventType.AUDIO
+                 and e.program == p]
+        assert len(audio) >= 24, (p, len(audio))
+        pcm = np.concatenate([np.asarray(e.samples) for e in audio])
+        assert np.abs(pcm).max() > 1000, f"silent program {p}"
+        host = HDCDecoder()
+        hdcs = [e.data for e in events if e.type == EventType.HDC
+                and e.program == p and not e.crc_error]
+        ref = np.concatenate(
+            [host.decode(q).reshape(-1) for q in hdcs[:len(audio)]])
+        m = min(len(pcm), len(ref))
+        a = pcm[8 * 4096:m].astype(np.float64)
+        b = ref[8 * 4096:m].astype(np.float64)
+        snr = 10 * np.log10((b ** 2).sum()
+                            / max(((a - b) ** 2).sum(), 1e-30))
+        assert snr > 50.0, (p, snr)
