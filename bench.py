@@ -714,6 +714,135 @@ def run_bench_audio(args) -> dict:
     }
 
 
+def run_bench_serve_audio(args) -> dict:
+    """Antenna -> PCM, one number: fresh cu8 wire bytes stream through
+    the full composed system — MultiStationReceiver (upload, on-device
+    ÷2 decimation, chain, host transport) feeding FleetAudioDecoder
+    (batched device HDC->PCM on a worker thread) — gated on the ID3
+    title on every station AND >= 55 dB PCM agreement with the host
+    decoder fed the same packet stream.  This is the full-system claim:
+    the reference analog is the complete src/main.c pipeline
+    (samples -> speaker).  Value = antenna seconds ingested / wall."""
+    jax = _bench_setup()
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+    from nrsc5_tpu.audio.hdc_decoder import HDCDecoder
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import aas_frame, build_p1_fm_frame
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind} "
+        f"mode=serve-audio")
+    rng = np.random.default_rng(7)
+
+    # real HDC audio content: a continuous stereo tone across the
+    # whole looped capture (32 packets per frame)
+    fs = 44100
+    n_pk = 32 * args.frames
+    t = np.arange(n_pk * 2048) / fs
+    sig = (0.35 * np.sin(2 * np.pi * 240 * t)
+           + 0.15 * np.sin(2 * np.pi * 2000 * t))
+    pcm_in = np.stack([sig, sig * 0.9], -1)
+    enc = HDCEncoder(channels=2, sbr=True, pns=False)
+    hdc_pkts = [enc.encode_frame(pcm_in[k * 2048:(k + 1) * 2048])
+                for k in range(n_pk)]
+
+    title = "Bench Serve Audio"
+    fr = (b"TIT2" + (len(title) + 1).to_bytes(4, "big") + b"\x00\x00"
+          + b"\x00" + title.encode())
+    size = len(fr)
+    psd = aas_frame(0x5100, 0, b"ID3\x03\x00\x00"
+                    + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F]) + fr)
+    mats = [build_pm_matrix(
+        build_p1_fm_frame(hdc_pkts[f * 32:(f + 1) * 32], 0, f % 8,
+                          (f * 32) % 64, psd=psd),
+        np.zeros((16, C.PIDS_FRAME_LEN), np.uint8))
+        for f in range(args.frames)]
+    sig = modulate_fm(np.concatenate(mats),
+                      np.tile(np.arange(16), args.frames), 1)
+    lead = np.zeros(C.FFTCP_FM // 2, np.complex64)
+    wire0 = ch.to_cu8(ch.upsample2(
+        np.concatenate([lead, sig]))).tobytes()
+    wire = ch.to_cu8(ch.upsample2(sig)).tobytes()
+
+    S = args.stations
+    hdc = [[] for _ in range(S)]
+    audio = [[] for _ in range(S)]
+    titles = [set() for _ in range(S)]
+
+    def cb(st, ev):
+        if ev.type == EventType.HDC:
+            hdc[st].append((bytes(ev.data), bool(ev.crc_error)))
+        elif ev.type == EventType.AUDIO:
+            audio[st].append(np.asarray(ev.samples))
+        elif ev.type == EventType.ID3:
+            titles[st].add(ev.title)
+
+    fleet = FleetAudioDecoder(S, cb, k=8)
+    rx = MultiStationReceiver(S, fleet.wrap,
+                              frames_per_dispatch=args.frames,
+                              input_format="cu8", hdc_factory=None)
+    t_c0 = time.perf_counter()
+    for i in range(S):
+        rx.push(i, wire0)
+    for i in range(S):
+        rx.push(i, wire)
+    rx.drain()
+    fleet.flush()  # audio compile fires here, not in the timed region
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        for i in range(S):
+            rx.push(i, wire)
+    rx.drain()
+    fleet.flush()  # all ingested antenna seconds' PCM delivered
+    dt = time.perf_counter() - t0
+
+    # gates: ID3 title on every station; bit-clean HDC; PCM vs host
+    for i in range(S):
+        assert title in titles[i], f"serve gate: station {i} {titles[i]}"
+        bad = sum(1 for _, ce in hdc[i] if ce)
+        assert bad == 0, f"station {i}: {bad} corrupt HDC packets"
+        want = (args.reps + 2) * args.frames * 32
+        assert len(hdc[i]) >= want - 64, (len(hdc[i]), want)
+        assert len(audio[i]) >= len(hdc[i]) - 8, \
+            (len(audio[i]), len(hdc[i]))
+    host = HDCDecoder()
+    ref = np.concatenate(
+        [host.decode(p).reshape(-1)
+         for p, _ in hdc[0][:len(audio[0])]]).astype(np.float64)
+    got = np.concatenate(audio[0]).astype(np.float64)
+    m = min(len(got), len(ref))
+    a, b = got[8 * 4096:m], ref[8 * 4096:m]
+    snr = 10 * np.log10((b ** 2).sum()
+                        / max(((a - b) ** 2).sum(), 1e-30))
+    gate = snr >= 55.0
+    log(f"# antenna->PCM gate: {'PASSED' if gate else 'FAILED'} "
+        f"({S} stations, SNR vs host decoder {snr:.1f} dB, "
+        f"{sum(len(q) for q in audio)} audio frames)")
+    if not gate:
+        raise SystemExit(f"serve-audio PCM gate failed: {snr:.1f} dB")
+
+    n_cu8 = args.reps * S * len(wire)
+    realtime = (n_cu8 / 2) / dt / C.SAMPLE_RATE_CU8
+    log(f"# stations={S} frames={args.frames} reps={args.reps} "
+        f"wall={dt:.3f}s upload={n_cu8 / dt / 1e6:.1f} MB/s")
+    return {
+        "metric": "fm_antenna_to_pcm_realtime_multiple_per_chip",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench(args) -> dict:
     if args.mode == "am":
         return run_bench_am(args)
@@ -729,6 +858,8 @@ def run_bench(args) -> dict:
         return run_bench_amcold(args)
     if args.mode == "audio":
         return run_bench_audio(args)
+    if args.mode == "serve-audio":
+        return run_bench_serve_audio(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -868,7 +999,7 @@ def main():
                          "accelerators, 1 on the CPU fallback)")
     ap.add_argument("--mode",
                     choices=("fm", "am", "mp3", "coldstart", "e2e",
-                             "serve", "amcold", "audio"),
+                             "serve", "amcold", "audio", "serve-audio"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
                          "additional gated rows; e2e = device chain + host "

@@ -529,6 +529,12 @@ class MultiStationReceiver:
         ``utils.checkpoint.load_state`` — which needs a structure
         template — cannot restore it cross-process; this flattens the
         queues to one array per station and names every leaf.)"""
+        np.savez(path, **self.save_arrays())
+
+    def save_arrays(self) -> dict:
+        """:meth:`save`'s flat named-array dict (the ``.npz`` payload) —
+        composable by wrappers that persist several receivers into one
+        file (:class:`HeterogeneousReceiver`)."""
         st = self.checkpoint()
         jax = self._jax
         out = {}
@@ -546,13 +552,16 @@ class MultiStationReceiver:
         out["bad_frames"] = st["bad_frames"]
         if "am_skip" in st:
             out["am_skip"] = st["am_skip"]
-        np.savez(path, **out)
+        return out
 
     def load(self, path: str):
         """Install a :meth:`save` snapshot into this (freshly
         constructed, identically parameterized) receiver."""
+        self.load_arrays(np.load(path))
+
+    def load_arrays(self, data):
+        """Install a :meth:`save_arrays` dict (or NpzFile view)."""
         jax = self._jax
-        data = np.load(path)
         leaves, treedef = jax.tree.flatten(self._carries)
         state = {
             "carries": jax.tree.unflatten(
@@ -1003,3 +1012,116 @@ class RtlTcpFleet:
         if flush:
             with self._lock:
                 self.rx.flush()
+
+
+class HeterogeneousReceiver:
+    """Serve a fleet whose stations run DIFFERENT service modes through
+    one surface.
+
+    The fused batch program bakes one L1 geometry (FM psmi / AM
+    MA1-vs-MA3) into its shapes, so :class:`MultiStationReceiver`
+    requires a homogeneous fleet.  The reference has no batching at all
+    — it runs one session per station, each with its own mode
+    (src/nrsc5.c:325-358).  This wrapper is the middle ground: stations
+    are grouped by service mode and each group is served by one fused
+    sub-receiver — a fleet mixing MP1, MP3, and MP11 carriers compiles
+    one program per DISTINCT mode (not per station), and every public
+    event keeps its global station index.
+
+    Construction mirrors :class:`MultiStationReceiver` with the scalar
+    mode arguments generalized per station: ``psmis`` (FM service mode
+    per station), ``ma3s`` (AM mode per station), or per-station
+    ``locks`` whose mode fields may differ.  All remaining keyword
+    arguments are forwarded to every sub-receiver.
+
+    push/drain/flush/checkpoint/save/load compose over the groups;
+    events are bit-exact vs per-mode receivers by construction (the
+    groups ARE per-mode receivers — tests/test_serve.py pins it).
+    """
+
+    def __init__(self, n_stations: int, callback, psmis=None,
+                 ma3s=None, locks=None, mode: str = "fm", **kw):
+        if locks is not None and not isinstance(locks, dict):
+            assert len(locks) == n_stations
+            if mode == "fm":
+                psmis = [int(lk["psmi"]) for lk in locks]
+            else:
+                ma3s = [bool(lk["ma3"]) for lk in locks]
+        if mode == "fm":
+            assert psmis is not None and len(psmis) == n_stations
+            keys = [int(p) for p in psmis]
+        else:
+            assert ma3s is not None and len(ma3s) == n_stations
+            keys = [bool(m) for m in ma3s]
+        self.n_stations = n_stations
+        self.mode = mode
+        self._cb = callback
+        # stable grouping: stations in ascending order within a group,
+        # groups in first-appearance order
+        order: dict = {}
+        for st, key in enumerate(keys):
+            order.setdefault(key, []).append(st)
+        self._groups: list[MultiStationReceiver] = []
+        self._slot: list[tuple[int, int]] = [None] * n_stations
+        self.station_modes = list(keys)
+        for gi, (key, members) in enumerate(order.items()):
+            for slot, st in enumerate(members):
+                self._slot[st] = (gi, slot)
+            remap = list(members)
+
+            def cb(slot_st, ev, _remap=remap):
+                self._cb(_remap[slot_st], ev)
+
+            gkw = dict(kw)
+            if locks is not None and not isinstance(locks, dict):
+                gkw["locks"] = [locks[st] for st in members]
+            if mode == "fm":
+                gkw["psmi"] = key
+            else:
+                gkw["ma3"] = key
+            self._groups.append(
+                MultiStationReceiver(len(members), cb, mode=mode, **gkw))
+
+    # ------------------------------------------------------------------
+    def push(self, station: int, samples):
+        gi, slot = self._slot[station]
+        self._groups[gi].push(slot, samples)
+
+    def drain(self):
+        for g in self._groups:
+            g.drain()
+
+    def flush(self):
+        for g in self._groups:
+            g.flush()
+
+    @property
+    def transports(self):
+        """Global-station-ordered view of the per-group transports."""
+        return [self._groups[gi].transports[slot]
+                for gi, slot in self._slot]
+
+    # checkpoint / resume: compose the groups (SURVEY §5 A4)
+    def checkpoint(self) -> list:
+        return [g.checkpoint() for g in self._groups]
+
+    def restore(self, states: list):
+        for g, st in zip(self._groups, states):
+            g.restore(st)
+
+    def save(self, path: str):
+        """One ``.npz`` for the whole mixed fleet (per-group key
+        namespaces), restorable in a fresh identically-parameterized
+        wrapper via :meth:`load`."""
+        out = {}
+        for gi, g in enumerate(self._groups):
+            for k, v in g.save_arrays().items():
+                out[f"g{gi}_{k}"] = v
+        np.savez(path, **out)
+
+    def load(self, path: str):
+        data = np.load(path)
+        for gi, g in enumerate(self._groups):
+            pre = f"g{gi}_"
+            g.load_arrays({k[len(pre):]: data[k]
+                           for k in data.files if k.startswith(pre)})

@@ -1009,3 +1009,164 @@ def test_multistation_mesh_sharded(rng):
         assert hdc_s == hdc_p and len(hdc_s) >= 64  # bit-exact parity
         assert t in {e.title for e in sharded[i]
                      if e.type == EventType.ID3}
+
+
+def _ev_key(ev):
+    """Normalize an event to a comparable tuple (arrays -> bytes)."""
+    def norm(v):
+        if isinstance(v, np.ndarray):
+            return (v.dtype.str, v.shape, v.tobytes())
+        if isinstance(v, (bytes, str, int, float, bool, type(None))):
+            return v
+        return repr(v)
+    return (ev.type,) + tuple(
+        (k, norm(v)) for k, v in sorted(ev.payload.items()))
+
+
+def test_heterogeneous_psmi_fleet(rng):
+    """A fleet mixing MP1 and MP3 carriers served through ONE
+    HeterogeneousReceiver surface (reference: one session per station,
+    each with its own mode, src/nrsc5.c:325-358): every station's event
+    stream is bit-exact vs a homogeneous per-mode receiver fed the same
+    samples."""
+    from nrsc5_tpu.serve import HeterogeneousReceiver, MultiStationReceiver
+    from nrsc5_tpu.tx.encoder import build_px_stream
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+
+    # stations 0, 2: MP1; station 1: MP3 (PM audio + SPS over PX1)
+    titles = ["Het MP1 Zero", "Het MP3 One", "Het MP1 Two"]
+    streams, want, sps_want = [], [], set()
+    for st, t in enumerate(titles):
+        if st != 1:
+            sig, packets = _station_stream(rng, t, n_frames=3)
+            streams.append(sig)
+            want.append({bytes(p) for p in packets})
+            continue
+        # MP3 station: 1 interleaver-IV cycle of SPS + 2 P1 frames... the
+        # IV warm-up spans a full cycle, so run 3 cycles (6 P1 frames)
+        n_cycles = 3
+        fl = C.P3_FRAME_LEN_MP3_MP11
+        p3_bytes = (fl - 24) // 8
+        p3_bits = np.zeros((n_cycles, 16, fl), np.uint8)
+        for cyc in range(n_cycles):
+            for f in range(16):
+                pkts = [rng.integers(0, 256, 150).astype(np.uint8)
+                        .tobytes() for _ in range(3)]
+                sps_want.update(pkts)
+                g = cyc * 16 + f
+                pdu = build_audio_pdu(pkts, program=1, pdu_seq=g % 8,
+                                      seq=(g * 3) % 64,
+                                      total_len=p3_bytes)
+                p3_bits[cyc, f] = pack_frame(pdu, fl, C.PCI_AUDIO)
+        px = build_px_stream(p3_bits, fl).reshape(
+            n_cycles * 32 * C.BLKSZ, -1)
+        mats, packets = _station_mats(rng, t, n_frames=n_cycles * 2)
+        sig = modulate_fm(np.concatenate(mats),
+                          np.tile(np.arange(16), n_cycles * 2), 3,
+                          px1_signs=px)
+        buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+        buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+        streams.append(buf)
+        want.append({bytes(p) for p in packets})
+
+    def run(factory):
+        events = {i: [] for i in range(3)}
+        rx = factory(lambda st, ev: events[st].append(ev))
+        pos = [0, 0, 0]
+        chunk = 48 * 1024 + 17
+        while any(pos[i] < len(streams[i]) for i in range(3)):
+            for i in range(3):
+                rx.push(i, streams[i][pos[i]:pos[i] + chunk])
+                pos[i] += chunk
+        rx.flush()
+        return events
+
+    het = run(lambda cb: HeterogeneousReceiver(
+        3, cb, psmis=[1, 3, 1], frames_per_dispatch=2))
+
+    # oracle: homogeneous per-mode receivers over the same streams
+    def homo(cb):
+        mp1 = MultiStationReceiver(
+            2, lambda s, e: cb([0, 2][s], e),
+            frames_per_dispatch=2, psmi=1)
+        mp3 = MultiStationReceiver(
+            1, lambda s, e: cb(1, e), frames_per_dispatch=2, psmi=3)
+
+        class _Split:
+            def push(self, st, x):
+                (mp3 if st == 1 else mp1).push(st // 2, x)
+
+            def flush(self):
+                mp1.flush()
+                mp3.flush()
+        return _Split()
+    ref = run(homo)
+
+    for i in range(3):
+        assert [_ev_key(e) for e in het[i]] \
+            == [_ev_key(e) for e in ref[i]], f"station {i} diverges"
+        got_titles = {e.title for e in het[i]
+                      if e.type == EventType.ID3 and e.program == 0}
+        assert titles[i] in got_titles, (i, got_titles)
+        hdc = {e.data for e in het[i]
+               if e.type == EventType.HDC and not e.crc_error
+               and e.program == 0}
+        assert len(hdc & want[i]) >= 64, (i, len(hdc & want[i]))
+    sps = {e.data for e in het[1]
+           if e.type == EventType.HDC and e.program == 1
+           and not e.crc_error}
+    assert len(sps & sps_want) >= 32, len(sps & sps_want)
+
+
+def test_heterogeneous_fleet_checkpoint(rng, tmp_path):
+    """Mixed-mode fleet checkpoint: save mid-stream, restore into a
+    fresh identically-parameterized wrapper in-place, decode the rest —
+    packets match an uninterrupted run."""
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    titles = ["Ckpt A", "Ckpt B"]
+    streams, want = [], []
+    n_frames = 4
+    for st, t in enumerate(titles):
+        if st == 0:
+            sig, packets = _station_stream(rng, t, n_frames=n_frames)
+            streams.append(sig)
+        else:  # true MP3 signal (random P3 content on the PX1 channel)
+            fl = C.P3_FRAME_LEN_MP3_MP11
+            p3_bits = rng.integers(
+                0, 2, (n_frames // 2, 16, fl)).astype(np.uint8)
+            px = build_px_stream(p3_bits, fl).reshape(
+                n_frames * 16 * C.BLKSZ, -1)
+            mats, packets = _station_mats(rng, t, n_frames=n_frames)
+            s = modulate_fm(np.concatenate(mats),
+                            np.tile(np.arange(16), n_frames), 3,
+                            px1_signs=px)
+            buf = np.zeros(len(s) + C.FFTCP_FM, np.complex64)
+            buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(s)] = s
+            streams.append(buf)
+        want.append({bytes(p) for p in packets})
+
+    def mk(cb):
+        return HeterogeneousReceiver(2, cb, psmis=[1, 3],
+                                     frames_per_dispatch=1)
+
+    events = {0: [], 1: []}
+    rx = mk(lambda st, ev: events[st].append(ev))
+    cut = 3 * len(streams[0]) // 7
+    for i in range(2):
+        rx.push(i, streams[i][:cut])
+    rx.drain()
+    rx.save(str(tmp_path / "fleet.npz"))
+
+    rx2 = mk(lambda st, ev: events[st].append(ev))
+    rx2.load(str(tmp_path / "fleet.npz"))
+    for i in range(2):
+        rx2.push(i, streams[i][cut:])
+    rx2.flush()
+
+    for i in range(2):
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want[i]) >= 96, (i, len(hdc & want[i]))
