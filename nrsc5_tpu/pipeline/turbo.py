@@ -96,7 +96,7 @@ class TurboFMReceiver:
             # promote once FINE-locked at a frame boundary (bc==0 also
             # pair-aligns the PX interleaver-IV calls in extended modes)
             if (r.sync_state == SYNC_FINE and r.bc == 0
-                    and C.COMPATIBILITY_MODE[r.psmi] in (1, 2, 3, 11)
+                    and C.COMPATIBILITY_MODE[r.psmi] in (1, 2, 3, 5, 6, 11)
                     and not r.ring.size == 0):
                 self._enter_fast()
             return

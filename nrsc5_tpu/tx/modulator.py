@@ -72,6 +72,7 @@ def modulate_fm(
     psmi: int,
     px1_signs: np.ndarray | None = None,
     px2_signs: np.ndarray | None = None,
+    ext_signs: np.ndarray | None = None,
     amplitude: float = 0.25,
 ) -> np.ndarray:
     """Modulate L1 blocks into FM baseband at 744187.5 S/s.
@@ -82,6 +83,11 @@ def modulate_fm(
     bc_seq: [n_blocks] block-count values transmitted on the refs.
     px1_signs/px2_signs: optional [n_blocks*32, px_row] extended-partition
       sign matrices in the demod order of src/sync.c:537-595.
+    ext_signs: optional [n_blocks*32, 2*(ppb-10)*18*2] filler signs for ALL
+      extended data partitions (lower band first, partitions inside-out),
+      for service modes whose extended content is not decoded (cm 5/6 — the
+      reference equalizes the full band but only decodes PM there,
+      src/sync.c:343-357); occupancy only, never demodulated.
     Returns complex64 [n_blocks*32*2160].
     """
     n_sym, row = pm_signs.shape
@@ -141,6 +147,13 @@ def modulate_fm(
                 C.UB_END - (C.PM_PARTITIONS + 4) * w,
                 C.UB_END - (C.PM_PARTITIONS + 3) * w]
         fill_px(px2_signs, bins)
+    if ext_signs is not None:
+        n_ext = ppb - C.PM_PARTITIONS
+        assert n_ext > 0, f"psmi {psmi} has no extended partitions"
+        bins = ([C.LB_START + (C.PM_PARTITIONS + k) * w for k in range(n_ext)]
+                + [C.UB_END - (C.PM_PARTITIONS + 1 + k) * w
+                   for k in range(n_ext)])
+        fill_px(ext_signs, bins)
 
     # spectrum -> time: IFFT of the ifftshifted bins, cyclic extension,
     # raised-cosine shaping, 2160-sample symbol spacing

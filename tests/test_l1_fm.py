@@ -276,3 +276,44 @@ def test_fm_mp3_iv_midcycle_lock(rng):
         missing = sum(p3_frames[cyc][i].tobytes() not in got
                       for i in range(16))
         assert missing == 0, f"{missing}/16 cycle-{cyc} frames missing"
+
+
+@pytest.mark.parametrize("psmi", [5, 6])
+def test_fm_mp5_mp6_pm_roundtrip(rng, psmi):
+    """Service modes MP5/MP6 (cm 5/6): 14 equalized partitions per sideband,
+    PM decoded, extended content carried but not decoded — matching the
+    reference's treatment (src/sync.c:343-357: partitions_per_band=14, no
+    PX slicing for these modes).  The extended partitions carry random
+    filler occupancy so the equalizer sees a realistic full-band signal."""
+    n_frames = 1
+    p1_frames = rng.integers(0, 2, (n_frames, C.P1_FRAME_LEN_FM)).astype(np.uint8)
+    pids_frames = rng.integers(0, 2, (n_frames, 16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    mats = [build_pm_matrix(p1_frames[f], pids_frames[f])
+            for f in range(n_frames)]
+    lead_blocks = 2
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8),
+        rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8))
+    matrix = np.concatenate([dummy[(16 - lead_blocks) * 32:]] + mats
+                            + [dummy[:2 * 32]])
+    bc_seq = np.concatenate([np.arange(16 - lead_blocks, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(2)])
+    n_ext = C.partitions_per_band(psmi) - C.PM_PARTITIONS
+    ext = rng.choice(np.array([-1, 1], np.int8),
+                     (len(matrix), 2 * n_ext * C.PARTITION_DATA_CARRIERS * 2))
+    sig = modulate_fm(matrix, bc_seq, psmi, ext_signs=ext)
+    sig = ch.impair(sig, sample_offset=777, cfo_hz=250.0, snr_db=22.0,
+                    rng=rng)
+
+    col = Collector()
+    rx = FMReceiver(col.on_frame, col.on_event)
+    rx.push_cs16(sig)
+
+    assert ("sync", {"psmi": psmi}) in col.events
+    assert len(col.p1) >= 1, "no P1 frame decoded"
+    assert np.array_equal(col.p1[-1], p1_frames[0])
+    decoded = {bytes(np.packbits(p)) for p in col.pids}
+    want = {bytes(np.packbits(pids_frames[0][i])) for i in range(16)}
+    assert not (want - decoded), "PIDS frames missing"
+    assert not col.px1, "cm 5/6 must not emit PX frames"

@@ -1042,3 +1042,85 @@ def test_fading_parity(reference_nrsc5):
     ref = decode_reference(mod, cu8) & want
     assert len(ours) >= len(ref) - 2, (len(ours), len(ref))
     assert len(ours) >= 30, len(ours)
+
+
+@pytest.mark.parametrize("psmi", [5, 6])
+def test_reference_agrees_mp5_mp6(reference_nrsc5, psmi):
+    """MP5/MP6 service-mode cross-check: both receivers equalize the full
+    14-partition extended band but decode only PM for cm 5/6 (reference:
+    src/sync.c:343-357 — partitions_per_band=14, no PX slicing).  The
+    extended partitions carry random filler occupancy; both receivers must
+    report the psmi and decode the P1 program bit-exactly through it."""
+    mod = reference_nrsc5
+    sys.path.insert(0, REPO)
+    import nrsc5_tpu.tx.channel as ch
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+
+    from .capture_helpers import complex_to_cs16
+
+    rng = np.random.default_rng(0x3B5 + psmi)
+    n_frames = 4
+    pids = np.zeros((16, 80), np.uint8)
+    all_packets, mats = [], []
+    for f in range(n_frames):
+        pk = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+              for _ in range(32)]
+        all_packets.extend(pk)
+        mats.append(build_pm_matrix(
+            build_p1_fm_frame(pk, 0, f % 8, (f * 32) % 64), pids))
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    n_ext = C.partitions_per_band(psmi) - C.PM_PARTITIONS
+    ext = rng.choice(np.array([-1, 1], np.int8),
+                     (len(matrix), 2 * n_ext * C.PARTITION_DATA_CARRIERS * 2))
+    sig = modulate_fm(matrix, bc_seq, psmi, ext_signs=ext)
+    sig = ch.impair(sig, sample_offset=1500, cfo_hz=150.0, snr_db=25.0,
+                    rng=rng)
+    data = complex_to_cs16(sig)
+
+    events = []
+    radio = mod.NRSC5(lambda t, e: events.append((t, e)))
+    radio.open_pipe()
+    for i in range(0, len(data), 131072):
+        radio.pipe_samples_cs16(data[i:i + 131072])
+    radio.close()
+
+    ET = mod.EventType
+    syncs = [e for t, e in events if t == ET.SYNC]
+    assert syncs and any(s.psmi == psmi for s in syncs), \
+        f"reference did not report psmi {psmi} sync: {syncs}"
+    ref_hdc = {bytes(e.data) for t, e in events
+               if t == ET.HDC and e.program == 0
+               and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    want = set(all_packets)
+    assert len(ref_hdc & want) >= 64, \
+        f"reference decoded {len(ref_hdc & want)} P1 packets on psmi {psmi}"
+    assert ref_hdc <= want, "reference emitted a corrupted packet"
+
+    from nrsc5_tpu.api.events import EventType as OurET
+    from nrsc5_tpu.api.session import MODE_FM, NRSC5
+
+    our_events = []
+    our = NRSC5.open_pipe(our_events.append, MODE_FM)
+    cs16 = np.frombuffer(data, np.int16).reshape(-1, 2)
+    csig = (cs16[:, 0] + 1j * cs16[:, 1]).astype(np.complex64) / 32767.0
+    for i in range(0, len(csig), 131072):
+        our.pipe_samples_cs16(csig[i:i + 131072])
+    our.flush()
+
+    our_syncs = {e.psmi for e in our_events if e.type == OurET.SYNC}
+    assert psmi in our_syncs
+    our_hdc = {e.data for e in our_events
+               if e.type == OurET.HDC and not e.crc_error and e.program == 0}
+    assert len(our_hdc & want) >= 64, \
+        f"framework decoded {len(our_hdc & want)} P1 packets on psmi {psmi}"
+    assert our_hdc <= want, "framework emitted a corrupted packet"
+    # bit-exact agreement on the shared window
+    assert len(ref_hdc & our_hdc) >= 64

@@ -1170,3 +1170,46 @@ def test_heterogeneous_fleet_checkpoint(rng, tmp_path):
         hdc = {e.data for e in events[i]
                if e.type == EventType.HDC and not e.crc_error}
         assert len(hdc & want[i]) >= 96, (i, len(hdc & want[i]))
+
+
+def test_multistation_mp5(rng):
+    """MP5 (cm 5) stations through the fused serving chain: the 14-partition
+    equalizer geometry with undecoded extended occupancy (reference:
+    src/sync.c:343-357) decodes PM cleanly in the batch program."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    titles = ["MP5 Station Zero", "MP5 Station One"]
+    streams, want = [], []
+    for t in titles:
+        mats, packets = _station_mats(rng, t, n_frames=3)
+        matrix = np.concatenate(mats)
+        n_ext = C.partitions_per_band(5) - C.PM_PARTITIONS
+        ext = rng.choice(
+            np.array([-1, 1], np.int8),
+            (len(matrix), 2 * n_ext * C.PARTITION_DATA_CARRIERS * 2))
+        sig = modulate_fm(matrix, np.tile(np.arange(16), 3), 5,
+                          ext_signs=ext)
+        buf = np.zeros(len(sig) + C.FFTCP_FM, np.complex64)
+        buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(sig)] = sig
+        streams.append(buf)
+        want.append({bytes(p) for p in packets})
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1, psmi=5)
+    pos = [0, 0]
+    chunk = 48 * 1024 + 17
+    while any(pos[i] < len(streams[i]) for i in range(2)):
+        for i in range(2):
+            rx.push(i, streams[i][pos[i]:pos[i] + chunk])
+            pos[i] += chunk
+    rx.flush()
+
+    for i in range(2):
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error
+               and e.program == 0}
+        assert len(hdc & want[i]) >= 64, (i, len(hdc & want[i]))
+        got_titles = {e.title for e in events[i]
+                      if e.type == EventType.ID3 and e.program == 0}
+        assert titles[i] in got_titles, (i, got_titles)

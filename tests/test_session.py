@@ -572,3 +572,48 @@ def test_device_receiver_odd_cu8(rng):
     odd = np.concatenate(r2._buf)
     assert len(odd) >= len(even)
     np.testing.assert_array_equal(odd[:len(even)], even)
+
+
+def test_fm_session_turbo_mp5(rng):
+    """MP5 (cm 5) through the session turbo path: the fused steady-state
+    receiver promotes on cm 5/6 and decodes PM, with the extended band
+    carried but undecoded (reference treatment: src/sync.c:343-357)."""
+    n_frames = 4
+    all_packets, p1_frames = [], []
+    for f in range(n_frames):
+        packets = [rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+                   for _ in range(32)]
+        all_packets.append(packets)
+        psd = aas_frame(0x5100, f, _id3(TITLE))
+        p1_frames.append(build_p1_fm_frame(
+            packets, 0, f % 8, (f * 32) % 64, psd=psd))
+    sis = _sis_station_name_frame()
+    pids = np.broadcast_to(sis, (16, 80))
+    mats = [build_pm_matrix(fr, pids) for fr in p1_frames]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    psmi = 5
+    n_ext = C.partitions_per_band(psmi) - C.PM_PARTITIONS
+    ext = rng.choice(np.array([-1, 1], np.int8),
+                     (len(matrix), 2 * n_ext * C.PARTITION_DATA_CARRIERS * 2))
+    sig = modulate_fm(matrix, bc_seq, psmi, ext_signs=ext)
+    sig = ch.impair(sig, sample_offset=2000, snr_db=25.0, rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM, turbo=True)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+
+    syncs = {e.psmi for e in events if e.type == EventType.SYNC}
+    assert psmi in syncs
+    titles = [e.title for e in events if e.type == EventType.ID3]
+    assert TITLE in titles
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    want = {p for f in range(2) for p in all_packets[f]}
+    missing = want - hdc
+    assert not missing, f"{len(missing)} HDC packets missing (turbo MP5)"
