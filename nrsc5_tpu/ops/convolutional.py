@@ -410,18 +410,24 @@ def _viterbi_impl(llr, k: int, gens: tuple[int, int, int], radix: int = 1,
 
 
 @functools.lru_cache(maxsize=32)
-def _chunk_plan(t: int, chunk: int, overlap: int):
+def _chunk_plan(t: int, chunk: int, overlap: int, multiple: int = 1):
     """Static plan for the overlapping-chunk Viterbi.
 
     The tail-biting frame is circular, so it is cut into ``n`` near-equal
     segments; segment i covers frame positions [b_i - overlap, b_{i+1} +
     overlap) mod t and only the middle [b_i, b_{i+1}) survivor bits are
-    kept.  Returns (seg_idx [n, L], src_chunk [t], src_off [t]).
+    kept.  ``multiple`` rounds the segment length up to a multiple of
+    radix*fuse by growing the trailing overlap with REAL wrapped LLRs —
+    never zero padding: a zero-LLR final step ties every state's top-2
+    final metrics exactly, collapsing the margin diagnostic to 0 on a
+    clean carrier (which false-trips the serve watchdog).
+    Returns (seg_idx [n, L], src_chunk [t], src_off [t]).
     """
     n = max(1, -(-t // chunk))
     bounds = np.floor(np.linspace(0, t, n + 1)).astype(np.int64)
     keep = np.diff(bounds)
     length = int(keep.max() + 2 * overlap)
+    length += (-length) % multiple
     seg_idx = ((bounds[:-1, None] - overlap + np.arange(length)[None, :]) % t
                ).astype(np.int32)
     pos = np.arange(t)
@@ -457,33 +463,21 @@ def viterbi_decode_chunked(llr, k: int, gens: tuple[int, int, int],
     if chunk + 2 * overlap >= t:
         return viterbi_decode(llr, k, gens)
     batch_shape = llr.shape[:-2]
-    seg_idx, src_chunk, src_off = _chunk_plan(t, chunk, overlap)
+    # segment length is rounded up to a multiple of radix*fuse inside the
+    # plan (extra trailing-overlap steps of REAL wrapped LLRs, never zero
+    # padding — zero-LLR final steps tie the top-2 metrics and zero the
+    # margin diagnostic on clean signal)
+    seg_idx, src_chunk, src_off = _chunk_plan(
+        t, chunk, overlap, multiple=max(radix, 1) * max(fuse, 1))
     n, length = seg_idx.shape
     segs = llr[..., jnp.asarray(seg_idx), :]  # [..., n, L, 3]
     flat = segs.reshape((-1, length, 3))
     if radix > 1:
-        # pad to a multiple of radix*fuse with zero LLRs (ties re-merge
-        # within the overlap margin)
-        pad = (-length) % (radix * fuse)
-        if pad:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros(flat.shape[:1] + (pad, 3), flat.dtype)],
-                axis=1)
         bits_seg, margins = _acs_traceback_radix(flat, k, gens, radix,
                                                  unroll=unroll, fuse=fuse)
-        bits_seg = bits_seg[:, :length]
     elif fuse > 1:
-        # same zero-LLR tail padding as the radix path; the pad steps sit
-        # beyond the kept middle of the last-position segments, so any
-        # tie flips re-merge inside the overlap margin
-        pad = (-length) % fuse
-        if pad:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros(flat.shape[:1] + (pad, 3), flat.dtype)],
-                axis=1)
         bits_seg, margins = _acs_traceback(flat, k, gens, unroll=unroll,
                                            fuse=fuse)
-        bits_seg = bits_seg[:, :length]
     else:
         bits_seg, margins = _acs_traceback(flat, k, gens)
     bits_seg = bits_seg.reshape(batch_shape + (n, length))

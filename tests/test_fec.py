@@ -259,3 +259,37 @@ def test_viterbi_chunked_radix_fused_recovers(rng):
                                     chunk=1024, overlap=96, radix=4,
                                     fuse=4)
     assert np.array_equal(np.asarray(dec), bits)
+
+
+def test_viterbi_chunked_margin_survives_radix_padding(rng):
+    """Regression: the radix/fuse paths used to zero-pad each segment to a
+    multiple of radix*fuse — a zero-LLR final step ties every state's top-2
+    final metrics EXACTLY, collapsing the min-over-segments margin to 0 on a
+    perfectly clean carrier (which false-trips the serve watchdog's
+    silent-carrier trigger on TPU, where radix=4 is the default).  The plan
+    now grows the trailing overlap with real wrapped LLRs instead; clean
+    signal must keep a positive margin on every radix/fuse config while
+    silence still collapses it (the watchdog contract)."""
+    from nrsc5_tpu.ops.convolutional import (conv_encode, depuncture,
+                                             puncture, viterbi_decode,
+                                             viterbi_decode_chunked)
+    from nrsc5_tpu import constants as C
+
+    t = C.P1_FRAME_LEN_FM  # 146176: the serve watchdog's actual frame
+    bits = rng.integers(0, 2, t).astype(np.uint8)
+    coded = puncture(conv_encode(bits, 7, C.CONV_K7_GEN),
+                     C.PUNCTURE_P1_PIDS_FM)
+    llr = coded.astype(np.float32) * 40 - 20
+    full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, t * 3).reshape(t, 3)
+
+    ref_bits, _ = viterbi_decode(full, 7, C.CONV_K7_GEN)
+    for radix, fuse in ((1, 1), (4, 1), (1, 4), (4, 2)):
+        out, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
+                                             radix=radix, fuse=fuse)
+        assert float(margin) > 1.0, (radix, fuse, float(margin))
+        assert np.array_equal(np.asarray(out), np.asarray(ref_bits)), \
+            (radix, fuse)
+
+    _, dead = viterbi_decode_chunked(np.zeros_like(full), 7, C.CONV_K7_GEN,
+                                     radix=4)
+    assert float(dead) < 1e-3
