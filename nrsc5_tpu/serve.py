@@ -190,7 +190,10 @@ class MultiStationReceiver:
     which every steady-state dispatch is frame-aligned; all locks must
     agree on ``psmi`` (one fused program serves the batch).  AM: locks
     are frame-aligned by construction (the bc-history lock fires at
-    block count 0) and must agree on MA1-vs-MA3.
+    block count 0) and must agree on MA1-vs-MA3.  Alternatively pass
+    ``cold_start=True`` to acquire those locks from the pushed stream
+    itself (the live-tuner mode: one SYNC event on acquisition, no
+    pre-lock garbage decode).
     """
 
     def __init__(self, n_stations: int, callback: Callable[[int, Event],
@@ -200,7 +203,7 @@ class MultiStationReceiver:
                  input_format: str = "cf32", mode: str = "fm",
                  ma3: bool = False, locks=None,
                  packed: bool | None = None, relock: bool = True,
-                 mesh=None):
+                 cold_start: bool = False, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -262,7 +265,18 @@ class MultiStationReceiver:
         # (FM: BER + K=7 margin; AM: K=9 margin)
         self._relock = relock
         self._bad_frames = [0] * n_stations
-        self._relocking = [False] * n_stations
+        # ``cold_start=True`` starts every station in the relock state:
+        # initial lock (timing + CFO + alignment) is acquired from the
+        # pushed stream by the same machinery that handles mid-stream
+        # signal loss, instead of decoding pre-lock garbage until the
+        # watchdog trips.  This is the natural mode for live tuners
+        # (RtlTcpFleet), where the stream can never be pre-aligned; the
+        # startup sequence is then one SYNC event, never LOST_SYNC.
+        # (Reference analog: every session starts unsynchronized and
+        # acquires, src/acquire.c:63-150.)
+        assert not (cold_start and locks is not None), \
+            "cold_start acquires its own locks"
+        self._relocking = [cold_start] * n_stations
         self._pushed = [0] * n_stations  # lifetime samples pushed
         # probe cooldown: pushed-samples watermark before the next
         # cold-start attempt (samples-based, not dispatch-based — other
@@ -902,6 +916,9 @@ class RtlTcpFleet:
         rx_kwargs.setdefault("input_format", "cu8")
         assert rx_kwargs["input_format"] == "cu8", \
             "rtl_tcp delivers cu8; other wire formats make no sense here"
+        # a live tuner stream can never be pre-aligned: acquire initial
+        # lock from the stream (timing + CFO) before decoding anything
+        rx_kwargs.setdefault("cold_start", "locks" not in rx_kwargs)
         self.rx = MultiStationReceiver(len(addrs), callback, **rx_kwargs)
         self.clients = []
         for (host, port), freq in zip(addrs, frequencies):

@@ -1213,3 +1213,47 @@ def test_multistation_mp5(rng):
         got_titles = {e.title for e in events[i]
                       if e.type == EventType.ID3 and e.program == 0}
         assert titles[i] in got_titles, (i, got_titles)
+
+
+def test_multistation_cold_start(rng):
+    """``cold_start=True`` acquires each station's initial lock (timing +
+    CFO) from the pushed stream itself — the live-tuner mode: exactly one
+    SYNC per station, never a LOST_SYNC, no pre-lock garbage HDC, and the
+    stations lock independently (different unknown offsets + CFOs)."""
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    want, streams = [], []
+    for i, (off, cfo) in enumerate(((12345, 180.0), (77777, -250.0))):
+        sig, packets = _station_stream(rng, f"Cold Station {i}",
+                                       n_frames=8)
+        want.append({bytes(p) for p in packets})
+        n = np.arange(len(sig) - off)
+        rot = np.exp(2j * np.pi * cfo / C.SAMPLE_RATE_CS16_FM * n)
+        streams.append((sig[off:] * rot).astype(np.complex64))
+
+    events = {0: [], 1: []}
+    rx = MultiStationReceiver(2, lambda st, ev: events[st].append(ev),
+                              frames_per_dispatch=1, cold_start=True)
+    n = max(map(len, streams))
+    for lo in range(0, n, 250000):
+        for i in range(2):
+            rx.push(i, streams[i][lo:lo + 250000])
+    rx.flush()
+
+    for i in range(2):
+        kinds = [e.type for e in events[i]]
+        assert kinds.count(EventType.SYNC) == 1, (i, kinds)
+        assert EventType.LOST_SYNC not in kinds, i
+        hdc = [e for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error]
+        # every emitted packet is genuine (no pre-lock garbage decode)
+        assert {e.data for e in hdc} <= want[i], i
+        assert len(hdc) >= 5 * 32, (i, len(hdc))  # ~2 frames acquisition
+
+
+def test_cold_start_excludes_locks():
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    with pytest.raises(AssertionError):
+        MultiStationReceiver(1, lambda st, ev: None, cold_start=True,
+                             locks={"psmi": 1})

@@ -1,0 +1,147 @@
+"""Long-soak serving stability: ~95 s of drifting FM signal (64 P1 frames)
+streamed through serve + fleet audio in bounded memory.
+
+Pins the wraparound/stability properties nothing short can reach:
+  - elastic-buffer seq wraparound (ELASTIC_BUFFER_LEN=64 — the 2048-packet
+    stream wraps the 6-bit packet seq 32 times; reference src/output.c:85-99)
+  - PDU-seq wrap (pdu_seq cycles 0..7 eight times)
+  - the serve BER watchdog must NOT fire on a clean (if drifting) signal
+  - the samperr feedback loop holds the station queue bounded under
+    +50 ppm sample-clock drift (reference src/sync.c:426-463)
+  - fleet-audio queues stay bounded while decoding every packet
+"""
+
+import numpy as np
+import pytest
+
+from nrsc5_tpu import constants as C
+from nrsc5_tpu.api.events import EventType
+
+FS = 44100
+
+
+def _drift_chunks(chunks, ppm: float, cfo_hz: float, snr_db: float, rng):
+    """Stream a constant sample-clock error + CFO + AWGN over an iterator of
+    complex chunks without materializing the whole signal (the streaming twin
+    of tx.channel.clock_drift/impair; linear interpolation, stateful across
+    chunk boundaries)."""
+    scale = 1.0 + ppm * 1e-6
+    buf = np.zeros(0, np.complex64)
+    consumed = 0  # absolute input index of buf[0]
+    next_t = 0.0  # absolute input time of the next output sample
+    n_out = 0  # absolute output index (for the CFO phase ramp)
+    w = 2.0 * np.pi * cfo_hz / C.SAMPLE_RATE_CS16_FM
+    for c in chunks:
+        buf = np.concatenate([buf, np.asarray(c, np.complex64)])
+        t_max = consumed + len(buf) - 1
+        n = int((t_max - next_t) / scale)
+        if n <= 0:
+            continue
+        t = next_t + np.arange(n, dtype=np.float64) * scale
+        idx = t - consumed
+        base = np.arange(len(buf), dtype=np.float64)
+        out = (np.interp(idx, base, buf.real)
+               + 1j * np.interp(idx, base, buf.imag))
+        if cfo_hz:
+            out = out * np.exp(1j * w * (n_out + np.arange(n)))
+        p_sig = np.mean(np.abs(out) ** 2)
+        p_noise = p_sig / (10 ** (snr_db / 10))
+        out = out + (rng.normal(0, np.sqrt(p_noise / 2), (n, 2))
+                     .astype(np.float32).view(np.complex64)[:, 0])
+        yield out.astype(np.complex64)
+        next_t += n * scale
+        n_out += n
+        keep_from = max(int(next_t - consumed), 0)
+        buf = buf[keep_from:]
+        consumed += keep_from
+
+
+@pytest.mark.soak
+def test_long_soak_serve_fleet_audio(rng):
+    """64 P1 frames with +50 ppm drift through MultiStationReceiver +
+    FleetAudioDecoder: zero HDC packet loss after a 2-frame warm-up, no
+    watchdog relock, bounded station/fleet queues, continuous PCM."""
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import build_p1_fm_frame
+
+    n_frames, per_frame = 64, 32
+    warmup_frames = 2
+
+    # 12 unique real HDC packets (a 440 Hz tone), cycled across the stream
+    t = np.arange(12 * 2048) / FS
+    tone = np.stack([0.4 * np.sin(2 * np.pi * 440 * t)] * 2, -1)
+    enc = HDCEncoder(channels=2, sbr=True, pns=False)
+    hdc_pkts = [enc.encode_frame(tone[k * 2048:(k + 1) * 2048])
+                for k in range(12)]
+    pool = set(hdc_pkts)
+
+    def frame_mats():
+        """P1 frames in chunks of 4 (bounded memory: the full 71M-sample
+        capture is never materialized)."""
+        g = 0
+        for chunk in range(n_frames // 4):
+            mats = []
+            for _ in range(4):
+                pkts = [hdc_pkts[(g * per_frame + k) % len(hdc_pkts)]
+                        for k in range(per_frame)]
+                p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=g % 8,
+                                       seq=(g * per_frame) % 64)
+                mats.append(build_pm_matrix(
+                    p1, np.zeros((16, 80), np.uint8)))
+                g += 1
+            sig = modulate_fm(np.concatenate(mats),
+                              np.tile(np.arange(16), 4), 1)
+            if chunk == 0:
+                sig = np.concatenate(
+                    [np.zeros(C.FFTCP_FM // 2, np.complex64), sig])
+            yield sig
+
+    events = []
+    fleet = FleetAudioDecoder(1, lambda st, ev: events.append(ev), k=8)
+    rx = MultiStationReceiver(1, fleet.wrap, frames_per_dispatch=2,
+                              hdc_factory=None, cold_start=True)
+
+    max_station_q = 0
+    max_fleet_q = 0
+    for block in _drift_chunks(frame_mats(), ppm=50.0, cfo_hz=120.0,
+                               snr_db=30.0, rng=rng):
+        for lo in range(0, len(block), 300000):
+            rx.push(0, block[lo:lo + 300000])
+            max_station_q = max(max_station_q, rx._sizes[0])
+            max_fleet_q = max(max_fleet_q,
+                              max(len(q) for q in fleet._queues))
+    rx.flush()
+    fleet.flush()
+
+    # exactly one SYNC (the initial cold-start acquisition) and never a
+    # watchdog relock / sync loss on a clean drifting signal
+    kinds = {e.type for e in events}
+    assert EventType.LOST_SYNC not in kinds
+    assert sum(e.type == EventType.SYNC for e in events) == 1
+
+    # zero packet loss after warm-up: every post-warm-up packet surfaced
+    hdc = [e for e in events if e.type == EventType.HDC and not e.crc_error]
+    assert len(hdc) >= (n_frames - warmup_frames) * per_frame, len(hdc)
+    assert {e.data for e in hdc} <= pool, "corrupted packet emitted"
+
+    # bounded queues: the samperr loop must hold the station backlog near
+    # one dispatch window (~2 frames + probe overlap), not grow with time
+    dispatch_window = rx._needed + rx._overlap
+    assert max_station_q < 3 * dispatch_window, \
+        (max_station_q, dispatch_window)
+    assert max_fleet_q <= 64 + 8, max_fleet_q  # max_lag + one batch
+
+    # continuous non-silent PCM from the device audio path
+    audio = [e for e in events if e.type == EventType.AUDIO]
+    assert len(audio) >= (n_frames - warmup_frames) * per_frame - 64, \
+        len(audio)
+    pcm = np.concatenate([np.asarray(e.samples) for e in audio])
+    assert np.abs(pcm).max() > 1000, "silent soak audio"
+    # no dead gaps: every 1-second window after warm-up has signal
+    sec = 2 * FS  # stereo interleaved
+    for lo in range(8 * 4096, len(pcm) - sec, sec):
+        assert np.abs(pcm[lo:lo + sec]).max() > 100, f"silent at {lo}"
