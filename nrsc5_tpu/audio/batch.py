@@ -420,7 +420,13 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
             out = out + rows[:, :, cidx[dtap]] * W10[dtap]
         new_syn_hist = Vx[:, -9:]
 
+        # quantize to int16 ON DEVICE: halves the PCM device->host bytes
+        # (the antenna->PCM serving path is tunnel-transfer-bound), and is
+        # bit-identical to the former host-side round/clip/cast — float32
+        # represents every |x| <= 32768 integer exactly and both rounders
+        # are round-half-even
         pcm = out.reshape(N, K, NSLOT * 64)
+        pcm = jnp.clip(jnp.round(pcm), -32768, 32767).astype(jnp.int16)
         new_state = {"overlap": new_overlap, "qa_hist": new_qa_hist,
                      "syn_hist": new_syn_hist,
                      "tail_r": new_tail_r, "tail_i": new_tail_i}
@@ -703,9 +709,8 @@ class BatchedAudioDecoder:
         self._state, pcm = self._fn(self._state,
                                     {k: jnp.asarray(v)
                                      for k, v in inp.items()})
-        pcm = np.asarray(pcm)                  # [N, K*2048]
-        pcm = pcm.reshape(self.n, 2, -1).transpose(0, 2, 1)
-        return np.clip(np.round(pcm), -32768, 32767).astype(np.int16)
+        pcm = np.asarray(pcm)                  # [N, K*2048] int16
+        return pcm.reshape(self.n, 2, -1).transpose(0, 2, 1)
 
     # ------------------------------------------------------------------
     # checkpoint / resume (serving analog:
