@@ -120,6 +120,44 @@ def _short_windows(shape: int, prev: int) -> np.ndarray:
     return out
 
 
+# MDCT windows are pure functions of (window_sequence, shape, prev_shape)
+# — 2 bits each — yet uploading them per (lane, packet) was 8.4 MB of the
+# 12 MB dispatch payload at 64 lanes (70% of the transfer-bound audio
+# dispatch on the tunneled chip).  They live on device as small constant
+# LUTs instead; the host uploads one uint8 index per (lane, packet).
+# Index 0 is the all-zero window (inactive / corrupt-packet lanes),
+# mirroring the old zero-filled default bit-exactly.
+
+def _long_window_index(seq: int, shape: int, prev: int) -> int:
+    li = {A.ONLY_LONG: 0, A.LONG_START: 1, A.LONG_STOP: 2}[seq]
+    return 1 + li * 4 + shape * 2 + prev
+
+
+@functools.lru_cache(maxsize=1)
+def _long_window_lut() -> np.ndarray:
+    lut = np.zeros((13, 2048), np.float32)
+    for seq in (A.ONLY_LONG, A.LONG_START, A.LONG_STOP):
+        for shape in (0, 1):
+            for prev in (0, 1):
+                lut[_long_window_index(seq, shape, prev)] = \
+                    _long_window(seq, shape, prev)
+    return lut
+
+
+def _short_window_index(shape: int, prev: int) -> int:
+    return 1 + shape * 2 + prev
+
+
+@functools.lru_cache(maxsize=1)
+def _short_window_lut() -> np.ndarray:
+    lut = np.zeros((5, 8, 256), np.float32)
+    for shape in (0, 1):
+        for prev in (0, 1):
+            lut[_short_window_index(shape, prev)] = \
+                _short_windows(shape, prev)
+    return lut
+
+
 # ----------------------------------------------------------------------
 # the jitted device stage
 # ----------------------------------------------------------------------
@@ -165,14 +203,16 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
         # ---- 1) core filterbank ---------------------------------------
         BL = jnp.asarray(_imdct_long())        # [2048, 1024]
         BS = jnp.asarray(_imdct_short())       # [256, 128]
+        win_long = jnp.asarray(_long_window_lut())[inp["win_long_idx"]]
+        win_short = jnp.asarray(_short_window_lut())[inp["win_short_idx"]]
         long_buf = jnp.einsum("nkf,tf->nkt", spec, BL,
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
-        long_buf = long_buf * inp["win_long"]  # [N, K, 2048]
+        long_buf = long_buf * win_long         # [N, K, 2048]
         sh = jnp.einsum("nkwf,tf->nkwt", spec.reshape(N, K, 8, 128), BS,
                         preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
-        sh = sh * inp["win_short"]             # [N, K, 8, 256]
+        sh = sh * win_short                    # [N, K, 8, 256]
         short_buf = jnp.zeros_like(long_buf)
         for w in range(8):
             o = A.SHORT_OFF + w * A.SHORT_LEN
@@ -661,8 +701,8 @@ class BatchedAudioDecoder:
 
         inp = {
             "spec": np.zeros((N, K, 1024), np.float32),
-            "win_long": np.zeros((N, K, 2048), np.float32),
-            "win_short": np.zeros((N, K, 8, 256), np.float32),
+            "win_long_idx": np.zeros((N, K), np.uint8),
+            "win_short_idx": np.zeros((N, K), np.uint8),
             "short": np.zeros((N, K), bool),
             "bwj": np.zeros((N, K, m), np.float32),
             "env_seg": np.zeros((N, K, NSLOT, MAXENV), np.float32),
@@ -692,11 +732,11 @@ class BatchedAudioDecoder:
                     inp["spec"][lane, k] = spec
                     if seq == A.EIGHT_SHORT:
                         inp["short"][lane, k] = True
-                        inp["win_short"][lane, k] = \
-                            _short_windows(shape, prev)
+                        inp["win_short_idx"][lane, k] = \
+                            _short_window_index(shape, prev)
                     else:
-                        inp["win_long"][lane, k] = \
-                            _long_window(seq, shape, prev)
+                        inp["win_long_idx"][lane, k] = \
+                            _long_window_index(seq, shape, prev)
                     self._prev_shape[lane] = shape
                     dch = None
                     # a packet whose own header differs from the batch

@@ -384,20 +384,25 @@ def fm_chain_batch_rc(samples, carries: ChainCarryRC, n_blocks: int,
         frames = pm[:, skip: skip + n_frames * C.P1_FM_BLOCKS]
         flat = frames.reshape(n_stations * n_frames, -1)
         B = flat.shape[0]
-        # XLA hits a layout pathology for flat Viterbi batches in
-        # [58, 71]: ~100 ms/dispatch on v5e where 56 takes 57 ms and 72
-        # takes 46 ms (measured sweep, docs/PERF.md round-3 note).  Pad
-        # through the window — the padded frames are decoded and
-        # discarded, and 72 is still 2x faster than 64 in absolute
-        # terms.
-        pad = 72 - B if 56 < B < 72 else 0
-        if pad:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)])
-        p1, margin, errors = jax.vmap(
-            lambda m: p1_decode(m, chunked=True))(flat)
-        if pad:
-            p1, margin, errors = p1[:B], margin[:B], errors[:B]
+        # XLA pays a near-constant ~140 ms for any flat Viterbi batch
+        # >= 64 on v5e (round-4 sweep, support/probe_fec_sweep.py:
+        # ms/frame 32->1.31, 56->1.64, 64->2.12, 72->2.12, 96->1.45,
+        # 128->1.10 — the round-3 pad-to-72 rule no longer helps in the
+        # current program).  Batches in the hump are SPLIT into two
+        # sequential half-batches of the fast shape instead of padded:
+        # 64 -> 2x32 measures 84 ms vs 136 single.  B >= 96 rides the
+        # flat region and stays one call (splitting 128 would be
+        # slower).  Bit-exact: the batch dim is embarrassingly
+        # parallel.
+        def fec(m):
+            return jax.vmap(lambda x: p1_decode(x, chunked=True))(m)
+        if 56 < B < 96:
+            half = B // 2
+            a, b = fec(flat[:half]), fec(flat[half:])
+            p1, margin, errors = (jnp.concatenate([x, y])
+                                  for x, y in zip(a, b))
+        else:
+            p1, margin, errors = fec(flat)
         out["p1"] = p1.reshape(n_stations, n_frames, -1)
         out["p1_margin"] = margin.reshape(n_stations, n_frames)
         out["p1_bit_errors"] = errors.reshape(n_stations, n_frames)
