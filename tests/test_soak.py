@@ -20,7 +20,8 @@ from nrsc5_tpu.api.events import EventType
 FS = 44100
 
 
-def _drift_chunks(chunks, ppm: float, cfo_hz: float, snr_db: float, rng):
+def _drift_chunks(chunks, ppm: float, cfo_hz: float, snr_db: float, rng,
+                  rate: float = C.SAMPLE_RATE_CS16_FM):
     """Stream a constant sample-clock error + CFO + AWGN over an iterator of
     complex chunks without materializing the whole signal (the streaming twin
     of tx.channel.clock_drift/impair; linear interpolation, stateful across
@@ -30,7 +31,7 @@ def _drift_chunks(chunks, ppm: float, cfo_hz: float, snr_db: float, rng):
     consumed = 0  # absolute input index of buf[0]
     next_t = 0.0  # absolute input time of the next output sample
     n_out = 0  # absolute output index (for the CFO phase ramp)
-    w = 2.0 * np.pi * cfo_hz / C.SAMPLE_RATE_CS16_FM
+    w = 2.0 * np.pi * cfo_hz / rate
     for c in chunks:
         buf = np.concatenate([buf, np.asarray(c, np.complex64)])
         t_max = consumed + len(buf) - 1
@@ -145,3 +146,54 @@ def test_long_soak_serve_fleet_audio(rng):
     sec = 2 * FS  # stereo interleaved
     for lo in range(8 * 4096, len(pcm) - sec, sec):
         assert np.abs(pcm[lo:lo + sec]).max() > 100, f"silent at {lo}"
+
+
+@pytest.mark.soak
+def test_long_soak_am_serve(rng):
+    """The AM twin: 64 MA1 frames (~95 s of signal) with -50 ppm drift +
+    CFO through AM serving with cold_start=True.  Pins the AM-specific
+    long-run properties: the diversity-delay pipeline staying primed
+    across hundreds of subframe handoffs, the P3-margin watchdog NOT
+    firing on a clean drifting carrier, PDU-seq wraparound across all 8
+    subframe lanes, and a bounded station queue."""
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.serve import MultiStationReceiver
+
+    from .capture_helpers import build_am_capture
+
+    n_frames, per_frame = 64, 32  # 8 subframes x 4 packets
+    warmup_frames = 6  # acquisition + 3-frame diversity delay
+    sig, packets = build_am_capture(rng, n_frames=n_frames)
+    pool = {bytes(b) for _, pk in packets for b in pk}
+
+    bin_hz = C.SAMPLE_RATE_CS16_AM / C.FFT_AM
+
+    def chunks():
+        for lo in range(0, len(sig), 250000):
+            yield sig[lo:lo + 250000]
+
+    events = []
+    rx = MultiStationReceiver(1, lambda st, ev: events.append(ev),
+                              frames_per_dispatch=2, mode="am",
+                              hdc_factory=None, cold_start=True)
+    max_q = 0
+    for block in _drift_chunks(chunks(), ppm=-50.0,
+                               cfo_hz=bin_hz + 17.0, snr_db=30.0,
+                               rng=rng, rate=C.SAMPLE_RATE_CS16_AM):
+        for lo in range(0, len(block), 100000):
+            rx.push(0, block[lo:lo + 100000])
+            max_q = max(max_q, rx._sizes[0])
+    rx.flush()
+
+    kinds = [e.type for e in events]
+    assert kinds.count(EventType.SYNC) == 1, kinds[:8]
+    assert EventType.LOST_SYNC not in kinds
+
+    hdc = [e for e in events if e.type == EventType.HDC
+           and not e.crc_error]
+    assert len(hdc) >= (n_frames - warmup_frames) * per_frame, len(hdc)
+    assert {e.data for e in hdc} <= pool, "corrupted packet emitted"
+
+    # bounded queue under drift: near one dispatch window forever
+    assert max_q < 3 * (rx._needed + rx._overlap), \
+        (max_q, rx._needed + rx._overlap)
