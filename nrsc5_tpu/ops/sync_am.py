@@ -15,12 +15,24 @@ gray-coded levels at odd half-integers; training rows (5+11c)%32 and
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nrsc5_tpu import constants as C
+
+# Interpolated training equalization (default on): the reference equalizes
+# each block with ONE mult per column from the SUM of its two training
+# symbols (src/sync.c:676-700), so any phase ramp WITHIN the block —
+# sample-clock drift, residual CFO — rotates the farthest symbols off the
+# QAM64 grid (measured: the reference loses AM lock entirely at ±50 ppm).
+# The two training rows are 16 symbols apart; interpolating the mult phase
+# between them (midpoint = the reference's averaged phase) tracks the ramp
+# and holds AM decode through ±50 ppm.  NRSC5_AM_EQ_INTERP=0 restores the
+# reference-equivalent one-shot equalizer.
+AM_EQ_INTERP = os.environ.get("NRSC5_AM_EQ_INTERP", "1") != "0"
 
 W = C.PARTITION_WIDTH_AM  # 25
 CENTER = C.CENTER_AM
@@ -62,6 +74,10 @@ def qpsk_map(z):
 
 def _wrap_half_pi(d):
     return d - jnp.pi * jnp.round(d / jnp.pi)
+
+
+def _wrap_pi(d):
+    return d - 2 * jnp.pi * jnp.round(d / (2 * jnp.pi))
 
 
 @functools.partial(jax.jit, static_argnames=("ma3",))
@@ -133,10 +149,45 @@ def sync_am_block(spectra, ma3: bool = False):
     samperr = (dp + du) / (2 * (W - 1)) * C.FFT_AM / (2 * jnp.pi)
     samperr = jnp.round(samperr).astype(jnp.int32)
 
-    pl_eq = buf[:, pl_bins] * pl_mult[None, :]
-    pu_eq = buf[:, pu_bins] * pu_mult[None, :]
-    s_eq = buf[:, s_bins] * s_mult[None, :]
-    t_eq = buf[:, t_bins] * t_mult[None, :]
+    if AM_EQ_INTERP:
+        # per-symbol-row mult: the averaged mult anchors the phase at the
+        # training midpoint (the phasor sum bisects the anchors); the
+        # anchor-to-anchor phase delta (16 rows apart, time order) spreads
+        # linearly across the block, tracking drift/CFO ramps the one-shot
+        # equalizer cannot (see AM_EQ_INTERP note above).  The raw
+        # per-column delta is anchored on SINGLE symbols, so multipath
+        # nulls make individual columns noisy — but the physical ramp is
+        # exactly linear in column (timing drift ∝ bin index, residual
+        # CFO constant), so a weighted linear fit across the partition's
+        # 25 columns (weights = anchor magnitudes: nulled columns opt
+        # out) recovers the ramp without the noise.
+        a_lo = jnp.minimum(t1, t2)  # anchors are exactly 16 rows apart
+        ar = jnp.arange(W)
+        u = (jnp.arange(32)[:, None] - a_lo[None, :] - 8) / 16.0  # [32, W]
+        colf = jnp.arange(W, dtype=jnp.float32)
+
+        def rows_mult(bins, base):
+            cols = buf[:, bins]
+            lo, hi = cols[a_lo, ar], cols[a_lo + 16, ar]
+            dphi = _wrap_pi(jnp.angle(lo) - jnp.angle(hi))  # [W]
+            w = jnp.abs(lo) * jnp.abs(hi) + 1e-12
+            wsum = w.sum()
+            cbar = (w * colf).sum() / wsum
+            dbar = (w * dphi).sum() / wsum
+            b = (w * (colf - cbar) * (dphi - dbar)).sum() \
+                / ((w * (colf - cbar) ** 2).sum() + 1e-12)
+            fit = dbar + b * (colf - cbar)  # [W]
+            return base[None, :] * jnp.exp(1j * u * fit[None, :])
+
+        pl_eq = buf[:, pl_bins] * rows_mult(pl_bins, pl_mult)
+        pu_eq = buf[:, pu_bins] * rows_mult(pu_bins, pu_mult)
+        s_eq = buf[:, s_bins] * rows_mult(s_bins, s_mult)
+        t_eq = buf[:, t_bins] * rows_mult(t_bins, t_mult)
+    else:
+        pl_eq = buf[:, pl_bins] * pl_mult[None, :]
+        pu_eq = buf[:, pu_bins] * pu_mult[None, :]
+        s_eq = buf[:, s_bins] * s_mult[None, :]
+        t_eq = buf[:, t_bins] * t_mult[None, :]
 
     if not ma3:
         pl_c, pu_c = qam64_map(pl_eq), qam64_map(pu_eq)

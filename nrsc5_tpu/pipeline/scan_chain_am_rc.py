@@ -199,10 +199,41 @@ def sync_am_block_rc(spectra, ma3: bool = False):
     samperr = (dp + du) / (2 * (W - 1)) * C.FFT_AM / (2 * jnp.pi)
     samperr = jnp.round(samperr).astype(jnp.int32)
 
-    pl_eq = rc.mul(buf[:, pl_bins], pl_mult[None])
-    pu_eq = rc.mul(buf[:, pu_bins], pu_mult[None])
-    s_eq = rc.mul(buf[:, s_bins], s_mult[None])
-    t_eq = rc.mul(buf[:, t_bins], t_mult[None])
+    if SA.AM_EQ_INTERP:
+        # rc twin of the interpolated training equalizer (see
+        # ops/sync_am.AM_EQ_INTERP): phase anchored at the training
+        # midpoint by the averaged mult, the anchor-to-anchor delta
+        # linear-fitted across columns (weights = anchor magnitudes)
+        # and spread linearly across the 32 symbol rows
+        a_lo = jnp.minimum(t1, t2)
+        ar = jnp.arange(W)
+        u = (jnp.arange(32)[:, None] - a_lo[None, :] - 8) / 16.0  # [32, W]
+        colf = jnp.arange(W, dtype=jnp.float32)
+
+        def rows_mult(bins, base):
+            cols = buf[:, bins]  # [32, W, 2]
+            lo, hi = cols[a_lo, ar], cols[a_lo + 16, ar]
+            dphi = SA._wrap_pi(rc.angle(lo) - rc.angle(hi))  # [W]
+            w = jnp.sqrt((lo * lo).sum(-1) * (hi * hi).sum(-1)) + 1e-12
+            wsum = w.sum()
+            cbar = (w * colf).sum() / wsum
+            dbar = (w * dphi).sum() / wsum
+            b = (w * (colf - cbar) * (dphi - dbar)).sum() \
+                / ((w * (colf - cbar) ** 2).sum() + 1e-12)
+            fit = dbar + b * (colf - cbar)  # [W]
+            th = u * fit[None, :]
+            rot = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)
+            return rc.mul(base[None], rot)  # [32, W, 2]
+
+        pl_eq = rc.mul(buf[:, pl_bins], rows_mult(pl_bins, pl_mult))
+        pu_eq = rc.mul(buf[:, pu_bins], rows_mult(pu_bins, pu_mult))
+        s_eq = rc.mul(buf[:, s_bins], rows_mult(s_bins, s_mult))
+        t_eq = rc.mul(buf[:, t_bins], rows_mult(t_bins, t_mult))
+    else:
+        pl_eq = rc.mul(buf[:, pl_bins], pl_mult[None])
+        pu_eq = rc.mul(buf[:, pu_bins], pu_mult[None])
+        s_eq = rc.mul(buf[:, s_bins], s_mult[None])
+        t_eq = rc.mul(buf[:, t_bins], t_mult[None])
 
     pl_c, pu_c = _qam64_map_rc(pl_eq), _qam64_map_rc(pu_eq)
     if not ma3:

@@ -820,6 +820,7 @@ class MultiStationReceiver:
                 carries = jax.tree.map(
                     lambda x, v: x.at[i].set(v), carries, saved[i])
             self._carries = carries
+            shrank = False
             for i in range(self.n_stations):
                 if i in waiting:
                     continue  # queue preserved for the alignment dispatch
@@ -830,11 +831,21 @@ class MultiStationReceiver:
                     # the station redecodes its (garbage) head
                     # meanwhile, and a failed probe trims the backlog
                     continue
-                self._drop(i, self._rate * int(consumed[i]))
+                drop = self._rate * int(consumed[i])
+                shrank = shrank or drop > 0
+                self._drop(i, drop)
             self._pending.append((self._seq, out, waiting))
             self._seq += 1
             if len(self._pending) > self.depth:
                 self._consume(*self._pending.pop(0))
+            if not shrank:
+                # nothing consumed this iteration (every station either
+                # waiting on alignment or an AM station in cold
+                # start/relock keeping its queue): one redecode of the
+                # stale head per push is enough — without this break an
+                # all-relocking AM fleet (cold_start=True, n=1) spins
+                # here forever because min(ready) never drops
+                break
 
     def _consume(self, seq, out, skip_stations=frozenset()):
         from nrsc5_tpu.ops.bits import unpack_out

@@ -131,3 +131,43 @@ def test_am_ma3_echo_cold_start_rc():
         if any(np.array_equal(p1[fi, sub], t) for t in truth))
     # diversity warm-up blanks the first 3 frames (24 subframes)
     assert matches == n_frames * 8 - 24, matches
+
+
+@pytest.mark.parametrize("ppm", [50.0, -50.0])
+def test_am_session_tracks_clock_drift(ppm):
+    """Interpolated training EQ (ops/sync_am.AM_EQ_INTERP): MA1 through
+    the session API under ±50 ppm sample-clock drift decodes every
+    post-warm-up frame.  The reference's one-shot equalizer (one mult
+    per column from the SUM of its two training symbols,
+    src/sync.c:676-700) cannot track the within-block phase ramp: the
+    reference binary on the same capture relock-cycles and recovers
+    almost nothing (measured 4-12/1024 over 32 frames; the crosscheck
+    asymmetry test pins that).  Here the two training anchors (16
+    symbol rows apart) give the ramp directly; a weighted linear fit
+    across columns keeps it noise-immune under multipath."""
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.api.session import MODE_AM, NRSC5
+    from nrsc5_tpu.tx import channel as ch
+
+    rng = np.random.default_rng(0xD81F)
+    sig, packets = build_am_capture(rng, n_frames=12, ma3=False)
+    s = ch.clock_drift(np.asarray(sig, np.complex64), ppm)
+    s = ch.impair(s, snr_db=30.0, sample_rate=C.SAMPLE_RATE_CS16_AM,
+                  rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_AM)
+    for i in range(0, len(s), 16384):
+        radio.pipe_samples_cs16(s[i:i + 16384])
+    radio.flush()
+
+    kinds = [e.type for e in events]
+    assert EventType.SYNC in kinds
+    assert EventType.LOST_SYNC not in kinds, "lost lock under drift"
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    # every packet of frames 6..10 (post acquisition + diversity delay;
+    # the stream tail cuts frame 11's delayed planes)
+    want = {p for f, pk in packets if 6 <= f <= 10 for p in pk}
+    got = sum(p in hdc for p in want)
+    assert got == len(want), f"{got}/{len(want)} MA1 HDC at {ppm:+} ppm"

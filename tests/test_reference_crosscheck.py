@@ -1124,3 +1124,53 @@ def test_reference_agrees_mp5_mp6(reference_nrsc5, psmi):
     assert our_hdc <= want, "framework emitted a corrupted packet"
     # bit-exact agreement on the shared window
     assert len(ref_hdc & our_hdc) >= 64
+
+
+def test_am_drift_beats_reference(reference_nrsc5):
+    """Second AM asymmetry in our favor (after MA3 cold start): under
+    ±50 ppm sample-clock drift the reference's one-shot AM training
+    equalizer (one mult per column from the sum of its two training
+    symbols, src/sync.c:676-700) cannot track the within-block phase
+    ramp — its QAM64 symbols walk off the grid between the training
+    rows, it relock-cycles, and recovers almost nothing.  Our
+    interpolated training EQ (ops/sync_am.AM_EQ_INTERP; the two anchors
+    are 16 symbol rows apart, ramp linear-fitted across columns) holds
+    lock and decodes every post-warm-up frame of the identical capture.
+    The timing loops are NOT the difference: both consume samples at
+    the drifted rate (ours measured 69116.5/frame at +50 ppm vs the
+    69120 nominal — exactly the resampled frame length)."""
+    mod = reference_nrsc5
+    from nrsc5_tpu.api.events import EventType
+    from nrsc5_tpu.api.session import MODE_AM, NRSC5
+    from nrsc5_tpu.tx import channel as ch
+
+    from .capture_helpers import build_am_capture
+
+    rng = np.random.default_rng(0xD41F7)
+    n_frames = 16
+    sig, packets = build_am_capture(rng, n_frames=n_frames, ma3=False)
+    drifted = ch.clock_drift(np.asarray(sig, np.complex64), 50.0)
+    want = {p for f, pk in packets if 6 <= f <= n_frames - 2 for p in pk}
+
+    # the reference collapses: relock cycles, a handful of packets
+    ref_events = _reference_decode_am(mod, drifted)
+    ET = mod.EventType
+    ref_hdc = {bytes(e.data) for t, e in ref_events
+               if t == ET.HDC and e.program == 0
+               and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    ref_got = sum(p in ref_hdc for p in want)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_AM)
+    data = drifted.astype(np.complex64)
+    for i in range(0, len(data), 16384):
+        radio.pipe_samples_cs16(data[i:i + 16384])
+    radio.flush()
+    hdc = {e.data for e in events if e.type == EventType.HDC
+           and not e.crc_error}
+    got = sum(p in hdc for p in want)
+
+    assert got == len(want), f"framework {got}/{len(want)} at +50 ppm"
+    assert ref_got <= len(want) // 4, \
+        f"reference now tracks AM drift ({ref_got}/{len(want)}) — " \
+        "retire this asymmetry test"
