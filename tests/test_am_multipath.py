@@ -133,8 +133,9 @@ def test_am_ma3_echo_cold_start_rc():
     assert matches == n_frames * 8 - 24, matches
 
 
-@pytest.mark.parametrize("ppm", [50.0, -50.0])
-def test_am_session_tracks_clock_drift(ppm):
+@pytest.mark.parametrize("ppm,ma3", [(50.0, False), (-50.0, False),
+                                     (50.0, True)])
+def test_am_session_tracks_clock_drift(ppm, ma3):
     """Interpolated training EQ (ops/sync_am.AM_EQ_INTERP): MA1 through
     the session API under ±50 ppm sample-clock drift decodes every
     post-warm-up frame.  The reference's one-shot equalizer (one mult
@@ -150,7 +151,7 @@ def test_am_session_tracks_clock_drift(ppm):
     from nrsc5_tpu.tx import channel as ch
 
     rng = np.random.default_rng(0xD81F)
-    sig, packets = build_am_capture(rng, n_frames=12, ma3=False)
+    sig, packets = build_am_capture(rng, n_frames=12, ma3=ma3)
     s = ch.clock_drift(np.asarray(sig, np.complex64), ppm)
     s = ch.impair(s, snr_db=30.0, sample_rate=C.SAMPLE_RATE_CS16_AM,
                   rng=rng)
@@ -170,4 +171,5 @@ def test_am_session_tracks_clock_drift(ppm):
     # the stream tail cuts frame 11's delayed planes)
     want = {p for f, pk in packets if 6 <= f <= 10 for p in pk}
     got = sum(p in hdc for p in want)
-    assert got == len(want), f"{got}/{len(want)} MA1 HDC at {ppm:+} ppm"
+    assert got == len(want), \
+        f"{got}/{len(want)} {'MA3' if ma3 else 'MA1'} HDC at {ppm:+} ppm"
