@@ -152,7 +152,12 @@ class FleetAudioDecoder:
         flush cannot jump ahead of a popped batch)."""
         self._raise_err()
         if event.type == EventType.HDC:
-            prog = int(getattr(event, "program", 0))
+            # transport/output.py always sets `program`; if an emitter
+            # omits it, fall back to the first subscribed program (not a
+            # fixed 0, which would silently drop every packet for a
+            # subscriber on program N in explicit mode)
+            default = self._programs[0] if not self._auto else 0
+            prog = int(getattr(event, "program", default))
             data = bytes(event.data) if not event.crc_error \
                 else self._silence
             with self._lock:

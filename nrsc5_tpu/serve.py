@@ -54,6 +54,73 @@ from nrsc5_tpu.transport.output import Output
 from nrsc5_tpu.transport.pids import PIDSDecoder
 
 
+def _wire_convert(samples, leftover: bytes, cu8: bool, cs16: bool,
+                  dtype, conj: bool):
+    """Normalize one push's payload to a fresh rc ``[n, 2]`` array at
+    the wire dtype (the format contract documented on
+    :meth:`MultiStationReceiver.push`): raw bytes (partial trailing I/Q
+    pairs carried via ``leftover``), complex64, a 1-D interleaved wire
+    array, or an rc ``[..., 2]`` array.  Returns ``(array | None,
+    leftover)``; shared by the homogeneous receiver and the
+    mode-discovery staging queue (:class:`HeterogeneousReceiver`)."""
+    if isinstance(samples, (bytes, bytearray, memoryview)):
+        buf = leftover + bytes(samples)
+        # bytes per I/Q pair on the wire
+        pair = 2 if cu8 else 4 if cs16 else 8
+        n = len(buf) - (len(buf) % pair)
+        leftover = buf[n:]
+        if n == 0:
+            return None, leftover
+        samples = np.frombuffer(
+            buf[:n], np.uint8 if cu8 else
+            np.int16 if cs16 else np.complex64)
+    s = np.asarray(samples)
+    if s.dtype.kind == "c":
+        if cu8:
+            # quantize to the cu8 wire scale (tx.channel.to_cu8);
+            # conjugation happens on device in the ingest stage
+            s = s.astype(np.complex64, copy=False) \
+                .view(np.float32).reshape(-1, 2)
+            s = np.clip(np.round(s * 128.0 + 127.0),
+                        0, 255).astype(np.uint8)
+        else:
+            # complex64 memory IS [re, im] float32 pairs: conjugate
+            # once and reinterpret — one pass instead of a strided
+            # stack (measured 10x faster).  Both branches materialize
+            # a fresh array: the queued chunk must never alias the
+            # caller's (reusable) read buffer.
+            if conj:
+                s = np.conj(s.astype(np.complex64, copy=False))
+            else:
+                s = s.astype(np.complex64, copy=True)
+            s = s.view(np.float32).reshape(-1, 2)
+            if cs16:
+                s = np.clip(s * 32767.0, -32768,
+                            32767).astype(np.int16)
+    elif s.ndim == 1:  # interleaved I/Q at the wire dtype
+        if cu8:
+            s = s.reshape(-1, 2).astype(np.uint8)  # conj on device
+        elif s.dtype == np.int16 and not cs16:
+            # int16 wire samples into a float chain: restore unit scale
+            s = s.reshape(-1, 2).astype(np.float32) * (1.0 / 32768.0)
+            if conj:
+                s[:, 1] = -s[:, 1]
+        else:
+            s = s.reshape(-1, 2).astype(dtype)  # fresh copy
+            if conj:
+                q = s[:, 1]
+                # negate without the int16 -32768 overflow
+                s[:, 1] = np.where(q == -32768, 32767, -q) \
+                    if cs16 else -q
+    else:
+        # rc [..., 2]: snapshot — callers may reuse their read buffer
+        # while this chunk is still queued for a future dispatch
+        s = np.array(s, dtype=dtype)
+    s = np.ascontiguousarray(s, dtype)
+    assert s.ndim == 2 and s.shape[1] == 2, s.shape
+    return s, leftover
+
+
 class _StationTransport:
     """The host transport stack of one station (the session's wiring
     minus the device receiver; see api/session.py _wire)."""
@@ -369,6 +436,7 @@ class MultiStationReceiver:
                 mesh, PartitionSpec(mesh.axis_names[0]))
             self._carries = jax.device_put(self._carries, self._shard)
         self._step = jax.jit(_chain)
+        self._cb, self._hdc_factory = callback, hdc_factory
         self.transports = [_StationTransport(i, callback, hdc_factory,
                                              mode_fm=mode == "fm")
                            for i in range(n_stations)]
@@ -390,62 +458,11 @@ class MultiStationReceiver:
         unsigned-8 I/Q pairs with ``input_format="cu8"``; trailing
         partial pairs are carried to the next push.  Complex input to a
         cu8 receiver is quantized to the cu8 wire scale."""
-        if isinstance(samples, (bytes, bytearray, memoryview)):
-            buf = self._leftover[station] + bytes(samples)
-            # bytes per I/Q pair on the wire
-            pair = 2 if self._cu8 else 4 if self._cs16 else 8
-            n = len(buf) - (len(buf) % pair)
-            self._leftover[station] = buf[n:]
-            if n == 0:
-                return
-            samples = np.frombuffer(
-                buf[:n], np.uint8 if self._cu8 else
-                np.int16 if self._cs16 else np.complex64)
-        s = np.asarray(samples)
-        conj = self.mode == "fm"  # the FM ingest convention negates Q
-        if s.dtype.kind == "c":
-            if self._cu8:
-                # quantize to the cu8 wire scale (tx.channel.to_cu8);
-                # conjugation happens on device in the ingest stage
-                s = s.astype(np.complex64, copy=False) \
-                    .view(np.float32).reshape(-1, 2)
-                s = np.clip(np.round(s * 128.0 + 127.0),
-                            0, 255).astype(np.uint8)
-            else:
-                # complex64 memory IS [re, im] float32 pairs: conjugate
-                # once and reinterpret — one pass instead of a strided
-                # stack (measured 10x faster).  Both branches materialize
-                # a fresh array: the queued chunk must never alias the
-                # caller's (reusable) read buffer.
-                if conj:
-                    s = np.conj(s.astype(np.complex64, copy=False))
-                else:
-                    s = s.astype(np.complex64, copy=True)
-                s = s.view(np.float32).reshape(-1, 2)
-                if self._cs16:
-                    s = np.clip(s * 32767.0, -32768,
-                                32767).astype(np.int16)
-        elif s.ndim == 1:  # interleaved I/Q at the wire dtype
-            if self._cu8:
-                s = s.reshape(-1, 2).astype(np.uint8)  # conj on device
-            elif s.dtype == np.int16 and not self._cs16:
-                # int16 wire samples into a float chain: restore unit scale
-                s = s.reshape(-1, 2).astype(np.float32) * (1.0 / 32768.0)
-                if conj:
-                    s[:, 1] = -s[:, 1]
-            else:
-                s = s.reshape(-1, 2).astype(self._dtype)  # fresh copy
-                if conj:
-                    q = s[:, 1]
-                    # negate without the int16 -32768 overflow
-                    s[:, 1] = np.where(q == -32768, 32767, -q) \
-                        if self._cs16 else -q
-        else:
-            # rc [..., 2]: snapshot — callers may reuse their read buffer
-            # while this chunk is still queued for a future dispatch
-            s = np.array(s, dtype=self._dtype)
-        s = np.ascontiguousarray(s, self._dtype)
-        assert s.ndim == 2 and s.shape[1] == 2, s.shape
+        s, self._leftover[station] = _wire_convert(
+            samples, self._leftover[station], self._cu8, self._cs16,
+            self._dtype, self.mode == "fm")
+        if s is None:
+            return
         self._chunks[station].append(s)
         self._sizes[station] += len(s)
         self._pushed[station] += len(s)
@@ -594,6 +611,71 @@ class MultiStationReceiver:
         if "am_skip" in data:
             state["am_skip"] = data["am_skip"]
         self.restore(state)
+
+    # ------------------------------------------------------------------
+    def queue_depth(self, station: int) -> int:
+        """Buffered (not yet dispatched) wire samples for one station —
+        the fleet-level backpressure/padding signal (RtlTcpFleet)."""
+        return self._sizes[station]
+
+    def quiesce(self, station: int):
+        """Stop the link watchdog and any relock probing for one station
+        whose input is known dead (a lost tuner padded with silence):
+        the silence would otherwise trip the BER watchdog and burn a
+        futile cold-start probe every dispatch (RtlTcpFleet dead-tuner
+        path; reference analog: LOST_DEVICE, src/nrsc5.c:197-201)."""
+        self._relocking[station] = False
+        self._watch_after[station] = float("inf")
+
+    def _admit(self, k: int, chunks=None, leftovers=None, pushed=None):
+        """Grow the fleet by ``k`` stations mid-stream (the
+        :class:`HeterogeneousReceiver` auto-discovery path: a station
+        whose service mode was just identified joins the fused batch
+        program of its mode group).  New stations start in the
+        cold-start/relock state — the receiver re-acquires their lock
+        from their (transplanted) queues with the same machinery that
+        handles mid-stream signal loss — so callers only decide the
+        MODE, never alignment.  In-flight dispatches are drained first
+        (their outputs are shaped for the old batch); the next dispatch
+        retraces the batch program at the new shape (jit caches per
+        shape, so shrink/regrow cycles pay nothing new).  Not available
+        on a mesh-sharded fleet: the station-axis sharding bakes
+        ``n_stations % mesh.size == 0``."""
+        assert self._shard is None, "cannot grow a mesh-sharded fleet"
+        self.drain()
+        jax, jnp = self._jax, self._jnp
+        base = self.n_stations
+        self.n_stations = base + k
+        if self.mode == "fm":
+            init_one = lambda: self._rcc.chain_rc_init_carry(  # noqa
+                psmi=self.psmi)
+        else:
+            init_one = lambda: self._scar.am_chain_rc_init_carry()  # noqa
+        grown = jax.jit(lambda: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (k,) + x.shape), init_one()))()
+        self._carries = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b.astype(a.dtype)], axis=0),
+            self._carries, grown)
+        for j in range(k):
+            ch = [np.asarray(c) for c in chunks[j]] if chunks else (
+                [np.full((self._overlap // 2, 2), 127, np.uint8)]
+                if self._cu8 else [])
+            self._chunks.append(ch)
+            self._sizes.append(sum(len(c) for c in ch))
+            self._leftover.append(leftovers[j] if leftovers else b"")
+            self._pushed.append(int(pushed[j]) if pushed
+                                else self._sizes[-1])
+            self._relocking.append(True)
+            self._bad_frames.append(0)
+            self._relock_next.append(0)
+            self._watch_after.append(self._seq)
+            self._align.append(0)
+            self.transports.append(_StationTransport(
+                base + j, self._cb, self._hdc_factory,
+                mode_fm=self.mode == "fm"))
+        if self.mode == "am":
+            self._am_skip.extend([3] * k)
+        self._pump()
 
     # ------------------------------------------------------------------
     def _fill_padded(self, station: int, out: np.ndarray):
@@ -913,11 +995,21 @@ class RtlTcpFleet:
     ``frequencies``: Hz per station.  ``gain_db=None`` leaves the
     dongle's hardware AGC on; a dB value selects manual gain (snapped to
     the tuner's gain table, reference src/rtltcp.c:100-154).  Extra
-    keyword arguments pass through to :class:`MultiStationReceiver`.
+    keyword arguments pass through to the receiver.
+
+    ``modes`` selects the fleet shape: ``None`` (default) — one
+    homogeneous :class:`MultiStationReceiver` (every tuner the ``mode``
+    / ``psmi`` keywords describe); a per-tuner list like ``["fm", "am",
+    "fm"]`` (with ``psmis``/``ma3s`` keywords as needed) — a mixed
+    :class:`HeterogeneousReceiver`; or ``"auto"`` — serve-side mode
+    DISCOVERY: each tuner's band and service mode are identified from
+    its own stream, so the fleet needs no mode arguments at all, like
+    the reference's one-session-per-dongle contract (src/nrsc5.c:
+    325-358) where a session never declares its mode up front.
     """
 
     def __init__(self, addrs, frequencies, callback, gain_db=None,
-                 stall_timeouts: int = 3, **rx_kwargs):
+                 stall_timeouts: int = 3, modes=None, **rx_kwargs):
         import threading
 
         from nrsc5_tpu.io.rtltcp import RtlTcpClient
@@ -930,7 +1022,17 @@ class RtlTcpFleet:
         # a live tuner stream can never be pre-aligned: acquire initial
         # lock from the stream (timing + CFO) before decoding anything
         rx_kwargs.setdefault("cold_start", "locks" not in rx_kwargs)
-        self.rx = MultiStationReceiver(len(addrs), callback, **rx_kwargs)
+        if modes == "auto":
+            assert rx_kwargs["cold_start"], \
+                "mode discovery needs cold_start=True (no locks)"
+            self.rx = HeterogeneousReceiver(len(addrs), callback,
+                                            **rx_kwargs)
+        elif modes is not None:
+            self.rx = HeterogeneousReceiver(len(addrs), callback,
+                                            modes=modes, **rx_kwargs)
+        else:
+            self.rx = MultiStationReceiver(len(addrs), callback,
+                                           **rx_kwargs)
         self.clients = []
         for (host, port), freq in zip(addrs, frequencies):
             c = RtlTcpClient(host, port)
@@ -1003,19 +1105,18 @@ class RtlTcpFleet:
             # known-dead tuner: the silence padding would otherwise trip
             # the BER watchdog and burn a futile relock probe every
             # dispatch
-            self.rx._relocking[i] = False
-            self.rx._watch_after[i] = float("inf")
+            self.rx.quiesce(i)
         self._cb(i, make(EventType.LOST_DEVICE))
 
     def _pad_station(self, k: int):
         """Level one tuner's queue with the deepest live queue (cu8
         silence = 127) so the min-queue-gated dispatch keeps firing.
         Called under the lock."""
-        live = [self.rx._sizes[j] for j in range(len(self._dead))
+        live = [self.rx.queue_depth(j) for j in range(len(self._dead))
                 if not self._dead[j] and j != k]
         if not live:
             return
-        short = max(live) - self.rx._sizes[k]
+        short = max(live) - self.rx.queue_depth(k)
         if short > 0:
             self.rx.push(k, np.full((short, 2), 127, np.uint8))
 
@@ -1043,75 +1144,282 @@ class RtlTcpFleet:
 
 
 class HeterogeneousReceiver:
-    """Serve a fleet whose stations run DIFFERENT service modes through
-    one surface.
+    """Serve a fleet whose stations run DIFFERENT service modes — or
+    different BANDS — through one surface.
 
     The fused batch program bakes one L1 geometry (FM psmi / AM
     MA1-vs-MA3) into its shapes, so :class:`MultiStationReceiver`
     requires a homogeneous fleet.  The reference has no batching at all
     — it runs one session per station, each with its own mode
     (src/nrsc5.c:325-358).  This wrapper is the middle ground: stations
-    are grouped by service mode and each group is served by one fused
-    sub-receiver — a fleet mixing MP1, MP3, and MP11 carriers compiles
-    one program per DISTINCT mode (not per station), and every public
-    event keeps its global station index.
+    are grouped by ``(band, service mode)`` and each group is served by
+    one fused sub-receiver — a fleet mixing MP1, MP3, MP11, MA1, and
+    MA3 carriers compiles one program per DISTINCT mode (not per
+    station), and every public event keeps its global station index.
 
-    Construction mirrors :class:`MultiStationReceiver` with the scalar
-    mode arguments generalized per station: ``psmis`` (FM service mode
-    per station), ``ma3s`` (AM mode per station), or per-station
-    ``locks`` whose mode fields may differ.  All remaining keyword
-    arguments are forwarded to every sub-receiver.
+    Three ways to declare the fleet:
 
-    push/drain/flush/checkpoint/save/load compose over the groups;
+    * ``psmis=[...]`` / ``ma3s=[...]`` (+ optional per-station
+      ``modes=["fm", "am", ...]``; default all ``mode``) — explicit.
+    * ``locks=[...]`` — per-station cold-start lock dicts; each lock's
+      band is inferred from its fields (AM locks carry ``"ma3"``), so
+      a mixed-band fleet needs no other arguments.  A single dict is
+      broadcast to every station like :class:`MultiStationReceiver`.
+    * NO mode arguments at all, with ``cold_start=True`` and
+      ``input_format="cu8"`` — serve-side mode DISCOVERY: each
+      station's band and service mode are identified from its pushed
+      stream (FM via the cold-start psmi majority vote the session
+      path uses, pipeline/receiver.py:173-183 / src/sync.c:366-421;
+      AM MA1-vs-MA3 from the cold-start lock probe), and the station
+      is assigned to its group on first lock — compiling a new group
+      program on first appearance of a mode, growing an existing
+      group's batch otherwise.  Discovery needs the rate-unambiguous
+      1.488 MS/s cu8 wire (the live-tuner format, nrsc5.h:53): any
+      other wire rate already implies the band.  This is the
+      reference's contract — a tuner session never declares its mode
+      up front — generalized to a batched fleet.
+
+    All remaining keyword arguments are forwarded to every
+    sub-receiver.  push/drain/flush/save/load compose over the groups;
     events are bit-exact vs per-mode receivers by construction (the
     groups ARE per-mode receivers — tests/test_serve.py pins it).
     """
 
     def __init__(self, n_stations: int, callback, psmis=None,
-                 ma3s=None, locks=None, mode: str = "fm", **kw):
-        if locks is not None and not isinstance(locks, dict):
-            assert len(locks) == n_stations
-            if mode == "fm":
-                psmis = [int(lk["psmi"]) for lk in locks]
-            else:
-                ma3s = [bool(lk["ma3"]) for lk in locks]
-        if mode == "fm":
-            assert psmis is not None and len(psmis) == n_stations
-            keys = [int(p) for p in psmis]
-        else:
-            assert ma3s is not None and len(ma3s) == n_stations
-            keys = [bool(m) for m in ma3s]
+                 ma3s=None, locks=None, mode: str = "fm", modes=None,
+                 **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from nrsc5_tpu.ops import frontend as FE
+        from nrsc5_tpu.pipeline import scan_chain_am_rc as scar
+        from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+
+        self._jax, self._jnp = jax, jnp
+        self._rcc, self._scar, self._FE = rcc, scar, FE
         self.n_stations = n_stations
         self.mode = mode
         self._cb = callback
+        self._kw = dict(kw)
+        self._groups: list[MultiStationReceiver] = []
+        self._remaps: list[list[int]] = []
+        self._keys: list[tuple] = []
+        self._gindex: dict = {}
+        self._slot: list = [None] * n_stations
+        self.station_modes: list = [None] * n_stations
+
+        if isinstance(locks, dict):
+            # a single lock broadcast to every station, like
+            # MultiStationReceiver (a dict used to be silently dropped)
+            locks = [locks] * n_stations
+        self._auto = (locks is None and psmis is None and ma3s is None
+                      and modes is None)
+        if self._auto:
+            assert kw.get("cold_start"), \
+                "without per-station modes, pass cold_start=True to " \
+                "discover each station's band/service mode from its stream"
+            assert kw.get("input_format") == "cu8", \
+                "mode discovery needs the rate-unambiguous cu8 wire " \
+                "(cf32/cs16 sample rates already imply the band)"
+            # per-station staging queues until each station's mode is
+            # discovered; seeded with the (larger) AM decimator-overlap
+            # pad of cu8 silence — extra leading DC before an FM signal
+            # is transparent to its timing search
+            pad = FE.rc_overlap(FE.AM_STAGES) // 2
+            self._staging = [[np.full((pad, 2), 127, np.uint8)]
+                             for _ in range(n_stations)]
+            self._staged = [pad] * n_stations
+            self._sleft = [b""] * n_stations
+            self._pushed = [0] * n_stations
+            self._probe_next = [0.0] * n_stations
+            # probe windows: same sizes the in-receiver relock probes use
+            self._need_fm = FE.rc_overlap(1) + 2 * rcc.buffer_len(6)
+            self._need_am = FE.rc_overlap(FE.AM_STAGES) \
+                + (1 << FE.AM_STAGES) * scar.am_buffer_len(3)
+
+            def ingest_fm(b):
+                f = (b.astype(jnp.float32) - 127.0) * (64.0 / 32767.0)
+                f = f * jnp.asarray(np.array([1.0, -1.0], np.float32))
+                return FE.decimate_overlap_rc(f, 1)
+
+            def ingest_am(b):
+                f = (b.astype(jnp.float32) - 127.0) * (64.0 / 32767.0)
+                return FE.decimate_overlap_rc(f * (1.0 / 16.0),
+                                              FE.AM_STAGES)
+
+            self._ingest_fm = jax.jit(ingest_fm)
+            self._ingest_am = jax.jit(ingest_am)
+            return
+
+        # ---- explicit fleet: derive one (band, mode) key per station
+        if locks is not None:
+            assert len(locks) == n_stations
+            sm = modes or ["am" if "ma3" in lk else "fm" for lk in locks]
+            keys = [("am", bool(lk["ma3"])) if m == "am"
+                    else ("fm", int(lk["psmi"]))
+                    for m, lk in zip(sm, locks)]
+        else:
+            sm = list(modes) if modes is not None \
+                else [mode] * n_stations
+            assert len(sm) == n_stations
+            keys = []
+            for st, m in enumerate(sm):
+                assert m in ("fm", "am"), m
+                if m == "fm":
+                    assert psmis is not None and psmis[st] is not None, \
+                        f"station {st} is FM: its psmis entry is required"
+                    keys.append(("fm", int(psmis[st])))
+                else:
+                    keys.append(("am", bool(ma3s[st])
+                                 if ma3s is not None else False))
         # stable grouping: stations in ascending order within a group,
         # groups in first-appearance order
         order: dict = {}
         for st, key in enumerate(keys):
             order.setdefault(key, []).append(st)
-        self._groups: list[MultiStationReceiver] = []
-        self._slot: list[tuple[int, int]] = [None] * n_stations
-        self.station_modes = list(keys)
-        for gi, (key, members) in enumerate(order.items()):
-            for slot, st in enumerate(members):
-                self._slot[st] = (gi, slot)
-            remap = list(members)
+        for key, members in order.items():
+            self._spawn_group(
+                key, members,
+                locks=[locks[st] for st in members]
+                if locks is not None else None)
 
-            def cb(slot_st, ev, _remap=remap):
-                self._cb(_remap[slot_st], ev)
+    # ------------------------------------------------------------------
+    def _spawn_group(self, key, members, locks=None):
+        """Create the fused sub-receiver for one (band, mode) group and
+        register its station remap; returns the receiver."""
+        gi = len(self._groups)
+        remap = list(members)
 
-            gkw = dict(kw)
-            if locks is not None and not isinstance(locks, dict):
-                gkw["locks"] = [locks[st] for st in members]
-            if mode == "fm":
-                gkw["psmi"] = key
+        def cb(slot_st, ev, _remap=remap):
+            self._cb(_remap[slot_st], ev)
+
+        gkw = dict(self._kw)
+        band, param = key
+        if locks is not None:
+            gkw["locks"] = locks
+            gkw.pop("cold_start", None)
+        if band == "fm":
+            gkw["psmi"] = param
+        else:
+            gkw["ma3"] = param
+        rx = MultiStationReceiver(len(members), cb, mode=band, **gkw)
+        self._groups.append(rx)
+        self._remaps.append(remap)
+        self._keys.append(key)
+        self._gindex[key] = gi
+        for slot, st in enumerate(members):
+            self._slot[st] = (gi, slot)
+            self.station_modes[st] = key
+        return rx
+
+    # ---- serve-side mode discovery (auto fleets) ---------------------
+    def _peek(self, st: int, n: int, tail: bool = False) -> np.ndarray:
+        """Copy ``n`` staged samples without consuming: the head window
+        (AM probe: needs the accumulated backlog) or the freshest tail
+        window (FM probe: must see new data each retry), tail start
+        rounded down to a ×32 boundary to keep the decimation-cascade
+        phase."""
+        start = 0
+        if tail:
+            start = self._staged[st] - n
+            start -= start % 32
+        out = np.empty((n, 2), np.uint8)
+        filled, pos = 0, 0
+        for chunk in self._staging[st]:
+            end = pos + len(chunk)
+            if end > start:
+                lo = max(0, start - pos)
+                take = min(len(chunk) - lo, n - filled)
+                out[filled:filled + take] = chunk[lo:lo + take]
+                filled += take
+                if filled == n:
+                    return out
+            pos = end
+        raise AssertionError("staging underflow")
+
+    def _drop_staged(self, st: int, n: int):
+        chunks = self._staging[st]
+        self._staged[st] -= n
+        while n > 0:
+            if len(chunks[0]) <= n:
+                n -= len(chunks.pop(0))
             else:
-                gkw["ma3"] = key
-            self._groups.append(
-                MultiStationReceiver(len(members), cb, mode=mode, **gkw))
+                chunks[0] = chunks[0][n:]
+                n = 0
+
+    def _try_discover(self, st: int):
+        """Identify one undiscovered station's band + service mode from
+        its staged stream: FM cold start first (smaller probe window),
+        then AM.  On lock the station joins its mode group — the group
+        re-acquires the station's alignment itself via its cold-start
+        machinery, so only the MODE decision is made here.  Both probes
+        failing trims the backlog and arms a cooldown, exactly like the
+        in-receiver relock probe on a never-locking carrier."""
+        jnp = self._jnp
+        if self._pushed[st] < self._probe_next[st]:
+            return
+        ran = False
+        if self._staged[st] >= self._need_fm:
+            # freshest tail window: an FM carrier emerging after noise
+            # must not hide behind a stale head kept for the AM probe
+            lock = self._rcc.cold_start_rc(self._ingest_fm(
+                jnp.asarray(self._peek(st, self._need_fm, tail=True))))
+            if lock is not None:
+                return self._assign(st, ("fm", int(lock["psmi"])))
+            ran = True
+        if self._staged[st] >= self._need_am:
+            lock = self._scar.cold_start_am_rc(self._ingest_am(
+                jnp.asarray(self._peek(st, self._need_am))))
+            if lock is not None:
+                return self._assign(st, ("am", bool(lock["ma3"])))
+            # neither band locked on a full backlog: bound it (keep a
+            # fresh AM window's worth) before the cooldown retry
+            excess = self._staged[st] - (self._need_am + self._need_fm)
+            excess -= excess % 32  # keep the ÷32 cascade phase
+            if excess > 0:
+                self._drop_staged(st, excess)
+            ran = True
+        if ran:
+            self._probe_next[st] = self._pushed[st] + self._need_fm
+
+    def _assign(self, st: int, key):
+        """Move a just-discovered station from staging into its (band,
+        mode) group, creating the group (new fused program) on first
+        appearance of the mode or growing the existing batch
+        (:meth:`MultiStationReceiver._admit`)."""
+        chunks = self._staging[st]
+        left, pushed = self._sleft[st], self._pushed[st]
+        self._staging[st] = None
+        gi = self._gindex.get(key)
+        if gi is None:
+            rx = self._spawn_group(key, [st])
+            # transplant the staged stream; the cold-started group
+            # acquires its own lock from it (one SYNC, no LOST_SYNC)
+            rx._chunks[0] = chunks
+            rx._sizes[0] = sum(len(c) for c in chunks)
+            rx._leftover[0] = left
+            rx._pushed[0] = pushed
+            rx._pump()
+        else:
+            rx = self._groups[gi]
+            slot = rx.n_stations
+            self._remaps[gi].append(st)
+            self._slot[st] = (gi, slot)
+            self.station_modes[st] = key
+            rx._admit(1, chunks=[chunks], leftovers=[left],
+                      pushed=[pushed])
 
     # ------------------------------------------------------------------
     def push(self, station: int, samples):
+        if self._slot[station] is None:  # mode not yet discovered
+            s, self._sleft[station] = _wire_convert(
+                samples, self._sleft[station], True, False, np.uint8,
+                False)
+            if s is not None:
+                self._staging[station].append(s)
+                self._staged[station] += len(s)
+                self._pushed[station] += len(s)
+            return self._try_discover(station)
         gi, slot = self._slot[station]
         self._groups[gi].push(slot, samples)
 
@@ -1123,11 +1431,31 @@ class HeterogeneousReceiver:
         for g in self._groups:
             g.flush()
 
+    def queue_depth(self, station: int) -> int:
+        """Buffered wire samples for one station (staged samples while
+        its mode is still undiscovered) — the fleet-level
+        backpressure/padding signal (RtlTcpFleet)."""
+        if self._slot[station] is None:
+            return self._staged[station]
+        gi, slot = self._slot[station]
+        return self._groups[gi].queue_depth(slot)
+
+    def quiesce(self, station: int):
+        """Stop watching/probing a station whose input is known dead
+        (RtlTcpFleet dead-tuner path): an undiscovered station stops
+        mode-probing its silence; a grouped one quiesces in its group."""
+        if self._slot[station] is None:
+            self._probe_next[station] = float("inf")
+            return
+        gi, slot = self._slot[station]
+        self._groups[gi].quiesce(slot)
+
     @property
     def transports(self):
-        """Global-station-ordered view of the per-group transports."""
-        return [self._groups[gi].transports[slot]
-                for gi, slot in self._slot]
+        """Global-station-ordered view of the per-group transports
+        (``None`` for stations whose mode is still undiscovered)."""
+        return [None if s is None else self._groups[s[0]].transports[s[1]]
+                for s in self._slot]
 
     # checkpoint / resume: compose the groups (SURVEY §5 A4)
     def checkpoint(self) -> list:
@@ -1139,17 +1467,54 @@ class HeterogeneousReceiver:
 
     def save(self, path: str):
         """One ``.npz`` for the whole mixed fleet (per-group key
-        namespaces), restorable in a fresh identically-parameterized
-        wrapper via :meth:`load`."""
+        namespaces + a group-composition header + any undiscovered
+        stations' staging queues), restorable in a fresh
+        identically-parameterized wrapper via :meth:`load` — including
+        an auto-discovery wrapper, whose groups are rebuilt from the
+        header."""
         out = {}
+        meta = []
         for gi, g in enumerate(self._groups):
             for k, v in g.save_arrays().items():
                 out[f"g{gi}_{k}"] = v
+            band, param = self._keys[gi]
+            meta.append([1 if band == "am" else 0, int(param)])
+            out[f"g{gi}_members"] = np.asarray(self._remaps[gi],
+                                               np.int64)
+        out["groups"] = np.asarray(meta, np.int64).reshape(-1, 2)
+        if self._auto:
+            for st in range(self.n_stations):
+                if self._slot[st] is None:
+                    ch = self._staging[st]
+                    out[f"stage_{st}"] = np.concatenate(ch) if ch \
+                        else np.zeros((0, 2), np.uint8)
+                    out[f"sleft_{st}"] = np.frombuffer(self._sleft[st],
+                                                       np.uint8)
+                    out[f"spushed_{st}"] = np.asarray(self._pushed[st])
         np.savez(path, **out)
 
     def load(self, path: str):
         data = np.load(path)
+        if self._auto:
+            assert not self._groups, "load() into a FRESH auto wrapper"
+            meta = np.asarray(data["groups"]).reshape(-1, 2)
+            for gi in range(meta.shape[0]):
+                band = "am" if meta[gi, 0] else "fm"
+                param = bool(meta[gi, 1]) if band == "am" \
+                    else int(meta[gi, 1])
+                members = [int(m) for m in data[f"g{gi}_members"]]
+                for st in members:
+                    self._staging[st] = None
+                self._spawn_group((band, param), members)
+            for st in range(self.n_stations):
+                if f"stage_{st}" in data.files:
+                    self._staging[st] = [data[f"stage_{st}"]]
+                    self._staged[st] = len(data[f"stage_{st}"])
+                    self._sleft[st] = bytes(
+                        np.asarray(data[f"sleft_{st}"]).tobytes())
+                    self._pushed[st] = int(data[f"spushed_{st}"])
         for gi, g in enumerate(self._groups):
             pre = f"g{gi}_"
             g.load_arrays({k[len(pre):]: data[k]
-                           for k in data.files if k.startswith(pre)})
+                           for k in data.files
+                           if k.startswith(pre) and k != f"{pre}members"})

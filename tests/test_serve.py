@@ -1257,3 +1257,304 @@ def test_cold_start_excludes_locks():
     with pytest.raises(AssertionError):
         MultiStationReceiver(1, lambda st, ev: None, cold_start=True,
                              locks={"psmi": 1})
+
+def test_heterogeneous_mixed_band(rng):
+    """An FM + AM fleet through ONE HeterogeneousReceiver (the
+    reference's per-dongle sessions each pick their own band,
+    src/nrsc5.c:325-358): stations grouped by (band, service mode),
+    every station's event stream bit-exact vs a per-mode receiver fed
+    the same samples."""
+    from nrsc5_tpu.serve import HeterogeneousReceiver, MultiStationReceiver
+
+    fm_sig, fm_packets = _station_stream(rng, "Band FM", n_frames=3)
+    am_sig, am_packets = _am_stream(rng, 7)
+    streams = [fm_sig, am_sig]
+    want = [{bytes(p) for p in fm_packets},
+            {bytes(p) for p in am_packets}]
+
+    def run(factory):
+        events = {0: [], 1: []}
+        rx = factory(lambda st, ev: events[st].append(ev))
+        pos = [0, 0]
+        chunk = 48 * 1024 + 17
+        while any(pos[i] < len(streams[i]) for i in range(2)):
+            for i in range(2):
+                rx.push(i, streams[i][pos[i]:pos[i] + chunk])
+                pos[i] += chunk
+        rx.flush()
+        return events
+
+    het = run(lambda cb: HeterogeneousReceiver(
+        2, cb, modes=["fm", "am"], psmis=[1, None],
+        frames_per_dispatch=2))
+
+    def homo(cb):
+        fm = MultiStationReceiver(1, lambda s, e: cb(0, e),
+                                  frames_per_dispatch=2, psmi=1)
+        am = MultiStationReceiver(1, lambda s, e: cb(1, e),
+                                  frames_per_dispatch=2, mode="am")
+
+        class _Split:
+            def push(self, st, x):
+                (am if st else fm).push(0, x)
+
+            def flush(self):
+                fm.flush()
+                am.flush()
+        return _Split()
+    ref = run(homo)
+
+    for i in range(2):
+        assert [_ev_key(e) for e in het[i]] \
+            == [_ev_key(e) for e in ref[i]], f"station {i} diverges"
+        hdc = {e.data for e in het[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want[i]) >= 64, (i, len(hdc & want[i]))
+        assert not (hdc & want[1 - i] - want[i])  # no cross-band leak
+
+
+def test_heterogeneous_auto_discovery(rng):
+    """Serve-side mode DISCOVERY (VERDICT r4 item 1): an FM-MP1 +
+    FM-MP3 + AM-MA1 + FM-MP1 fleet pushed as raw cu8 wire bytes through
+    one HeterogeneousReceiver with NO mode arguments.  Each station's
+    band + service mode is identified from its own stream; same-mode
+    stations fuse into one growing batch program (MultiStationReceiver.
+    _admit), and each station syncs exactly once with zero cross-station
+    leakage.  (Reference contract: a session never declares its mode up
+    front — src/sync.c:366-421 discovers psmi live.)"""
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+    from nrsc5_tpu.tx import channel as ch
+    from nrsc5_tpu.tx.encoder import build_px_stream
+
+    titles = ["Auto MP1 A", "Auto MP3 B", None, "Auto MP1 D"]
+    streams, want = [], []
+    for st, t in enumerate(titles):
+        if st == 2:
+            am, pkts = _am_stream(rng, 10)
+            up = ch.upsample_exact(am, 32)
+            streams.append(ch.to_cu8(up * (0.4 / np.abs(up).max()))
+                           .tobytes())
+        elif st == 1:  # true MP3 signal (random P3 on the PX1 channel)
+            n_frames = 4
+            fl = C.P3_FRAME_LEN_MP3_MP11
+            p3_bits = rng.integers(
+                0, 2, (n_frames // 2, 16, fl)).astype(np.uint8)
+            px = build_px_stream(p3_bits, fl).reshape(
+                n_frames * 16 * C.BLKSZ, -1)
+            mats, pkts = _station_mats(rng, t, n_frames=n_frames)
+            s = modulate_fm(np.concatenate(mats),
+                            np.tile(np.arange(16), n_frames), 3,
+                            px1_signs=px)
+            buf = np.zeros(len(s) + C.FFTCP_FM, np.complex64)
+            buf[C.FFTCP_FM // 2:C.FFTCP_FM // 2 + len(s)] = s
+            streams.append(ch.to_cu8(ch.upsample2(buf)).tobytes())
+        else:
+            sig, pkts = _station_stream(rng, t, n_frames=4)
+            streams.append(ch.to_cu8(ch.upsample2(sig)).tobytes())
+        want.append({bytes(p) for p in pkts})
+
+    events = {i: [] for i in range(4)}
+    rx = HeterogeneousReceiver(4, lambda st, ev: events[st].append(ev),
+                               cold_start=True, input_format="cu8",
+                               frames_per_dispatch=2)
+    chunk = 2 * 1000 * 1000
+    n = max(len(w) for w in streams)
+    for lo in range(0, n, chunk):
+        for i in range(4):
+            rx.push(i, streams[i][lo:lo + chunk])
+    rx.flush()
+
+    assert rx.station_modes == [("fm", 1), ("fm", 3), ("am", False),
+                                ("fm", 1)], rx.station_modes
+    # MP1 stations A and D share ONE fused group (grown via _admit)
+    assert sorted((k, g.n_stations)
+                  for k, g in zip(rx._keys, rx._groups)) == \
+        [(("am", False), 1), (("fm", 1), 2), (("fm", 3), 1)]
+    for i in range(4):
+        kinds = [e.type for e in events[i]]
+        assert kinds.count(EventType.SYNC) == 1, (i, kinds)
+        assert EventType.LOST_SYNC not in kinds, i
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want[i]) >= 32, (i, len(hdc & want[i]))
+        for j in range(4):  # no cross-station / cross-band leakage
+            if j != i:
+                assert not (hdc & want[j] - want[i]), (i, j)
+    for i in (0, 1, 3):
+        got = {e.title for e in events[i] if e.type == EventType.ID3}
+        assert titles[i] in got, (i, got)
+
+
+def test_heterogeneous_mixed_band_relock(rng):
+    """Self-healing composes across bands: a mixed FM + AM cold-start
+    fleet where the FM stream has a mid-stream timing hole — the FM
+    station loses sync and re-acquires (LOST_SYNC then SYNC) while the
+    AM station decodes its clean stream throughout, unaffected."""
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+
+    pre, pre_packets = _station_stream(rng, "Het Before Gap", n_frames=3)
+    post, post_packets = _station_stream(rng, "Het After Gap", n_frames=9)
+    gappy = np.concatenate([pre[:len(pre) - 33333], post])
+    am_sig, am_packets = _am_stream(rng, 9)
+
+    events = {0: [], 1: []}
+    rx = HeterogeneousReceiver(2, lambda st, ev: events[st].append(ev),
+                               modes=["fm", "am"], psmis=[1, None],
+                               cold_start=True, frames_per_dispatch=1)
+    # AM's internal rate is 16x slower: pace its pushes accordingly so
+    # both stations finish together
+    for lo in range(0, len(gappy), 250000):
+        rx.push(0, gappy[lo:lo + 250000])
+        am_lo = lo // 16
+        rx.push(1, am_sig[am_lo:am_lo + 250000 // 16])
+    rx.push(1, am_sig[len(gappy) // 16:])
+    rx.flush()
+
+    kinds0 = [e.type for e in events[0]]
+    assert EventType.LOST_SYNC in kinds0
+    assert kinds0.count(EventType.SYNC) >= 2, kinds0  # initial + re-lock
+    hdc0 = {e.data for e in events[0]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc0 & {bytes(p) for p in post_packets}) >= 32
+
+    kinds1 = [e.type for e in events[1]]
+    assert EventType.LOST_SYNC not in kinds1
+    assert kinds1.count(EventType.SYNC) == 1
+    hdc1 = {e.data for e in events[1]
+            if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc1 & {bytes(p) for p in am_packets}) >= 64
+
+
+def test_heterogeneous_auto_checkpoint(rng, tmp_path):
+    """Auto-discovery fleet checkpoint: save while one station is
+    grouped and another is still UNDISCOVERED (its staging queue and
+    the group-composition header persist), load into a fresh
+    no-mode-arguments wrapper, finish the stream — both stations
+    decode."""
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    fm_sig, fm_packets = _station_stream(rng, "Ckpt Auto FM", n_frames=4)
+    fm_wire = ch.to_cu8(ch.upsample2(fm_sig)).tobytes()
+    am_sig, am_packets = _am_stream(rng, 10)
+    up = ch.upsample_exact(am_sig, 32)
+    am_wire = ch.to_cu8(up * (0.4 / np.abs(up).max())).tobytes()
+
+    def mk(cb):
+        return HeterogeneousReceiver(2, cb, cold_start=True,
+                                     input_format="cu8",
+                                     frames_per_dispatch=2)
+
+    events = {0: [], 1: []}
+    rx = mk(lambda st, ev: events[st].append(ev))
+    # enough for the FM station to discover + sync, NOT enough for the
+    # AM probe window (the AM station must checkpoint as staged)
+    cut = 2 * 3_000_000
+    for i, w in enumerate((fm_wire, am_wire)):
+        rx.push(i, w[:cut])
+    rx.drain()
+    assert rx.station_modes[0] == ("fm", 1)
+    assert rx.station_modes[1] is None  # still staged
+    rx.save(str(tmp_path / "auto_fleet.npz"))
+
+    rx2 = mk(lambda st, ev: events[st].append(ev))
+    rx2.load(str(tmp_path / "auto_fleet.npz"))
+    for i, w in enumerate((fm_wire, am_wire)):
+        rx2.push(i, w[cut:])
+    rx2.flush()
+
+    assert rx2.station_modes == [("fm", 1), ("am", False)]
+    for i, want in enumerate(({bytes(p) for p in fm_packets},
+                              {bytes(p) for p in am_packets})):
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want) >= 32, (i, len(hdc & want))
+
+
+def test_heterogeneous_dict_locks(rng):
+    """A single cold-start lock dict broadcasts to every station
+    (advisor r4: it used to be silently DISCARDED, starting the fleet
+    unlocked), matching MultiStationReceiver's contract."""
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+
+    sig, packets = _station_stream(rng, "Dict Lock", n_frames=5)
+    off = 23456
+    shifted = sig[off:]
+    rc = np.stack([shifted.real, -shifted.imag], -1).astype(np.float32)
+    lock = rcc.cold_start_rc(rc)
+    assert lock is not None and lock["psmi"] == 1
+
+    events = {0: [], 1: []}
+    rx = HeterogeneousReceiver(2, lambda st, ev: events[st].append(ev),
+                               locks=lock, frames_per_dispatch=1)
+    tail = shifted[lock["offset"]:]
+    for lo in range(0, len(tail), 250000):
+        for i in range(2):
+            rx.push(i, tail[lo:lo + 250000])
+    rx.flush()
+    want = {bytes(p) for p in packets}
+    for i in range(2):
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & want) >= 64, (i, len(hdc & want))
+
+
+def test_heterogeneous_rtltcp_fleet_auto(rng):
+    """Live-tuner fleet with serve-side mode discovery: one FM and one
+    AM fake rtl_tcp server, ``modes="auto"`` — the fleet needs NO mode
+    arguments (the reference's per-dongle contract, src/nrsc5.c:325-358)
+    and each tuner's band + service mode is discovered from its own cu8
+    stream, decoding both with no cross-station leakage."""
+    import time
+
+    from nrsc5_tpu.serve import RtlTcpFleet
+    from nrsc5_tpu.tx import channel as ch
+
+    from .test_rtltcp import FakeRtlTcp
+
+    fm_sig, fm_packets = _station_stream(rng, "Auto Fleet FM",
+                                         n_frames=4)
+    am_sig, am_packets = _am_stream(rng, 10)
+    up = ch.upsample_exact(am_sig, 32)
+    servers = [
+        FakeRtlTcp(ch.to_cu8(ch.upsample2(fm_sig)).tobytes()),
+        FakeRtlTcp(ch.to_cu8(up * (0.4 / np.abs(up).max())).tobytes()),
+    ]
+    for s in servers:
+        s.start()
+
+    events = {0: [], 1: []}
+    fleet = RtlTcpFleet(
+        [("127.0.0.1", s.port) for s in servers],
+        [88.5e6, 710e3],
+        lambda st, ev: events[st].append(ev),
+        gain_db=30.0, modes="auto", frames_per_dispatch=1)
+    fleet.start()
+    am_want = {bytes(p) for p in am_packets}
+    try:
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            fm_ok = any(e.type == EventType.ID3
+                        and e.title == "Auto Fleet FM"
+                        for e in events[0])
+            am_hdc = {e.data for e in events[1]
+                      if e.type == EventType.HDC and not e.crc_error}
+            if fm_ok and len(am_hdc & am_want) >= 32:
+                break
+            time.sleep(0.5)
+    finally:
+        fleet.stop()
+        for s in servers:
+            s.stop.set()
+
+    assert fleet.rx.station_modes[0] == ("fm", 1)
+    assert fleet.rx.station_modes[1] == ("am", False)
+    fm_titles = {e.title for e in events[0] if e.type == EventType.ID3}
+    assert "Auto Fleet FM" in fm_titles, fm_titles
+    am_hdc = {e.data for e in events[1]
+              if e.type == EventType.HDC and not e.crc_error}
+    assert len(am_hdc & am_want) >= 32, len(am_hdc & am_want)
+    fm_hdc = {e.data for e in events[0]
+              if e.type == EventType.HDC and not e.crc_error}
+    assert not (fm_hdc & am_want)  # no cross-band leakage
