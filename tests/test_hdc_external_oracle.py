@@ -484,3 +484,111 @@ def test_sbr_transient_grids(late):
     rms_a = np.sqrt((xh ** 2).mean())
     rms_b = np.sqrt((yh ** 2).mean())
     assert abs(20 * np.log10(rms_a / rms_b)) < 3.0, (rms_a, rms_b)
+
+
+# ----------------------------------------------------------------------
+# differential fuzz vs the oracle (VERDICT r4 item 8)
+# ----------------------------------------------------------------------
+def _fuzz_signals(rng, n):
+    """Pathological-but-legal encoder inputs: the corners where decoder
+    implementations diverge (all-zero sections, max-gain scalefactors,
+    dense short windows, decorrelated channels, clipped flats)."""
+    t = np.arange(n)
+    picks = [
+        np.zeros(n),                                   # digital silence
+        np.full(n, 0.93),                              # DC rail
+        np.sign(np.sin(2 * np.pi * 311.0 * t / FS)) * 0.9,  # clipped square
+        rng.standard_normal(n) * 0.9,                  # full-scale hiss
+        np.where(t % 1777 == 0, 0.95, 0.0),            # impulse train
+        np.sin(2 * np.pi * 10986.3 * t / FS) * 0.7,    # tone at band edge
+        irfft(np.where(np.arange(n // 2 + 1) < 40,
+                       rfft(rng.standard_normal(n)), 0), n) * 3.0,  # rumble
+        rng.standard_normal(n) * (10.0 ** (-3 + 3 * np.sin(
+            2 * np.pi * t / (2 * 2048)))),             # 60 dB level sweeps
+    ]
+    return picks
+
+
+def test_differential_fuzz_vs_oracle():
+    """Seeded differential fuzz of the clean-room decoder against
+    libavcodec (VERDICT r4 item 8).  The HDC packet and its ADTS twin
+    have DIFFERENT bit layouts (compact ICS header vs standard
+    ics_info, patch hdc_data_frame vs ISO raw_data_block), so a bit
+    mutation cannot be mirrored across the two serializations; the
+    differential axis therefore fuzzes the PLAN space — pathological
+    legal inputs driving every coding tool through unusual operating
+    points (all-zero spectra, rail DC, clipped flats, impulse trains,
+    60 dB level sweeps, decorrelated channels) across tool configs —
+    and requires our PCM to agree with libavcodec's on the SAME
+    streams within the suite's established bound.  Divergences found
+    here become pinned regressions (none at introduction)."""
+    rng = np.random.default_rng(0xD1FF)
+    n_frames = 6
+    n = n_frames * 2048
+    configs = [
+        dict(channels=1, pns=False, ms=False, intensity=False),
+        dict(channels=2, pns=False, ms=True, intensity=False),
+        dict(channels=2, pns=True, ms=False, intensity=True),
+        dict(channels=2, pns=True, ms=True, intensity=True),
+    ]
+    for si, sig in enumerate(_fuzz_signals(rng, n)):
+        cfg = configs[si % len(configs)]
+        nch = cfg.pop("channels")
+        if nch == 2:
+            other = _fuzz_signals(rng, n)[(si + 3) % 8]
+            pcm = np.stack([sig, 0.7 * sig + 0.3 * other], -1)
+        else:
+            pcm = sig.reshape(-1, 1)
+        a, b, _ = _run_lc(pcm, nch, **cfg)
+        cfg["channels"] = nch
+        err = float(((a - b) ** 2).sum())
+        sig_pow = float((a ** 2).sum())
+        # agreement bound: 55 dB like the rest of the suite, or an
+        # absolute floor for (near-)silent content where SNR is moot
+        assert err <= sig_pow * 10 ** (-5.5) + 1e-5 * len(a), (
+            si, cfg, _snr_db(a, b))
+
+
+def test_differential_fuzz_mutations():
+    """Mutation axis of the differential fuzz: seeded bit flips, byte
+    noise, truncations and duplications over valid HDC packets from
+    every tool config.  The decoder must never raise; every ACCEPTED
+    mutant must produce finite PCM (a corrupt scalefactor may
+    legitimately be loud, but NaN/Inf would poison the elastic buffer
+    and the batched device decoder's carried state)."""
+    from nrsc5_tpu.audio.hdc_decoder import HDCDecoder
+
+    rng = np.random.default_rng(0xFA22)
+    n_frames = 4
+    n = n_frames * 2048
+    packets = []
+    for si, sig in enumerate(_fuzz_signals(rng, n)[:4]):
+        enc = HDCEncoder(channels=2, sbr=si % 2 == 0)
+        for k in range(n_frames):
+            frame = np.stack([sig, sig * 0.8], -1)[k * 2048:(k + 1) * 2048]
+            packets.append(enc.encode_frame(frame * 0.6))
+    dec = HDCDecoder()
+    accepted = 0
+    for trial in range(400):
+        p = bytearray(packets[trial % len(packets)])
+        kind = trial % 4
+        if kind == 0:  # bit flips
+            for _ in range(int(rng.integers(1, 8))):
+                p[rng.integers(0, len(p))] ^= 1 << rng.integers(0, 8)
+        elif kind == 1:  # truncate
+            p = p[:rng.integers(1, len(p))]
+        elif kind == 2:  # byte noise burst
+            at = int(rng.integers(0, len(p)))
+            ln = int(rng.integers(1, 24))
+            p[at:at + ln] = rng.integers(0, 256, ln).astype(np.uint8) \
+                .tobytes()
+        else:  # duplicate a slice (length changes, desyncs sections)
+            at = int(rng.integers(0, len(p)))
+            ln = int(rng.integers(1, 32))
+            p = p[:at] + p[at:at + ln] + p[at:]
+        out = dec.decode_float(bytes(p))
+        if out is not None:
+            accepted += 1
+            assert np.isfinite(out).all(), f"non-finite PCM, trial {trial}"
+    # sanity: the harness really exercises the accept path too
+    assert accepted >= 10, accepted
