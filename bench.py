@@ -843,6 +843,104 @@ def run_bench_serve_audio(args) -> dict:
     }
 
 
+def run_bench_compute(args) -> dict:
+    """Resident-input compute row (VERDICT r4 item 2): inputs uploaded
+    ONCE, each timed dispatch returning only per-(station, frame) int32
+    checksums of the PACKED decoded P1 words plus the margins — a few
+    hundred recurring D2H bytes — so the row measures device compute +
+    dispatch overhead with the eager output ship (the ~15 ms/dispatch
+    that does not overlap compute, docs/PERF.md round-2 output
+    ablation) removed.  Unlike a margin-only ablation, the checksum
+    DEPENDS on every decode stage (acquire → sync → deinterleave →
+    Viterbi ACS **and traceback** → descramble → pack), so XLA cannot
+    dead-code-eliminate the traceback the way the round-2 "~1600×
+    compute ceiling" estimate silently did.  Decode gate: an untimed
+    full-output dispatch on the same resident inputs must decode
+    bit-exact vs the transmitted frame AND reproduce the timed
+    program's checksums, tying the timed program to verified bits."""
+    jax = _bench_setup()
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind}")
+    rng = np.random.default_rng(7)
+    n_blocks = args.frames * C.P1_FM_BLOCKS
+    p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+    pids = rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    matrix = np.concatenate([build_pm_matrix(p1, pids)] * args.frames)
+    sig = modulate_fm(matrix, np.tile(np.arange(16), args.frames), 1)
+    buf = np.zeros(rcc.buffer_len(n_blocks), np.complex64)
+    start = C.FFTCP_FM // 2
+    buf[start:start + len(sig)] = sig
+    buf_rc = np.stack([buf.real, -buf.imag], axis=-1).astype(np.float32)
+    samples = jnp.asarray(
+        np.broadcast_to(buf_rc, (args.stations,) + buf_rc.shape))
+
+    @jax.jit
+    def _make_carries():
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (args.stations,) + x.shape),
+            rcc.chain_rc_init_carry())
+    carries = _make_carries()
+
+    def full(s, c):
+        return rcc.fm_chain_batch_rc(s, c, n_blocks, 1, 0, packed=True)[0]
+
+    def cksum(s, c):
+        out = full(s, c)
+        return {"sum": out["p1"].astype(jnp.int32).sum(axis=-1),
+                "margin": out["p1_margin"]}
+
+    step = jax.jit(cksum)
+    step_full = jax.jit(full)
+
+    t_c0 = time.perf_counter()
+    np.asarray(step(samples, carries)["sum"])
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
+
+    n_threads = args.threads
+    if n_threads is None:
+        n_threads = 6 if jax.default_backend() != "cpu" else 1
+    t0 = time.perf_counter()
+    outs = _run_dispatch_streams(
+        lambda: step(samples, carries), args.reps, args.pipeline,
+        [lambda o: np.asarray(o["sum"])] * n_threads)
+    dt = time.perf_counter() - t0
+
+    # decode gate: untimed full dispatch on the SAME resident inputs —
+    # bits bit-exact vs the transmitted frame, checksums equal to every
+    # timed stream's
+    from nrsc5_tpu.ops.bits import unpack_bits
+    fo = step_full(samples, carries)
+    got = unpack_bits(np.asarray(fo["p1"]))
+    want = np.broadcast_to(p1, got.shape)
+    assert np.array_equal(got, want), "compute-row decode gate failed"
+    want_sum = np.asarray(fo["p1"]).astype(np.int64).sum(axis=-1)
+    for o in outs:
+        assert np.array_equal(np.asarray(o["sum"]), want_sum), \
+            "timed checksums diverge from the gated full decode"
+    log(f"# decode gate: PASSED (bit-exact + checksum tie-in, "
+        f"{len(outs)} streams)")
+
+    n_samples = (args.reps * n_threads * args.stations
+                 * n_blocks * C.BLKSZ * C.FFTCP_FM)
+    realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
+    log(f"# stations={args.stations} frames={args.frames} "
+        f"reps={args.reps} pipeline={args.pipeline} threads={n_threads} "
+        f"wall={dt:.3f}s")
+    return {
+        "metric": "fm_compute_only_realtime_multiple_per_chip",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench(args) -> dict:
     if args.mode == "am":
         return run_bench_am(args)
@@ -860,6 +958,8 @@ def run_bench(args) -> dict:
         return run_bench_audio(args)
     if args.mode == "serve-audio":
         return run_bench_serve_audio(args)
+    if args.mode == "compute":
+        return run_bench_compute(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -999,13 +1099,16 @@ def main():
                          "accelerators, 1 on the CPU fallback)")
     ap.add_argument("--mode",
                     choices=("fm", "am", "mp3", "coldstart", "e2e",
-                             "serve", "amcold", "audio", "serve-audio"),
+                             "serve", "amcold", "audio", "serve-audio",
+                             "compute"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
                          "additional gated rows; e2e = device chain + host "
                          "transport, gated on HDC/ID3 events; serve = "
                          "true streaming (fresh cu8 uploads) through "
-                         "serve.MultiStationReceiver")
+                         "serve.MultiStationReceiver; compute = "
+                         "resident-input compute-only row (checksum "
+                         "outputs, decode-gated)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-fallback", action="store_true")
     ap.add_argument("--single", action="store_true",

@@ -151,11 +151,12 @@ def am_frame_fec(p1_full, p3_full, ma3: bool = False):
     p1_full [..., 8, 3750, 3] / p3_full [..., p3_len, 3]: any (equal)
     leading batch dims.  Returns (p1_bits [..., 8, 3750], p3_bits
     [..., p3_len], margins dict)."""
-    # same tuning knobs as the FM path (decode_fm.p1_decode); measured
-    # A/B on v5e: radix-4 AM frame decode 58.8 ms/call vs fused-8 70.9 ms
+    # same tuning knobs as the FM path (decode_fm.p1_decode): radix-4
+    # composed with fuse=8 — the round-5 trip-count finding moved the AM
+    # I/Q row 911x -> 1331x (docs/PERF.md round-5 sweep)
     cpu = jax.default_backend() == "cpu"
     radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
-    fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "1"))
+    fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "8"))
 
     batch = p1_full.shape[:-3]
     p1_flat = p1_full.reshape((-1,) + p1_full.shape[-2:])

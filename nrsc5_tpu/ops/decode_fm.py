@@ -65,21 +65,22 @@ def p1_decode(pm_matrix, chunked: bool = False):
     full = depuncture(llr, C.PUNCTURE_P1_PIDS_FM, C.P1_FRAME_LEN_FM * 3)
     full = full.reshape(C.P1_FRAME_LEN_FM, 3)
     if chunked:
-        # Default ACS on TPU is radix-4 (2 trellis steps / scan step).
-        # Measured A/B on v5e, 16 stations: radix-4 P1 Viterbi 135.0
-        # ms/call vs fused-8 radix-1 158.7 ms — the radix path wins even
-        # though fuse cuts trip count 4x more, because its 2 adds+select
-        # per state per substep still serializes on the VPU while the
-        # radix butterfly's extra candidates vectorize.  NRSC5_VITERBI_FUSE
-        # opts into the fused radix-1 ACS, which is strictly BIT-IDENTICAL
-        # to the sequential decoder (the radix path can flip float
-        # near-ties, ~1/20k bits at 3 dB, none at operating SNR).  Fuse
-        # also composes with radix (chains fuse radix super-steps per
-        # scan iteration, bit-identical to the unfused radix recursion).
+        # Default ACS on TPU is radix-4 (2 trellis steps / scan step)
+        # COMPOSED with fuse=8 (8 radix super-steps per scan iteration —
+        # bit-identical to the unfused radix recursion) at chunk 1152:
+        # the round-5 honest compute row (bench.py --mode compute, which
+        # forces the traceback a margin-only ablation lets XLA dead-code
+        # -eliminate) proved the chain TRIP-COUNT-bound, and cutting the
+        # ACS+traceback scan trips 304 -> 42 moved the headline 917x ->
+        # 1676x (sweep table in docs/PERF.md round-5; chunk 1024/1088
+        # sit in an XLA layout-cliff window — 1152-1280 is the fast
+        # plateau).  Radix-1 fused-8 remains the strictly-bit-identical
+        # opt-out (NRSC5_VITERBI_RADIX=1: the radix path can flip float
+        # near-ties, ~1/20k bits at 3 dB, none at operating SNR).
         cpu = jax.default_backend() == "cpu"
         radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
-        fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "1"))
-        chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1024"))
+        fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "8"))
+        chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1152"))
         unroll = int(os.environ.get("NRSC5_VITERBI_UNROLL", "2"))
         bits, margin = viterbi_decode_chunked(full, 7, C.CONV_K7_GEN,
                                               chunk=chunk, radix=radix,
