@@ -157,11 +157,12 @@ def am_frame_fec(p1_full, p3_full, ma3: bool = False):
     cpu = jax.default_backend() == "cpu"
     radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX", "4"))
     fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE", "8"))
+    chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK_AM", "1024"))
 
     batch = p1_full.shape[:-3]
     p1_flat = p1_full.reshape((-1,) + p1_full.shape[-2:])
     p1_bits, p1_margin = viterbi_decode_chunked(
-        p1_flat, 9, C.CONV_E1_GEN, chunk=1024, overlap=160, radix=radix,
+        p1_flat, 9, C.CONV_E1_GEN, chunk=chunk, overlap=160, radix=radix,
         fuse=fuse)
     p1_bits = jax.vmap(lambda b: _descramble_dev(b, C.P1_FRAME_LEN_AM))(
         p1_bits)
@@ -172,7 +173,7 @@ def am_frame_fec(p1_full, p3_full, ma3: bool = False):
     p3_len = C.P3_FRAME_LEN_MA1 if not ma3 else C.P3_FRAME_LEN_MA3
     p3_flat = p3_full.reshape((-1,) + p3_full.shape[-2:])
     p3_bits, p3_margin = viterbi_decode_chunked(
-        p3_flat, 9, gen, chunk=1024, overlap=160, radix=radix, fuse=fuse)
+        p3_flat, 9, gen, chunk=chunk, overlap=160, radix=radix, fuse=fuse)
     p3_bits = jax.vmap(lambda b: _descramble_dev(b, p3_len))(p3_bits)
     p3_bits = p3_bits.reshape(batch + (p3_len,))
     p3_margin = p3_margin.reshape(batch)
