@@ -162,7 +162,14 @@ def _short_window_lut() -> np.ndarray:
 # the jitted device stage
 # ----------------------------------------------------------------------
 def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
-                    smooth: bool = False):
+                    smooth: bool = False, cap_long: int = 1024,
+                    cap_short: int = 128):
+    """``cap_long`` / ``cap_short`` bound the uploaded spectrum (long
+    frames / per short window): HDC core spectra are band-limited at
+    the SBR crossover, so the tail bins are structurally zero — the
+    host verifies and uploads only the live prefix (round-5 serve-audio
+    transfer ablation), and the IMDCT basis is sliced to match (exact,
+    not an approximation)."""
     kx, m = ft.kx, ft.m
     n_low = min(kx, 32)
     # band indicator matrices for bs_interpol_freq=0 gain averaging
@@ -194,22 +201,31 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
     phase_tab = np.stack([np.array([1, 0, -1, 0], np.float32),
                           np.array([0, 1, 0, -1], np.float32)], -1)
 
+    # one-hot sinusoid placement rows (band b -> its center bin)
+    hb_lo = ft.f_high[:-1].astype(int) - kx
+    hb_mid = (hb_lo + (ft.f_high[1:].astype(int) - kx)) // 2
+    hb_onehot = np.zeros((ft.n_high, m), np.float32)
+    for b in range(ft.n_high):
+        hb_onehot[b, int(hb_mid[b])] = 1.0
+    seg_noise = _seg(ft.f_noise, ft.n_q)
+
     def fn(state, inp):
         # ---- shapes: lanes N, packets K --------------------------------
-        spec = inp["spec"]                     # [N, K, 1024]
-        N, K = spec.shape[:2]
+        spec_l = inp["spec_long"]              # [N, K, cap_long]
+        spec_s = inp["spec_short"]             # [N, K, 8, cap_short]
+        N, K = spec_l.shape[:2]
         S_tot = K * NSLOT
 
         # ---- 1) core filterbank ---------------------------------------
-        BL = jnp.asarray(_imdct_long())        # [2048, 1024]
-        BS = jnp.asarray(_imdct_short())       # [256, 128]
+        BL = jnp.asarray(_imdct_long()[:, :cap_long])  # [2048, capL]
+        BS = jnp.asarray(_imdct_short()[:, :cap_short])  # [256, capS]
         win_long = jnp.asarray(_long_window_lut())[inp["win_long_idx"]]
         win_short = jnp.asarray(_short_window_lut())[inp["win_short_idx"]]
-        long_buf = jnp.einsum("nkf,tf->nkt", spec, BL,
+        long_buf = jnp.einsum("nkf,tf->nkt", spec_l, BL,
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
         long_buf = long_buf * win_long         # [N, K, 2048]
-        sh = jnp.einsum("nkwf,tf->nkwt", spec.reshape(N, K, 8, 128), BS,
+        sh = jnp.einsum("nkwf,tf->nkwt", spec_s, BS,
                         preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
         sh = sh * win_short                    # [N, K, 8, 256]
@@ -308,12 +324,30 @@ def _make_device_fn(ft: S.FreqTables, lim_gain: float, interpol: bool,
         xhr, xhi = xhr * ok, xhi * ok          # [N, K, 32, m]
 
         # ---- 4) HF adjust ----------------------------------------------
-        env_seg = inp["env_seg"]               # [N, K, NSLOT, MAXENV]
-        e_orig = inp["e_orig"]                 # [N, K, MAXENV, m]
-        q_orig = inp["q_orig"]
-        s_mapped = inp["s_mapped"]             # [N, K, MAXENV, m]
-        s_bins = inp["s_bins"]
-        delta_e = inp["delta_e"]               # [N, K, MAXENV]
+        # envelope quantities arrive in BAND space (≤ n_high values per
+        # envelope instead of m per-bin values) and expand on device via
+        # the static band→bin indicator matmuls — the host used to do
+        # this expansion and upload the per-bin arrays, 4× the bytes
+        # (round-5 serve-audio transfer ablation)
+        env_seg = inp["env_seg"].astype(jnp.float32)  # [N,K,NSLOT,MAXENV]
+        res = inp["freq_res"].astype(jnp.float32)[..., None]
+        SH, SL = jnp.asarray(seg_hi), jnp.asarray(seg_lo)
+        eb = inp["e_bands"]                    # [N, K, MAXENV, n_high]
+        e_orig = res * jnp.einsum(
+            "nkeb,bm->nkem", eb, SH,
+            precision=jax.lax.Precision.HIGHEST) \
+            + (1.0 - res) * jnp.einsum(
+                "nkeb,bm->nkem", eb[..., :ft.n_low], SL,
+                precision=jax.lax.Precision.HIGHEST)
+        q_orig = jnp.einsum("nkeb,bm->nkem", inp["q_bands"],
+                            jnp.asarray(seg_noise),
+                            precision=jax.lax.Precision.HIGHEST)
+        act = inp["harm_act"].astype(jnp.float32)  # [N, K, MAXENV, n_high]
+        s_mapped = jnp.einsum("nkeb,bm->nkem", act, SH,
+                              precision=jax.lax.Precision.HIGHEST)
+        s_bins = jnp.einsum("nkeb,bm->nkem", act, jnp.asarray(hb_onehot),
+                            precision=jax.lax.Precision.HIGHEST)
+        delta_e = inp["delta_e"].astype(jnp.float32)  # [N, K, MAXENV]
 
         e2 = xhr * xhr + xhi * xhi             # [N, K, 32, m]
         cnt = env_seg.sum(axis=2)              # [N, K, MAXENV]
@@ -510,6 +544,12 @@ class BatchedAudioDecoder:
         self._state = None
         self._backend = backend
         self._K = None
+        # sticky grow-only spectrum-upload caps (round-5 transfer cut):
+        # HDC core spectra are band-limited at the SBR crossover, so
+        # only the live prefix is uploaded; a batch whose content
+        # exceeds the cap grows it (bucketed) and recompiles once
+        self._cap_long = 384
+        self._cap_short = 48
 
     # ------------------------------------------------------------------
     def _ensure(self, ft: S.FreqTables, hdr: S.SbrHeader, K: int):
@@ -517,7 +557,8 @@ class BatchedAudioDecoder:
         # changes (different headers -> different band structure / m);
         # the carried streaming state is shape-independent of both, so
         # it persists across rebuilds (two K=4 calls == one K=8 call)
-        key = (K, hdr.amp_res, hdr.start_freq, hdr.stop_freq,
+        key = (K, self._cap_long, self._cap_short,
+               hdr.amp_res, hdr.start_freq, hdr.stop_freq,
                hdr.xover_band, hdr.freq_scale, hdr.alter_scale,
                hdr.noise_bands, hdr.limiter_bands, hdr.limiter_gains,
                hdr.interpol_freq, hdr.smoothing_mode)
@@ -552,39 +593,50 @@ class BatchedAudioDecoder:
             dev_fn = _make_device_fn(
                 ft, S.LIM_GAINS[hdr.limiter_gains],
                 interpol=bool(hdr.interpol_freq),
-                smooth=not hdr.smoothing_mode)
+                smooth=not hdr.smoothing_mode,
+                cap_long=self._cap_long, cap_short=self._cap_short)
             kwargs = {}
             if self._backend is not None:
                 kwargs["backend"] = self._backend
             self._fn = jax.jit(dev_fn, donate_argnums=(0,), **kwargs)
             self._K = K
-            N = self.lanes
-            z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
-            if self._state is None:  # first build only — state persists
-                self._state = {
-                    "overlap": z(N, 1024), "qa_hist": z(N, 288),
-                    "syn_hist": z(N, 9, 128),
-                    "tail_r": z(N, 2, 32), "tail_i": z(N, 2, 32)}
-            # smoothing-header trajectory carry: present only when the
-            # batch header smooths (keeps the default path's eagerly
-            # shipped state 64 KB smaller per dispatch); zeroed on a
-            # header change like the host set_header, persisted across
-            # pure batch-size rebuilds
-            if key[1:] != getattr(self, "_hdr_key", None):
-                self._hdr_key = key[1:]
-                if getattr(self, "_restored", False):
-                    # first build after restore(): keep the restored
-                    # trajectories, just reconcile presence
-                    self._restored = False
-                else:
-                    self._state.pop("g_hist", None)
-                    self._state.pop("q_hist", None)
-                if not hdr.smoothing_mode:
-                    self._state.setdefault("g_hist", z(N, 4, 64))
-                    self._state.setdefault("q_hist", z(N, 4, 64))
-                else:
-                    self._state.pop("g_hist", None)
-                    self._state.pop("q_hist", None)
+
+    def _reconcile_state(self, smooth: bool, hdr_key: tuple):
+        """Bring the carried device state in line with one prepared
+        batch's header, immediately before its dispatch.  Runs on the
+        DISPATCH side of the prepare/dispatch pipeline split (round-5):
+        :meth:`prepare` may rebuild the jitted fn for the NEXT batch
+        while a previous dispatch is still in flight, so state surgery
+        here — not in :meth:`_ensure` — keeps the donated state dict
+        owned by exactly one thread."""
+        import jax.numpy as jnp
+        N = self.lanes
+        z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+        if self._state is None:  # first dispatch only — state persists
+            self._state = {
+                "overlap": z(N, 1024), "qa_hist": z(N, 288),
+                "syn_hist": z(N, 9, 128),
+                "tail_r": z(N, 2, 32), "tail_i": z(N, 2, 32)}
+        # smoothing-header trajectory carry: present only when the
+        # batch header smooths (keeps the default path's eagerly
+        # shipped state 64 KB smaller per dispatch); zeroed on a
+        # header change like the host set_header, persisted across
+        # pure batch-size / spectrum-cap rebuilds
+        if hdr_key != getattr(self, "_hdr_key", None):
+            self._hdr_key = hdr_key
+            if getattr(self, "_restored", False):
+                # first dispatch after restore(): keep the restored
+                # trajectories, just reconcile presence
+                self._restored = False
+            else:
+                self._state.pop("g_hist", None)
+                self._state.pop("q_hist", None)
+            if smooth:
+                self._state.setdefault("g_hist", z(N, 4, 64))
+                self._state.setdefault("q_hist", z(N, 4, 64))
+            else:
+                self._state.pop("g_hist", None)
+                self._state.pop("q_hist", None)
 
     _BW_TAB = np.array([0.0, 0.75, 0.9, 0.98])
 
@@ -621,22 +673,22 @@ class BatchedAudioDecoder:
             hi = min(d.t_e[e + 1] * S.RATE, NSLOT)
             if hi <= lo:
                 continue
-            out["env_seg"][lane, k, lo:hi, e] = 1.0
-            b2b = self._b2b_high if d.freq_res[e] else self._b2b_low
-            out["e_orig"][lane, k, e] = \
-                np.asarray(d.env_lin[e], np.float32) @ b2b
+            out["env_seg"][lane, k, lo:hi, e] = 1
+            # envelope/noise/sinusoid quantities ship in BAND space and
+            # expand to per-bin vectors ON DEVICE via the static
+            # band→bin matmuls (round-5 serve-audio transfer cut — the
+            # per-bin m-vectors were 4× the bytes)
+            ev = np.asarray(d.env_lin[e], np.float32)
+            out["e_bands"][lane, k, e, :len(ev)] = ev
             qe = 0 if d.n_noise_env == 1 or d.t_e[e] < d.t_q[1] else 1
-            out["q_orig"][lane, k, e] = \
-                np.asarray(d.noise_lin[qe], np.float32) @ self._b2b_noise
+            qv = np.asarray(d.noise_lin[qe], np.float32)
+            out["q_bands"][lane, k, e, :len(qv)] = qv
             transient = (e == d.la) or (e == 0 and self._la_end[lane])
-            out["delta_e"][lane, k, e] = 0.0 if transient else 1.0
-            out["freq_res"][lane, k, e] = 1.0 if d.freq_res[e] else 0.0
+            out["delta_e"][lane, k, e] = 0 if transient else 1
+            out["freq_res"][lane, k, e] = 1 if d.freq_res[e] else 0
             if harm.any():
                 act = harm & ((e >= d.la) | prev_h)
-                if act.any():
-                    out["s_mapped"][lane, k, e] = \
-                        act.astype(np.float32) @ self._b2b_high
-                    out["s_bins"][lane, k, e, self._hb_mid[act]] = 1.0
+                out["harm_act"][lane, k, e, :len(act)] = act
             # noise index advance for covered slots
             ns = hi - lo
             out["noise_start"][lane, k, lo:hi] = \
@@ -650,6 +702,28 @@ class BatchedAudioDecoder:
     def decode(self, packets: list[list[bytes]]) -> np.ndarray:
         """packets: n_programs lists of K packets each ->
         int16 [n_programs, K*2048, 2]."""
+        return self.dispatch(self.prepare(packets))
+
+    def dispatch(self, prepared) -> np.ndarray:
+        """Run one :meth:`prepare`d batch on device and fetch its PCM.
+        The pipeline's device half: touches only the carried state (and
+        the fn captured at prepare time), so it can overlap the NEXT
+        batch's :meth:`prepare` on another thread (round-5 serve-audio
+        pipeline split — the host parse/fill was serializing against
+        the dispatch at fleet scale)."""
+        import jax.numpy as jnp
+        fn, inp, smooth, hdr_key = prepared
+        self._reconcile_state(smooth, hdr_key)
+        self._state, pcm = fn(self._state,
+                              {k: jnp.asarray(v) for k, v in inp.items()})
+        pcm = np.asarray(pcm)                  # [N, K*2048] int16
+        return pcm.reshape(self.n, 2, -1).transpose(0, 2, 1)
+
+    def prepare(self, packets: list[list[bytes]]):
+        """Host half of one batch decode: parse every packet, advance
+        the per-lane bookkeeping, and build the device-input arrays.
+        Returns an opaque item for :meth:`dispatch` (which must run in
+        submission order — the carried state is sequential)."""
         K = len(packets[0])
         assert all(len(p) == K for p in packets)
         N = self.lanes
@@ -696,24 +770,49 @@ class BatchedAudioDecoder:
         else:  # no SBR seen yet, ever: derive nothing, HF silent
             hdr = S.SbrHeader()
             ft = S.derive_tables(hdr)
+        # grow-only spectrum caps: find the live extent of every spectrum
+        # in this batch BEFORE building the device fn (its basis slices
+        # bake the caps); bucketed so growth recompiles at most a few
+        # times ever
+        need_l, need_s = 1, 1
+        for p in range(self.n):
+            for k in range(K):
+                specs, ics1, _ = parsed[p][k]
+                if specs is None:
+                    continue
+                for spec in specs:
+                    if ics1.window_sequence == A.EIGHT_SHORT:
+                        nz = np.flatnonzero(
+                            spec.reshape(8, 128).any(axis=0))
+                        if nz.size:
+                            need_s = max(need_s, int(nz[-1]) + 1)
+                    else:
+                        nz = np.flatnonzero(spec)
+                        if nz.size:
+                            need_l = max(need_l, int(nz[-1]) + 1)
+        if need_l > self._cap_long:
+            self._cap_long = min(-(-need_l // 128) * 128, 1024)
+        if need_s > self._cap_short:
+            self._cap_short = min(-(-need_s // 16) * 16, 128)
         self._ensure(ft, hdr, K)
         m = ft.m
 
         inp = {
-            "spec": np.zeros((N, K, 1024), np.float32),
+            "spec_long": np.zeros((N, K, self._cap_long), np.float32),
+            "spec_short": np.zeros((N, K, 8, self._cap_short),
+                                   np.float32),
             "win_long_idx": np.zeros((N, K), np.uint8),
             "win_short_idx": np.zeros((N, K), np.uint8),
             "short": np.zeros((N, K), bool),
             "bwj": np.zeros((N, K, m), np.float32),
-            "env_seg": np.zeros((N, K, NSLOT, MAXENV), np.float32),
-            "e_orig": np.zeros((N, K, MAXENV, m), np.float32),
-            "q_orig": np.zeros((N, K, MAXENV, m), np.float32),
-            "s_mapped": np.zeros((N, K, MAXENV, m), np.float32),
-            "s_bins": np.zeros((N, K, MAXENV, m), np.float32),
-            "delta_e": np.ones((N, K, MAXENV), np.float32),
+            "env_seg": np.zeros((N, K, NSLOT, MAXENV), np.uint8),
+            "e_bands": np.zeros((N, K, MAXENV, ft.n_high), np.float32),
+            "q_bands": np.zeros((N, K, MAXENV, ft.n_q), np.float32),
+            "harm_act": np.zeros((N, K, MAXENV, ft.n_high), np.uint8),
+            "delta_e": np.ones((N, K, MAXENV), np.uint8),
             "noise_start": np.zeros((N, K, NSLOT), np.int32),
             "nlow": np.zeros((N, K, 32), np.float32),
-            "freq_res": np.zeros((N, K, MAXENV), np.float32),
+            "freq_res": np.zeros((N, K, MAXENV), np.uint8),
         }
         for p in range(self.n):
             for k in range(K):
@@ -729,12 +828,15 @@ class BatchedAudioDecoder:
                     seq = ics1.window_sequence
                     shape = ics1.window_shape
                     prev = int(self._prev_shape[lane])
-                    inp["spec"][lane, k] = spec
                     if seq == A.EIGHT_SHORT:
+                        inp["spec_short"][lane, k] = \
+                            spec.reshape(8, 128)[:, :self._cap_short]
                         inp["short"][lane, k] = True
                         inp["win_short_idx"][lane, k] = \
                             _short_window_index(shape, prev)
                     else:
+                        inp["spec_long"][lane, k] = \
+                            spec[:self._cap_long]
                         inp["win_long_idx"][lane, k] = \
                             _long_window_index(seq, shape, prev)
                     self._prev_shape[lane] = shape
@@ -746,11 +848,7 @@ class BatchedAudioDecoder:
                         dch = sd[min(ch, len(sd) - 1)]
                     self._prep_sbr(lane, dch, ft, inp, k)
 
-        self._state, pcm = self._fn(self._state,
-                                    {k: jnp.asarray(v)
-                                     for k, v in inp.items()})
-        pcm = np.asarray(pcm)                  # [N, K*2048] int16
-        return pcm.reshape(self.n, 2, -1).transpose(0, 2, 1)
+        return (self._fn, inp, not hdr.smoothing_mode, self._key[3:])
 
     # ------------------------------------------------------------------
     # checkpoint / resume (serving analog:
@@ -808,7 +906,8 @@ class BatchedAudioDecoder:
             self._state = {k: jnp.asarray(np.asarray(state[f"dev_{k}"]))
                            for k in self._STATE_KEYS
                            if f"dev_{k}" in state}
-            self._restored = True  # _ensure keeps restored trajectories
+            # _reconcile_state keeps the restored trajectories
+            self._restored = True
         self._bw = np.asarray(state["bw"]).copy()
         self._noise_index = np.asarray(state["noise_index"]).copy()
         self._prev_shape = np.asarray(state["prev_shape"]).copy()

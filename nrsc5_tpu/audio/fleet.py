@@ -117,7 +117,17 @@ class FleetAudioDecoder:
         self._silence = b""
         self._lock = threading.Lock()
         self._work: queue.Queue = queue.Queue()
+        # prepared-batch stage of the 2-thread decode pipeline: the
+        # host half (parse + input build, GIL-heavy Python/numpy)
+        # overlaps the device half (dispatch + PCM fetch) of the
+        # PREVIOUS batch — at fleet scale the host parse alone is
+        # ~45 ms per 8-packet batch, which serialized against the
+        # dispatch was the serve-audio composed-row wall (round-5
+        # ablation, docs/PERF.md).  Bounded so prepare cannot run
+        # unboundedly ahead (each prepared item holds ~2 MB of arrays).
+        self._disp: queue.Queue = queue.Queue(maxsize=2)
         self._worker: threading.Thread | None = None
+        self._dispatcher: threading.Thread | None = None
         self._err: BaseException | None = None
 
     # ------------------------------------------------------------------
@@ -212,8 +222,12 @@ class FleetAudioDecoder:
         queue so its silence frames still come out in order."""
         if self._worker is None:
             self._worker = threading.Thread(
-                target=self._run, name="fleet-audio", daemon=True)
+                target=self._run, name="fleet-audio-prep", daemon=True)
             self._worker.start()
+            self._dispatcher = threading.Thread(
+                target=self._run_dispatch, name="fleet-audio-dispatch",
+                daemon=True)
+            self._dispatcher.start()
         batch, lens = item
         if shed_ok and self._work.qsize() >= self._max_pending:
             self._work.put((None, (lens, self._row_prog.copy())))
@@ -221,13 +235,33 @@ class FleetAudioDecoder:
             self._work.put((batch, (lens, self._row_prog.copy())))
 
     def _run(self):
+        """Prepare stage: parse + device-input build (host half)."""
         while True:
             item = self._work.get()
             try:
                 if item is None:
+                    self._disp.put(None)
                     return
-                batch, (lens, progs) = item
-                if batch is None:  # shed under overload: silence frames
+                batch, meta = item
+                prepared = None if batch is None \
+                    else self._dec.prepare(batch)
+                self._disp.put((prepared, batch is not None, meta))
+            except BaseException as e:  # surfaced on the next flush/wrap
+                self._err = e
+            finally:
+                self._work.task_done()
+
+    def _run_dispatch(self):
+        """Dispatch stage: device run + PCM fetch + AUDIO emission.
+        Runs batches strictly in preparation order (the decoder's
+        carried state is sequential)."""
+        while True:
+            item = self._disp.get()
+            try:
+                if item is None:
+                    return
+                prepared, real, (lens, progs) = item
+                if not real:  # shed under overload: silence frames
                     z = np.zeros(4096, np.int16)
                     for i in range(self.rows):
                         for _ in range(lens[i]):
@@ -235,14 +269,13 @@ class FleetAudioDecoder:
                                 EventType.AUDIO, program=int(progs[i]),
                                 samples=z))
                 else:
-                    self._decode_emit(batch, lens, progs)
+                    self._emit(self._dec.dispatch(prepared), lens, progs)
             except BaseException as e:  # surfaced on the next flush/wrap
                 self._err = e
             finally:
-                self._work.task_done()
+                self._disp.task_done()
 
-    def _decode_emit(self, batch, emit_lens, progs):
-        pcm = self._dec.decode(batch)  # [rows, take*2048, 2] int16
+    def _emit(self, pcm, emit_lens, progs):
         for i in range(self.rows):
             for j in range(emit_lens[i]):
                 self._cb(i // self.slots, make(
@@ -267,14 +300,17 @@ class FleetAudioDecoder:
                 self._submit_locked((batch, lens), shed_ok=False)
         if self._worker is not None:
             self._work.join()
+            self._disp.join()
         self._raise_err()
 
     def close(self):
-        """Stop the worker thread (flush first if output matters)."""
+        """Stop the pipeline threads (flush first if output matters)."""
         if self._worker is not None:
             self._work.put(None)
             self._worker.join()
+            self._dispatcher.join()
             self._worker = None
+            self._dispatcher = None
 
     # ------------------------------------------------------------------
     # checkpoint / resume (serving analog:
@@ -291,9 +327,11 @@ class FleetAudioDecoder:
         while True:
             if self._worker is not None:
                 self._work.join()
+                self._disp.join()
             with self._lock:
                 if self._worker is None \
-                        or self._work.unfinished_tasks == 0:
+                        or (self._work.unfinished_tasks == 0
+                            and self._disp.unfinished_tasks == 0):
                     out = self._dec.checkpoint()
                     out["row_prog"] = self._row_prog.copy()
                     for i, q in enumerate(self._queues):
