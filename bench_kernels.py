@@ -24,6 +24,13 @@ def main():
                     help="also measure radix-4 vs radix-1 Viterbi bit "
                          "agreement at 10 dB Es/N0 (round-1 VERDICT item: "
                          "quantify the radix tie-flip margin on-chip)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="print the formal speed-of-light table for the "
+                         "three named hot kernels (FIR, fold+DFT, Viterbi) "
+                         "— achieved GB/s / TFLOP/s vs the v5e peak or the "
+                         "scan-latency bound, with %% of governing bound "
+                         "(BASELINE.md deliverable; regenerates the "
+                         "docs/PERF.md round-5 roofline table)")
     args = ap.parse_args()
 
     import jax
@@ -175,6 +182,143 @@ def main():
     for name, m, rt in rows:
         gf = f"{m.tflops * 1e3:.1f}" if m.tflops else "-"
         print(f"{name:24} {m.per_call_s * 1e3:9.3f} {gf:>9} {rt:11.1f}")
+
+    if args.roofline:
+        # ------------------------------------------------------------
+        # Formal speed-of-light table (BASELINE.md deliverable): each
+        # named hot kernel against ITS governing bound — HBM bandwidth
+        # for the streaming FIR, the MXU bf16 peak for the DFT matmul,
+        # and the sequential scan-step latency floor for the Viterbi
+        # (its FLOPs are 5 orders below the chip ceiling; trip count
+        # governs — docs/PERF.md round-5).  Public TPU v5e (v5 lite)
+        # peaks: 197 TFLOP/s bf16, 819 GB/s HBM.
+        # ------------------------------------------------------------
+        PEAK_BF16 = 197e12
+        PEAK_HBM = 819e9
+        from nrsc5_tpu.ops import rcplx as rc
+        from nrsc5_tpu.ops.convolutional import _chunk_plan
+
+        base = rows[0][1].per_call_s  # dispatch+fetch round-trip
+        sol = []
+
+        # Each kernel runs R iterations inside ONE jit (fori_loop with
+        # a scalar data dependence threaded through, so XLA can neither
+        # hoist the loop-invariant kernel nor fold the chain), and the
+        # output is one scalar via sum(abs(.)) — the tunnel's ~26 ms
+        # dispatch round-trip and its multi-ms jitter would otherwise
+        # swamp sub-ms kernels, and raw outputs would measure the eager
+        # output ship, not the kernel (docs/PERF.md round-2).
+        def loop_time(kernel, x0, R1, R2):
+            """Per-iteration kernel time by SLOPE between two in-jit
+            loop counts — immune to the tunnel's ~26 ms dispatch
+            round-trip AND to device work hiding under it (a single
+            call shorter than the RPC measures as zero here)."""
+            def mk(R):
+                return jax.jit(lambda x, _R=R: jax.lax.fori_loop(
+                    0, _R, lambda i, s: kernel(x, s), jnp.float32(0)))
+            t1 = measure(mk(R1), x0, reps=args.reps,
+                         sync=sync_fetch).per_call_s
+            t2 = measure(mk(R2), x0, reps=args.reps,
+                         sync=sync_fetch).per_call_s
+            return (t2 - t1) / (R2 - R1)
+
+        # FIR: ÷2 halfband over 1.4 s of 1.488 MS/s signal per station —
+        # 8 MACs/output on 16 B/sample of HBM traffic: bandwidth-bound
+        # (production fuses it into the chain; the governing cost is
+        # the streaming input read)
+        # the per-iteration where() against the threaded scalar blocks
+        # loop-invariant hoisting WITHOUT a linear identity XLA could
+        # factor out (v+c and v*c both commute through the FIR/matmul);
+        # it always selects v (s stays finite), at one elementwise pass
+        rng_r = np.random.default_rng(3)
+
+        def fresh(v, s):
+            return jnp.where(v > s + 1e30, -v, v)
+
+        n_in = 1 << 21
+        ov = FE.rc_overlap(1)
+        x = jnp.asarray(rng_r.normal(
+            size=(B, n_in + ov, 2)).astype(np.float32))
+        t = loop_time(
+            lambda v, s: jnp.abs(
+                FE.decimate_overlap_rc(fresh(v, s), 1)).sum(), x, 4, 16)
+        byts = B * (n_in + ov) * 2 * 4
+        gbps = byts / t / 1e9
+        sol.append(("halfband_fir_div2", t * 1e3,
+                    f"{gbps:.0f} GB/s", "819 GB/s (HBM)",
+                    100 * gbps / (PEAK_HBM / 1e9), "HBM bandwidth"))
+
+        # fold+DFT: the OFDM demod's [B*32, 2048] @ [2048, 2048] rc
+        # matmul pair (bf16 inputs, f32 accumulation — ops/rcplx.dft)
+        M_ = B * 32
+        xs = jnp.asarray(rng_r.normal(
+            size=(M_, 2048, 2)).astype(np.float32))
+        t = loop_time(
+            lambda v, s: jnp.abs(rc.dft(fresh(v, s), shift=True)).sum(),
+            xs, 64, 256)
+        flops = 4 * 2 * M_ * 2048 * 2048
+        tf = flops / t / 1e12
+        sol.append(("ofdm_fold_dft_2048", t * 1e3,
+                    f"{tf:.2f} TFLOP/s", "197 TFLOP/s (bf16 MXU)",
+                    100 * tf / (PEAK_BF16 / 1e12), "MXU peak"))
+
+        # Viterbi ACS+traceback: governed by sequential scan-step
+        # latency, not FLOPs.  Bound = measured floor of a minimal
+        # same-trip-count scan (tiny carry, no real work) vs the real
+        # kernel's time at the production chunk/radix/fuse plan.
+        radix = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_RADIX",
+                                                 "4"))
+        fuse = 1 if cpu else int(os.environ.get("NRSC5_VITERBI_FUSE",
+                                                "8"))
+        chunk = int(os.environ.get("NRSC5_VITERBI_CHUNK", "1152"))
+        seg_idx, _, _ = _chunk_plan(C.P1_FRAME_LEN_FM, chunk, 96,
+                                    multiple=radix * fuse)
+        n_seg, seg_len = seg_idx.shape
+        trips = seg_len // (radix * fuse)
+
+        # floor: a scan with the PRODUCTION working set — the [B_eff,
+        # 64] float32 path-metric carry and the per-trip [fuse, B_eff,
+        # 64] int8 decisions stack (forward), plus the traceback's
+        # [B_eff] carry over the same trips — but trivial per-element
+        # work.  What the measured kernel pays above this floor is its
+        # arithmetic; the floor itself is the scan-latency bound the
+        # trip count implies.
+        b_eff = B * n_seg
+
+        def minimal_scan(c0):
+            def fwd(c, _):
+                c = c * 1.0000001 + 1.0
+                return c, jnp.tile(c.astype(jnp.int8)[None], (fuse, 1, 1))
+            c, dec = jax.lax.scan(fwd, c0, None, length=trips, unroll=2)
+
+            def bwd(s, d):
+                return s + d[0, :, 0].astype(jnp.int32), None
+            s, _ = jax.lax.scan(bwd, jnp.zeros(b_eff, jnp.int32),
+                                dec[::-1], unroll=2)
+            return c.sum() + s.sum()
+        floor = loop_time(
+            lambda c, s: minimal_scan(c + s * 1e-30),
+            jnp.zeros((b_eff, 64), jnp.float32), 8, 32)
+
+        def vit(v, s):
+            bits, margin, _ = p1_decode(
+                v + jnp.where(s < -1.0, 1, 0).astype(jnp.int8),
+                chunked=True)
+            return bits.astype(jnp.float32).sum() + margin.sum()
+        t = loop_time(lambda v, s: jax.vmap(
+            lambda row: vit(row, s))(v).sum(), pm, 2, 6)
+        sol.append((f"p1_viterbi r{radix}f{fuse}c{chunk}", t * 1e3,
+                    f"{2 * trips} scan trips",
+                    f"{floor * 1e3:.2f} ms ({2 * trips}-trip floor)",
+                    100 * floor / t, "scan-step latency"))
+
+        print(f"\n# roofline (slope-timed in-jit loops — immune to the "
+              f"{base * 1e3:.0f} ms dispatch RTT; stations={B})")
+        print(f"{'kernel':26} {'ms':>8} {'achieved':>16} "
+              f"{'governing bound':>26} {'% of bound':>10}")
+        for name, ms, ach, bound, pct, gov in sol:
+            print(f"{name:26} {ms:8.3f} {ach:>16} {bound:>26} "
+                  f"{pct:9.1f}%  ({gov})")
 
     if args.ab_agreement:
         # radix-4 vs radix-1 bit agreement at operating SNR: the radix ACS
