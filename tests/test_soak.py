@@ -197,3 +197,188 @@ def test_long_soak_am_serve(rng):
     # bounded queue under drift: near one dispatch window forever
     assert max_q < 3 * (rx._needed + rx._overlap), \
         (max_q, rx._needed + rx._overlap)
+
+
+def _lot_content(tag: str) -> bytes:
+    """Deterministic 640-byte payload for soak LOT file ``tag``."""
+    seed = sum(tag.encode())
+    return ((np.arange(640) + 37 * seed) % 256).astype(np.uint8).tobytes()
+
+
+@pytest.mark.soak
+@pytest.mark.nightly
+@pytest.mark.skipif(not __import__("os").environ.get("NRSC5_NIGHTLY"),
+                    reason="hour-scale soak tier: set NRSC5_NIGHTLY=1")
+def test_nightly_soak_holes_lot(rng):
+    """The hour-scale tier (VERDICT r4 item 5): 512 P1 frames (~12.7 min
+    of signal) at +100 ppm sample-clock drift with THREE deliberate
+    signal holes (timing jumps after frames 128/256/384 — each must trip
+    the watchdog and cold-start relock) and sustained AAS/LOT traffic
+    under real SIG routing.  LOT LRU churn is pinned deterministically:
+    a VICTIM file receives fragments 0-8 early and its last fragment
+    ~330 frames later, after >30 other files have passed through the
+    12-slot cache (MAX_LOT_FILES, reference src/output.c:627-872) — it
+    must NOT complete (evicted); a CONTROL twin whose last fragment
+    follows promptly MUST.  Also pinned: zero HDC loss per lock segment
+    after the relock warm-up, bounded station/fleet queues, bounded RSS
+    growth, bit-exact completed files, non-silent audio throughout.
+
+    Nightly tier: ~25 min wall on 4 CPU cores; enable with
+    NRSC5_NIGHTLY=1 (pytest -m nightly)."""
+    from nrsc5_tpu.audio.fleet import FleetAudioDecoder
+    from nrsc5_tpu.serve import MultiStationReceiver
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+    from nrsc5_tpu.tx.modulator import modulate_fm
+    from nrsc5_tpu.tx.transport_encoder import (aas_frame,
+                                                build_p1_fm_frame)
+
+    from .test_transport import lot_fragment, sig_table
+
+    n_frames, per_frame = 512, 32
+    hole_every = 128
+    FR = 64  # LOT fragment payload bytes (the PDU PSD slot is ~176 B)
+    NFRAG = 10  # 640-byte files
+
+    t = np.arange(12 * 2048) / FS
+    tone = np.stack([0.4 * np.sin(2 * np.pi * 440 * t)] * 2, -1)
+    enc = HDCEncoder(channels=2, sbr=True, pns=False)
+    hdc_pkts = [enc.encode_frame(tone[k * 2048:(k + 1) * 2048])
+                for k in range(12)]
+    pool = set(hdc_pkts)
+
+    # special LOT frames: control = frags 0..8 at 30..38 + frag 9 at 52
+    # (completes); victim = frags 0..8 at 60..68 + frag 9 at 400 — by
+    # then ~33 fast files have churned the 12-slot LRU, so it is gone
+    special = {}
+    for r in range(9):
+        special[30 + r] = ("ctl", 90, r)
+        special[60 + r] = ("vic", 91, r)
+    special[52] = ("ctl", 90, 9)
+    special[400] = ("vic", 91, 9)
+    fast_idx = [0]
+    lot_seq = [0]
+
+    def frame_psd(g: int) -> bytes:
+        if g in special:
+            tag, lot, r = special[g]
+        else:
+            tag, lot, r = (f"fast{fast_idx[0] // NFRAG}",
+                           100 + fast_idx[0] // NFRAG,
+                           fast_idx[0] % NFRAG)
+            fast_idx[0] += 1
+        content = _lot_content(tag)
+        frag = lot_fragment(
+            lot, r, content[r * FR:(r + 1) * FR],
+            name=f"{tag}.png" if r == 0 else None,
+            size=len(content) if r == 0 else None)
+        psd = aas_frame(0x1001, lot_seq[0] & 0xFFFF, frag)
+        lot_seq[0] += 1
+        if g % 16 == 1:  # periodic SIG so relocked segments re-learn it
+            psd = aas_frame(0x20, (g // 16) & 0xFFFF, sig_table()) + psd
+        return psd
+
+    def frame_mats():
+        g = 0
+        for chunk in range(n_frames // 4):
+            mats = []
+            for _ in range(4):
+                pkts = [hdc_pkts[(g * per_frame + k) % len(hdc_pkts)]
+                        for k in range(per_frame)]
+                p1 = build_p1_fm_frame(pkts, program=0, pdu_seq=g % 8,
+                                       seq=(g * per_frame) % 64,
+                                       psd=frame_psd(g))
+                mats.append(build_pm_matrix(
+                    p1, np.zeros((16, 80), np.uint8)))
+                g += 1
+            sig = modulate_fm(np.concatenate(mats),
+                              np.tile(np.arange(16), 4), 1)
+            if chunk == 0:
+                sig = np.concatenate(
+                    [np.zeros(C.FFTCP_FM // 2, np.complex64), sig])
+            if g % hole_every == 0 and g < n_frames:
+                # deliberate hole: drop a non-multiple-of-frame tail —
+                # a timing jump the FINE-only serving chain cannot ride
+                sig = sig[:len(sig) - 500_000 - 33_333]
+            yield sig
+
+    def rss_mb() -> float:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    events = []
+    fleet = FleetAudioDecoder(1, lambda st, ev: events.append(ev), k=8)
+    rx = MultiStationReceiver(1, fleet.wrap, frames_per_dispatch=2,
+                              hdc_factory=None, cold_start=True)
+
+    max_station_q = max_fleet_q = 0
+    rss_warm = None
+    blocks = 0
+    for block in _drift_chunks(frame_mats(), ppm=100.0, cfo_hz=150.0,
+                               snr_db=30.0, rng=rng):
+        for lo in range(0, len(block), 300000):
+            rx.push(0, block[lo:lo + 300000])
+            max_station_q = max(max_station_q, rx._sizes[0])
+            max_fleet_q = max(max_fleet_q,
+                              max(len(q) for q in fleet._queues))
+        blocks += 1
+        if blocks == 24 and rss_warm is None:  # ~96 frames in: warm
+            rss_warm = rss_mb()
+    rx.flush()
+    fleet.flush()
+    rss_end = rss_mb()
+
+    # three holes -> exactly three watchdog relocks, four SYNCs total
+    kinds = [e.type for e in events]
+    assert kinds.count(EventType.LOST_SYNC) == 3, \
+        kinds.count(EventType.LOST_SYNC)
+    assert kinds.count(EventType.SYNC) == 4, kinds.count(EventType.SYNC)
+
+    # zero post-warm-up loss WITHIN each lock segment: count clean HDC
+    # between each SYNC and the next LOST_SYNC
+    seg_counts, cur, in_lock = [], 0, False
+    for e in events:
+        if e.type == EventType.SYNC:
+            cur, in_lock = 0, True
+        elif e.type == EventType.LOST_SYNC:
+            seg_counts.append(cur)
+            in_lock = False
+        elif in_lock and e.type == EventType.HDC and not e.crc_error:
+            cur += 1
+    seg_counts.append(cur)
+    assert len(seg_counts) == 4
+    # each segment spans ~128 frames; allow ~8 frames of hole spill +
+    # relock + pipeline warm-up at the edges
+    for si, cnt in enumerate(seg_counts):
+        assert cnt >= (hole_every - 8) * per_frame, (si, cnt)
+    hdc = [e for e in events if e.type == EventType.HDC
+           and not e.crc_error]
+    assert {e.data for e in hdc} <= pool, "corrupted packet emitted"
+
+    # LOT: sustained bit-exact completions, control completes, victim
+    # EVICTED by the 12-file LRU churn between its fragments
+    lots = [e for e in events if e.type == EventType.LOT]
+    names = {e.name for e in lots}
+    fast_done = [e for e in lots if e.name.startswith("fast")]
+    assert len(fast_done) >= 30, len(fast_done)
+    for e in lots:
+        assert bytes(e.data) == _lot_content(e.name[:-4]), e.name
+    assert "ctl.png" in names, "control file did not complete"
+    assert "vic.png" not in names, \
+        "victim completed: the 12-file LOT LRU did not evict"
+
+    # bounded queues + bounded memory over ~13 minutes of signal
+    dispatch_window = rx._needed + rx._overlap
+    assert max_station_q < 4 * dispatch_window, \
+        (max_station_q, dispatch_window)
+    assert max_fleet_q <= 64 + 8, max_fleet_q
+    assert rss_end < rss_warm + 400, (rss_warm, rss_end)
+
+    # audio: continuous non-silent PCM (segment edges excluded)
+    audio = [e for e in events if e.type == EventType.AUDIO]
+    assert len(audio) >= len(hdc) - 128, (len(audio), len(hdc))
+    pcm = np.concatenate([np.asarray(e.samples) for e in audio])
+    assert np.abs(pcm).max() > 1000, "silent soak audio"
