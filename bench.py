@@ -941,6 +941,109 @@ def run_bench_compute(args) -> dict:
     }
 
 
+def run_bench_selfsync(args) -> dict:
+    """Time-parallel (self-synchronizing) serving row: instead of one
+    sequential block scan per station spanning the whole dispatch, the
+    stream is chopped into overlapping GROUPS that each cold-start ON
+    DEVICE (coarse CP timing + integer-CFO/needle search + bc probe —
+    the same machinery the multichip time shards use,
+    parallel/receive.sharded_fm_chain_selfsync, here vmapped on ONE
+    chip) and decode their frames independently.  This converts the
+    frontend's sequential depth (the dominant term after the round-5
+    FEC fix) into batch width, at the price of one redundant
+    frame-plus-halo of samples per group (the acquisition span) —
+    ~33% more input and acquisition compute for a ~n_groups× shorter
+    critical path.  Decode gate: every group's every frame bit-exact.
+
+    ``--frames N`` = decoded frames per group (group spans N+1 frames
+    + halo); ``--stations`` × 4 groups ride one dispatch."""
+    jax = _bench_setup()
+    import jax.numpy as jnp
+
+    from nrsc5_tpu import constants as C
+    from nrsc5_tpu.ops.bits import pack_bits, unpack_bits
+    from nrsc5_tpu.ops.decode_fm import p1_decode
+    from nrsc5_tpu.parallel.receive import selfsync_halo
+    from nrsc5_tpu.pipeline import scan_chain_rc as rcc
+    from nrsc5_tpu.tx.encoder import build_pm_matrix
+    from nrsc5_tpu.tx.modulator import modulate_fm
+
+    dev = jax.devices()[0]
+    log(f"# bench device: {dev.platform}:{dev.device_kind} mode=selfsync")
+    rng = np.random.default_rng(7)
+    n_dec = max(args.frames, 1)          # frames decoded per group
+    n_blocks = (n_dec + 1) * C.P1_FM_BLOCKS  # group span (alignment pay)
+    groups_per_station = 4
+    B = args.stations * groups_per_station
+
+    p1 = rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8)
+    pids = rng.integers(0, 2, (16, C.PIDS_FRAME_LEN)).astype(np.uint8)
+    # enough contiguous frames that every group slice is whole + halo
+    halo = selfsync_halo()
+    total_frames = n_dec + 2 + (halo // (C.P1_FM_BLOCKS * C.BLKSZ
+                                         * C.FFTCP_FM) + 1)
+    matrix = np.concatenate([build_pm_matrix(p1, pids)] * total_frames)
+    sig = modulate_fm(matrix, np.tile(np.arange(16), total_frames), 1)
+    chunk = n_blocks * C.BLKSZ * C.FFTCP_FM
+    need = chunk + halo
+    buf = np.zeros(need, np.complex64)
+    buf[:min(need, len(sig))] = sig[:need]
+    rc = np.stack([buf.real, -buf.imag], -1).astype(np.float32)
+    x = jnp.asarray(np.broadcast_to(rc, (B,) + rc.shape))
+
+    def one_group(s):
+        start, first_bc, cfo, angle, locked = rcc.cold_start_device_rc(s)
+        carry = rcc.chain_rc_init_carry(psmi=1)._replace(
+            offset=start, cfo=cfo, prev_angle=angle.astype(jnp.float32))
+        pm, diag, _, _ = rcc.frontend_scan_rc(s, carry, n_blocks, 1)
+        skip = (C.P1_FM_BLOCKS - first_bc) % C.P1_FM_BLOCKS
+        frames = jax.lax.dynamic_slice(
+            pm, (skip, 0), (n_dec * C.P1_FM_BLOCKS, pm.shape[1]))
+        frames = frames.reshape(n_dec, -1)
+        bits, margin, _ = jax.vmap(
+            lambda m: p1_decode(m, chunked=True))(frames)
+        return pack_bits(bits), margin, locked
+
+    step = jax.jit(jax.vmap(one_group))
+    t_c0 = time.perf_counter()
+    out = step(x)
+    np.asarray(out[1])
+    log(f"# compile+first-run: {time.perf_counter() - t_c0:.1f}s")
+
+    n_threads = args.threads
+    if n_threads is None:
+        n_threads = 6 if jax.default_backend() != "cpu" else 1
+    t0 = time.perf_counter()
+    outs = _run_dispatch_streams(
+        lambda: step(x), args.reps, args.pipeline,
+        [lambda o: np.asarray(o[1])] * n_threads)
+    dt = time.perf_counter() - t0
+
+    for o in outs:
+        assert bool(np.asarray(o[2]).all()), "selfsync group failed lock"
+        got = unpack_bits(np.asarray(o[0]))
+        want = np.broadcast_to(p1, got.shape)
+        assert np.array_equal(got, want), "selfsync decode gate failed"
+    log(f"# decode gate: PASSED ({B} groups x {n_dec} frames bit-exact, "
+        f"{len(outs)} streams)")
+
+    # realtime accounting: DECODED signal only (the acquisition overlap
+    # is overhead this row deliberately pays — groups advance their
+    # stream by n_dec frames each)
+    n_samples = (args.reps * n_threads * B
+                 * n_dec * C.P1_FM_BLOCKS * C.BLKSZ * C.FFTCP_FM)
+    realtime = n_samples / dt / C.SAMPLE_RATE_CS16_FM
+    log(f"# stations={args.stations} groups/station="
+        f"{groups_per_station} dec_frames/group={n_dec} "
+        f"span={n_blocks // 16}f wall={dt:.3f}s")
+    return {
+        "metric": "fm_selfsync_timeparallel_realtime_multiple_per_chip",
+        "value": round(realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime, 2),
+    }
+
+
 def run_bench(args) -> dict:
     if args.mode == "am":
         return run_bench_am(args)
@@ -960,6 +1063,8 @@ def run_bench(args) -> dict:
         return run_bench_serve_audio(args)
     if args.mode == "compute":
         return run_bench_compute(args)
+    if args.mode == "selfsync":
+        return run_bench_selfsync(args)
     jax = _bench_setup()
     import jax.numpy as jnp
 
@@ -1101,7 +1206,7 @@ def main():
     ap.add_argument("--mode",
                     choices=("fm", "am", "mp3", "coldstart", "e2e",
                              "serve", "amcold", "audio", "serve-audio",
-                             "compute"),
+                             "compute", "selfsync"),
                     default="fm",
                     help="fm = headline full chain; am / mp3 / coldstart = "
                          "additional gated rows; e2e = device chain + host "
