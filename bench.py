@@ -956,7 +956,13 @@ def run_bench_selfsync(args) -> dict:
     critical path.  Decode gate: every group's every frame bit-exact.
 
     ``--frames N`` = decoded frames per group (group spans N+1 frames
-    + halo); ``--stations`` × 4 groups ride one dispatch."""
+    + halo); ``--stations`` × 4 groups ride one dispatch.
+
+    MEASURED NEGATIVE on this backend (docs/PERF.md round-5): the
+    fused per-group coarse acquisition costs ~25× the steady chain —
+    ~80 s/dispatch at 128×2f — so this mode loses to the sequential
+    carried-state chain by ~3 orders.  Kept as a gated diagnostic;
+    run with ``--reps 1 --threads 1``."""
     jax = _bench_setup()
     import jax.numpy as jnp
 
