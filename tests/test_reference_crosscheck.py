@@ -1174,3 +1174,79 @@ def test_am_drift_beats_reference(reference_nrsc5):
     assert ref_got <= len(want) // 4, \
         f"reference now tracks AM drift ({ref_got}/{len(want)}) — " \
         "retire this asymmetry test"
+
+
+def test_reference_agrees_mixed_band_auto_fleet(reference_nrsc5,
+                                                golden_capture):
+    """The round-5 flagship feature against the strongest oracle: an
+    FM and an AM station served through ONE HeterogeneousReceiver with
+    NO mode arguments (band + service mode discovered from each cu8
+    stream), while the REFERENCE decodes the same signals through its
+    own per-band sessions (one FM session on the cu8 capture, one AM
+    session on the cs16 baseband — its per-dongle contract,
+    src/nrsc5.c:325-358).  Every clean HDC packet set must line up
+    per band, bit-exactly, minus the usual lock-edge frames."""
+    mod = reference_nrsc5
+    from nrsc5_tpu.api.events import EventType as OurET
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    from .capture_helpers import build_am_capture
+
+    rng = np.random.default_rng(0xA1FE)
+    am_sig, am_packets = build_am_capture(rng, n_frames=12, ma3=False)
+
+    # reference decodes each band via its own session
+    ref_fm = _decode_with_reference(mod, golden_capture)
+    ET = mod.EventType
+    ref_fm_hdc = {bytes(e.data) for t, e in ref_fm
+                  if t == ET.HDC and e.program == 0
+                  and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    assert len(ref_fm_hdc) >= 64, len(ref_fm_hdc)
+    ref_am = _reference_decode_am(mod, am_sig)
+    ref_am_hdc = {bytes(e.data) for t, e in ref_am
+                  if t == ET.HDC and e.program == 0
+                  and not (e.flags & mod.PacketFlags.CRC_ERROR)}
+    assert len(ref_am_hdc) >= 32, len(ref_am_hdc)
+
+    # our mixed fleet: the same two signals as 1.488 MS/s cu8 wire,
+    # one receiver, zero mode arguments
+    up = ch.upsample_exact(am_sig, 32)
+    am_wire = ch.to_cu8(up * (0.4 / np.abs(up).max())).tobytes()
+    fm_wire = golden_capture.tobytes()
+    events = {0: [], 1: []}
+    rx = HeterogeneousReceiver(2, lambda st, ev: events[st].append(ev),
+                               cold_start=True, input_format="cu8",
+                               frames_per_dispatch=2)
+    chunk = 2 * 1000 * 1000
+    n = max(len(fm_wire), len(am_wire))
+    for lo in range(0, n, chunk):
+        rx.push(0, fm_wire[lo:lo + chunk])
+        rx.push(1, am_wire[lo:lo + chunk])
+    rx.flush()
+
+    assert rx.station_modes[0] == ("fm", 1), rx.station_modes
+    assert rx.station_modes[1] == ("am", False), rx.station_modes
+    our_fm = {e.data for e in events[0]
+              if e.type == OurET.HDC and not e.crc_error
+              and e.program == 0}
+    our_am = {e.data for e in events[1]
+              if e.type == OurET.HDC and not e.crc_error}
+
+    # FM parity: intersection coverage both ways (lock-edge tolerance,
+    # same bars as test_reference_and_framework_agree)
+    assert len(ref_fm_hdc & our_fm) >= 64, \
+        (len(ref_fm_hdc & our_fm), len(ref_fm_hdc), len(our_fm))
+    assert len(ref_fm_hdc - our_fm) <= 32, len(ref_fm_hdc - our_fm)
+    assert len(our_fm - ref_fm_hdc) <= 32, len(our_fm - ref_fm_hdc)
+    # no cross-band leakage through the shared surface
+    assert not (our_fm & {bytes(b) for _, pk in am_packets for b in pk})
+
+    # AM parity: the mid-capture frames both receivers fully decode
+    # (the reference warms its diversity delay over frames 0-3; our
+    # fleet discovers the band at ~frame 3 and re-arms the same
+    # warm-up) must agree bit-exactly with the transmitted truth
+    want = {bytes(b) for f, pk in am_packets if f in (8, 9) for b in pk}
+    assert want <= ref_am_hdc, "reference missed mid-capture AM frames"
+    assert want <= our_am, \
+        f"fleet missed {len(want - our_am)}/{len(want)} AM packets"
