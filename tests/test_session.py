@@ -617,3 +617,112 @@ def test_fm_session_turbo_mp5(rng):
     want = {p for f in range(2) for p in all_packets[f]}
     missing = want - hdc
     assert not missing, f"{len(missing)} HDC packets missing (turbo MP5)"
+
+
+def test_fm_session_four_programs_sis_aas(rng):
+    """The BASELINE.json "all-programs" config from ONE capture: four
+    audio programs (0-3) multiplexed as four PDUs per P1 frame
+    (reference MAX_PROGRAMS path, src/frame.c:198-265 +
+    src/output.c:100-168), SIS on the PIDS subcarriers, ID3 PSD on the
+    main program, and an AAS LOT file — every service class decodes
+    through one session: four bit-exact HDC streams with no
+    cross-program leakage, four distinct PCM tones, station name,
+    title, and the reassembled LOT file."""
+    from nrsc5_tpu.tx.hdc_encoder import HDCEncoder
+    from nrsc5_tpu.tx.transport_encoder import build_audio_pdu, pack_frame
+
+    from .test_transport import lot_fragment, sig_table
+
+    n_frames = 4
+    per = 8  # packets per program per frame (4 PDUs share the frame)
+    sr = C.SAMPLE_RATE_AUDIO
+    n = n_frames * per * C.AUDIO_FRAME_SAMPLES
+    t = np.arange(n) / sr
+    tones = (440.0, 660.0, 880.0, 1320.0)
+    pk = []
+    for f0 in tones:
+        enc = HDCEncoder(2)
+        x = 0.3 * np.sin(2 * np.pi * f0 * t)
+        stereo = np.stack([x, x], axis=-1)
+        pk.append([enc.encode_frame(
+            stereo[i * C.AUDIO_FRAME_SAMPLES:(i + 1)
+                   * C.AUDIO_FRAME_SAMPLES])
+            for i in range(n_frames * per)])
+
+    lot_content = ((np.arange(100) * 7) % 256).astype(np.uint8).tobytes()
+    frames = []
+    for f in range(n_frames):
+        pdus = []
+        for p in range(4):
+            # the PSD slot is per PDU (~176 B): ID3 rides program 0,
+            # the AAS control/data frames ride program 1's slot
+            psd = b""
+            if p == 0:
+                psd = aas_frame(0x5100, 2 * f, _id3(TITLE))
+            elif p == 1 and f == 0:
+                psd = aas_frame(0x20, 1, sig_table())
+            elif p == 1 and f == 1:
+                psd = aas_frame(0x1001, 2, lot_fragment(
+                    42, 0, lot_content, name="four.png",
+                    size=len(lot_content)))
+            pdus.append(build_audio_pdu(
+                pk[p][f * per:(f + 1) * per], program=p,
+                pdu_seq=f % 8, seq=(f * per) % 64, psd=psd))
+        both = np.concatenate(pdus)
+        assert len(both) <= C.MAX_PDU_LEN, len(both)
+        both = np.concatenate(
+            [both, np.zeros(C.MAX_PDU_LEN - len(both), np.uint8)])
+        frames.append(pack_frame(both, C.P1_FRAME_LEN_FM, C.PCI_AUDIO))
+
+    sis = _sis_station_name_frame()
+    pids = np.broadcast_to(sis, (16, 80))
+    mats = [build_pm_matrix(fr, pids) for fr in frames]
+    dummy = build_pm_matrix(
+        rng.integers(0, 2, C.P1_FRAME_LEN_FM).astype(np.uint8), pids)
+    matrix = np.concatenate([dummy[14 * 32:]] + mats + [dummy[:4 * 32]])
+    bc_seq = np.concatenate([np.arange(14, 16),
+                             np.tile(np.arange(16), n_frames),
+                             np.arange(4)])
+    sig = modulate_fm(matrix, bc_seq, 1)
+    sig = ch.impair(sig, sample_offset=777, snr_db=25.0, rng=rng)
+
+    events = []
+    radio = NRSC5.open_pipe(events.append, MODE_FM)
+    for i in range(0, len(sig), 65536):
+        radio.pipe_samples_cs16(sig[i:i + 65536])
+    radio.flush()
+
+    svc = {e.program for e in events if e.type == EventType.AUDIO_SERVICE}
+    assert {0, 1, 2, 3} <= svc, f"audio services announced: {svc}"
+
+    allpk = [{bytes(q) for q in pk[p]} for p in range(4)]
+    for p in range(4):
+        got = [e.data for e in events
+               if e.type == EventType.HDC and e.program == p
+               and not e.crc_error]
+        assert len(got) >= 2 * per, f"program {p}: {len(got)} HDC events"
+        assert all(g in allpk[p] for g in got), \
+            f"program {p}: foreign packets"
+        for q in range(4):
+            if q != p:
+                assert not any(g in allpk[q] - allpk[p] for g in got)
+
+    # four distinct PCM tones
+    for p, f0 in enumerate(tones):
+        audio = [e.samples for e in events
+                 if e.type == EventType.AUDIO and e.program == p]
+        assert len(audio) >= per, f"program {p}: {len(audio)} AUDIO"
+        y = np.concatenate(audio).reshape(-1, 2)[:, 0].astype(np.float64)
+        seg = y[4096:4096 + 16384]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        peak_hz = np.fft.rfftfreq(len(seg), 1 / sr)[int(np.argmax(spec))]
+        assert abs(peak_hz - f0) < 20, \
+            f"program {p}: dominant {peak_hz:.0f} Hz, want {f0}"
+
+    # SIS, ID3, and the AAS LOT file from the same capture
+    names = {e.name for e in events if e.type == EventType.STATION_NAME}
+    assert "KTPU-FM" in names, names
+    assert TITLE in {e.title for e in events if e.type == EventType.ID3}
+    lots = [e for e in events if e.type == EventType.LOT]
+    assert lots and lots[0].name == "four.png"
+    assert bytes(lots[0].data) == lot_content
