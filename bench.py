@@ -686,12 +686,12 @@ def run_bench_audio(args) -> dict:
     with cf.ThreadPoolExecutor(1) as pool:
         fut = pool.submit(bat.prepare, streams)
         t0 = time.time()
-        for _ in range(reps):
+        for r in range(reps):
             item = fut.result()
-            fut = pool.submit(bat.prepare, streams)
+            if r + 1 < reps:  # no dangling prepare past the last rep
+                fut = pool.submit(bat.prepare, streams)
             outs = bat.dispatch(item)
         wall = time.time() - t0
-        fut.result()
 
     # gate: host decoder fed the same (repeated) packet sequence for one
     # program must agree with the LAST rep's output at steady state

@@ -229,7 +229,11 @@ class FleetAudioDecoder:
                 daemon=True)
             self._dispatcher.start()
         batch, lens = item
-        if shed_ok and self._work.qsize() >= self._max_pending:
+        # count BOTH pipeline stages against the bound (the prepare
+        # stage and the bounded _disp queue hold a few undecoded
+        # batches outside _work)
+        if shed_ok and (self._work.qsize() + self._disp.qsize()
+                        >= self._max_pending):
             self._work.put((None, (lens, self._row_prog.copy())))
         else:
             self._work.put((batch, (lens, self._row_prog.copy())))
@@ -247,7 +251,8 @@ class FleetAudioDecoder:
                     else self._dec.prepare(batch)
                 self._disp.put((prepared, batch is not None, meta))
             except BaseException as e:  # surfaced on the next flush/wrap
-                self._err = e
+                if self._err is None:  # first error wins (root cause)
+                    self._err = e
             finally:
                 self._work.task_done()
 
@@ -271,7 +276,8 @@ class FleetAudioDecoder:
                 else:
                     self._emit(self._dec.dispatch(prepared), lens, progs)
             except BaseException as e:  # surfaced on the next flush/wrap
-                self._err = e
+                if self._err is None:  # first error wins (root cause)
+                    self._err = e
             finally:
                 self._disp.task_done()
 
