@@ -26,10 +26,10 @@ per-station ``first_bc`` alignment), and feed
 coldstart row gates.
 
 Measured on the tunneled v5e chip of this environment: decode compute
-supports 750-918× real time (bench.py e2e/fm rows, inputs resident on
-device), but TRUE streaming — fresh samples uploaded every dispatch —
-is input-bound by the tunnel's ~35 MB/s fresh-buffer upload: 16
-stations sustain ~4× real time as complex64 and **~11× as cs16**
+supports 1100-2100× real time (bench.py e2e/fm rows round 5, inputs
+resident on device), but TRUE streaming — fresh samples uploaded every
+dispatch — is input-bound by the tunnel's ~35 MB/s fresh-buffer upload:
+16 stations sustain ~4× real time as complex64 and **~11× as cs16**
 (``input_format="cs16"``: half the bytes, scaled to float on device).
 On hardware with host DMA measured in GB/s the upload ceases to bind;
 prefer cs16 ingestion regardless — it is the reference's internal wire

@@ -1558,3 +1558,47 @@ def test_heterogeneous_rtltcp_fleet_auto(rng):
     fm_hdc = {e.data for e in events[0]
               if e.type == EventType.HDC and not e.crc_error}
     assert not (fm_hdc & am_want)  # no cross-band leakage
+
+
+def test_heterogeneous_auto_discovery_ma3(rng):
+    """Mixed-AM auto discovery: an MA1 and an MA3 (all-digital) station
+    pushed as cu8 wire with NO mode arguments — the two AM service
+    modes land in SEPARATE fused groups, keyed ("am", False) and
+    ("am", True), each decoding bit-exact.  (The reference cannot even
+    cold-start MA3 — test_reference_cannot_coldstart_ma3 — so this
+    whole fleet shape has no reference equivalent.)"""
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    from .capture_helpers import build_am_capture
+
+    wires, wants = [], []
+    for ma3 in (False, True):
+        sig, packets = build_am_capture(rng, n_frames=10, ma3=ma3)
+        up = ch.upsample_exact(
+            np.concatenate([np.zeros(C.FFTCP_AM // 2, np.complex64),
+                            sig]), 32)
+        wires.append(ch.to_cu8(up * (0.4 / np.abs(up).max())).tobytes())
+        wants.append({bytes(b) for _, pk in packets for b in pk})
+
+    events = {0: [], 1: []}
+    rx = HeterogeneousReceiver(2, lambda st, ev: events[st].append(ev),
+                               cold_start=True, input_format="cu8",
+                               frames_per_dispatch=2)
+    chunk = 2 * 1000 * 1000
+    n = max(len(w) for w in wires)
+    for lo in range(0, n, chunk):
+        for i in range(2):
+            rx.push(i, wires[i][lo:lo + chunk])
+    rx.flush()
+
+    assert rx.station_modes == [("am", False), ("am", True)], \
+        rx.station_modes
+    assert len(rx._groups) == 2  # one fused program per AM mode
+    for i in range(2):
+        kinds = [e.type for e in events[i]]
+        assert kinds.count(EventType.SYNC) == 1, (i, kinds)
+        hdc = {e.data for e in events[i]
+               if e.type == EventType.HDC and not e.crc_error}
+        assert len(hdc & wants[i]) >= 32, (i, len(hdc & wants[i]))
+        assert not (hdc & wants[1 - i] - wants[i]), i
