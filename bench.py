@@ -1204,13 +1204,14 @@ ATTEMPT_TIMEOUT_S = 900  # compile ~1-2 min on a healthy backend
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stations", type=int, default=32)
-    ap.add_argument("--frames", type=int, default=4,
+    ap.add_argument("--stations", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=2,
                     help="P1 frames per station per step (round-5 "
-                         "measured best: 32x4 = 2099x — with the fuse-8 "
-                         "trip-count fix, deeper dispatches amortize the "
-                         "block scan; 32x8/16x16 hit flat-FEC-batch "
-                         "cliff windows, see docs/PERF.md)")
+                         "measured best: 64x2 = 2301x, reproduced twice "
+                         "— with the fuse-8 trip-count fix, wide station "
+                         "batches amortize the block scan at 2-frame "
+                         "latency; 32x8/16x16/128x1 hit XLA cliff "
+                         "windows, see docs/PERF.md)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--pipeline", type=int, default=2,
                     help="dispatches kept in flight per stream (headline "
