@@ -223,6 +223,16 @@ def run_bench_am(args) -> dict:
     from nrsc5_tpu.tx import encoder_am as EAM
     from nrsc5_tpu.tx.modulator_am import modulate_am
 
+    if args.stations > 32:
+        # the AM chain's shape optimum differs from FM's: measured
+        # 1330x at 32x4 and 16x2 but 742x at the FM default 64x2 and
+        # 987x at 32x2 (XLA shape sensitivity); pin the known optimum
+        # when the fm-default shape is inherited
+        log(f"# am row: reshaping {args.stations}x{args.frames} -> "
+            "32x4 (AM shape optimum; docs/PERF.md round-5)")
+        import copy
+        args = copy.copy(args)
+        args.stations, args.frames = 32, 4
     log(f"# bench device: {jax.devices()[0].platform} mode=am")
     rng = np.random.default_rng(7)
     n = 6
