@@ -1602,3 +1602,42 @@ def test_heterogeneous_auto_discovery_ma3(rng):
                if e.type == EventType.HDC and not e.crc_error}
         assert len(hdc & wants[i]) >= 32, (i, len(hdc & wants[i]))
         assert not (hdc & wants[1 - i] - wants[i]), i
+
+
+def test_heterogeneous_auto_quiesce_undiscovered(rng):
+    """A dead tuner whose mode was never discovered: quiesce() stops
+    the mode probing (no further cold-start probes burn on its
+    silence) while the other station discovers and decodes normally —
+    the RtlTcpFleet dead-tuner contract on the auto-discovery path."""
+    from nrsc5_tpu.serve import HeterogeneousReceiver
+    from nrsc5_tpu.tx import channel as ch
+
+    sig, packets = _station_stream(rng, "Quiesce Live", n_frames=4)
+    wire = ch.to_cu8(ch.upsample2(sig)).tobytes()
+    noise = rng.integers(96, 160, (len(wire) // 2, 2)) \
+        .astype(np.uint8).tobytes()
+
+    events = {0: [], 1: []}
+    rx = HeterogeneousReceiver(2, lambda st, ev: events[st].append(ev),
+                               cold_start=True, input_format="cu8",
+                               frames_per_dispatch=1)
+    chunk = 2 * 1000 * 1000
+    rx.push(0, wire[:chunk])
+    rx.push(1, noise[:chunk])
+    rx.quiesce(1)  # reader thread declared the tuner dead
+    before = rx._probe_next[1]
+    assert before == float("inf")
+    for lo in range(chunk, len(wire), chunk):
+        rx.push(0, wire[lo:lo + chunk])
+        rx.push(1, noise[lo:lo + chunk])
+    rx.flush()
+
+    assert rx.station_modes[0] == ("fm", 1)
+    assert rx.station_modes[1] is None  # never discovered, never probed
+    assert rx._probe_next[1] == float("inf")
+    assert rx.queue_depth(1) > 0  # staged silence, bounded by the caller
+    hdc = {e.data for e in events[0]
+           if e.type == EventType.HDC and not e.crc_error}
+    assert len(hdc & {bytes(p) for p in packets}) >= 64
+    assert not events[1] or all(
+        e.type != EventType.SYNC for e in events[1])
